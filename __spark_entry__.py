@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Thin adapter over ``cnics_to_fhir_spark.plans.registry`` — every implemented
+operator from SURVEY.md §2 (plus the training-data-pipeline extensions) is a
+named catalog entry pairing a Spark DataFrame builder with its DuckDB oracle
+SQL. See cnics_to_fhir_spark/plans/{relational,transforms,scale_ops}.py.
 """
 
 from __future__ import annotations
@@ -16,23 +15,21 @@ from pyspark.sql import DataFrame, SparkSession
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from cnics_to_fhir_spark.plans import catalog
+
+    return catalog()["q01_pricing_summary"].spark(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
+    from cnics_to_fhir_spark.plans import catalog
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: e.spark for name, e in catalog().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL per query; omitted for non-SQL-expressible ops
+    (MinHash/SimHash/sign-LSH — xxhash64-based), which pytest pins instead."""
+    from cnics_to_fhir_spark.plans import catalog
+
+    return {name: e.oracle for name, e in catalog().items() if e.oracle is not None}

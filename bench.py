@@ -1,0 +1,74 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Timing = full pipeline per query (plan + execute + count-collapse), after a
+one-time warmup touch of the parquet footers so JVM startup isn't billed to
+the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from cnics_to_fhir_spark.plans import catalog
+from cnics_to_fhir_spark.session import build_session
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "j01_inner_join_agg",
+    "j06_merge_actions",
+    "a03_first_row_per_group",
+    "a02_collect_set",
+    "f01_dx_coding_dispatch",
+    "f11_lab_value_typing",
+    "dd01_exact_dedup",
+    "dd02_ngram_jaccard",
+    "dd03_minhash_lsh",
+    "ann01_cosine_topk",
+    "tx01_text_profile",
+    "ev01_tumbling_window",
+    "ev02_sessionization",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = build_session("bench")
+
+    entries = catalog()
+    # Warmup: force JVM + parquet footer reads once, outside timed region.
+    entries["a01_distinct"].spark(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        e = entries[name]
+        t0 = time.perf_counter()
+        # count() executes the whole plan without driver-side materialization
+        # of payload columns (the driver does its own collect for verify).
+        n = e.spark(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", flush=True)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        ),
+        flush=True,
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,231 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design notes (the point of each variant):
+
+- ``exact``: one hash-shuffle on a 128-bit content key; partial aggregation
+  map-side; at 100 TB the shuffle carries (key, min_id) only, never text.
+- ``ngram_jaccard``: blocking key → equi-join → exact Jaccard on candidates.
+  The blocking key keeps the join linear; never an O(n²) cross join.
+- ``minhash_lsh``: signature is H array-min passes over the shingle array
+  (all codegen'd); banding turns near-dup search into an equi-join on
+  (band_id, band_hash) — the classic shuffle-friendly LSH plan. Candidate
+  pairs then get exact Jaccard verification.
+- ``simhash``: explode→hash→bit-vote→groupBy; one shuffle keyed by doc,
+  64 vectorized agg expressions; near-dups = equal 16-bit prefix bands.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cnics_to_fhir_spark.functions.numeric import stable_round
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup (hash-groupBy)
+# ---------------------------------------------------------------------------
+
+def exact_dedup_plan(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Group by content hash; keep the smallest id as the canonical copy.
+
+    Returns (fingerprint, keeper_id, n_copies) — the decision table; a join
+    back on fingerprint filters the corpus.
+    """
+    return (
+        df.select(F.md5(F.col(text_col)).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias("keeper_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def drop_exact_dups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    plan = exact_dedup_plan(df, text_col, id_col)
+    return df.join(
+        plan.select(F.col("keeper_id").alias(id_col)), on=id_col, how="left_semi"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Word shingles + Jaccard
+# ---------------------------------------------------------------------------
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """k-word shingles as an array<string>; whole-doc shingle when shorter."""
+    toks = F.split(text, " ")
+    n = F.size(toks)
+    return F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - k + 1),
+            lambda i: F.array_join(F.slice(toks, i, k), " "),
+        ),
+    ).otherwise(F.array(F.array_join(toks, " ")))
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard over two string arrays (distinct semantics)."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    block_words: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs via blocking + exact Jaccard.
+
+    Blocking key = first ``block_words`` tokens (cheap, deterministic,
+    SQL-expressible). Candidates = pairs sharing a block; verified with exact
+    shingle Jaccard ≥ threshold. Output: (id_a, id_b, jaccard_sim).
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.array_join(F.slice(F.split(F.col(text_col), " "), 1, block_words), " ").alias("block"),
+        F.array_distinct(word_shingles(F.col(text_col), k)).alias("shingles"),
+    )
+    a = base.select(F.col("id").alias("id_a"), F.col("block"), F.col("shingles").alias("sh_a"))
+    b = base.select(F.col("id").alias("id_b"), F.col("block"), F.col("shingles").alias("sh_b"))
+    pairs = a.join(b, on="block").filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            stable_round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard_sim"),
+        )
+        .filter(F.col("jaccard_sim") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signature(text: Column, num_hashes: int = 32, k: int = 3) -> Column:
+    """array<long> MinHash signature: sig[j] = min over shingles of
+    xxhash64(j, shingle). Pure codegen — no UDF, no shuffle."""
+    shingles = F.array_distinct(word_shingles(text, k))
+    mins = [
+        F.array_min(F.transform(shingles, lambda s, j=j: F.xxhash64(F.lit(j), s)))
+        for j in range(num_hashes)
+    ]
+    return F.array(*mins)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash → band buckets → equi-join candidates → exact-Jaccard verify.
+
+    bands × rows = num_hashes; collision prob ≈ 1-(1-s^rows)^bands.
+    """
+    rows = num_hashes // bands
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(word_shingles(F.col(text_col), k)).alias("shingles"),
+        minhash_signature(F.col(text_col), num_hashes, k).alias("sig"),
+    )
+    banded = base.select(
+        "id",
+        "shingles",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.xxhash64(*[F.col("sig")[b * rows + r] for r in range(rows)]).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("id", "shingles", "band.band_id", "band.band_hash")
+
+    a = banded.select(
+        F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"), "band_id", "band_hash"
+    )
+    b = banded.select(
+        F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"), "band_id", "band_hash"
+    )
+    candidates = (
+        a.join(b, on=["band_id", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        candidates.select(
+            "id_a", "id_b", stable_round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard_sim")
+        )
+        .filter(F.col("jaccard_sim") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
+    """64-bit SimHash per doc: explode tokens → xxhash64 → per-bit vote →
+    reassemble. One shuffle (groupBy id), all-native aggregation."""
+    tok = df.select(
+        F.col(id_col).alias("id"), F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = tok.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(bits)
+        ]
+    )
+    sim = F.lit(0).cast("long")
+    for b in range(bits):
+        sim = sim + F.when(F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(F.lit(0).cast("long"))
+    return votes.select("id", sim.alias("simhash"))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Candidate pairs by equal 16-bit SimHash band (4 bands ⇒ any pair with
+    hamming ≤ 3 shares at least one band — pigeonhole), verified by exact
+    hamming distance."""
+    sh = simhash(df, text_col, id_col)
+    banded = sh.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.shiftrightunsigned(F.col("simhash"), 16 * b).bitwiseAND(F.lit(0xFFFF)).alias("band_val"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("band"),
+    ).select("id", "simhash", "band.band_id", "band.band_val")
+    a = banded.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"), "band_id", "band_val")
+    b = banded.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"), "band_id", "band_val")
+    pairs = (
+        a.join(b, on=["band_id", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return pairs.select("id_a", "id_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )

@@ -1,0 +1,52 @@
+"""Event-stream analytics over the ``events`` table.
+
+Batch forms of the streaming operators (streaming/ wraps the same
+expressions under readStream): tumbling windows via ``F.window`` and
+sessionization via the lag-gap-cumsum pattern — both shuffle once on the
+grouping key and survive scale-up unchanged (watermarks bound state in the
+streaming variant).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def tumbling_window_agg(events: DataFrame, width: str = "1 hour") -> DataFrame:
+    """Tumbling-window counts/sums per event_type."""
+    return (
+        events.groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Assign session ids per user: a new session starts when the gap from
+    the previous event exceeds ``gap_minutes``. lag + cumsum over a window —
+    one shuffle on user_id."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    new_session = F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
+    return events.withColumn(
+        "session_seq", F.sum(new_session).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+
+
+def session_stats(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    s = sessionize(events, gap_minutes)
+    return (
+        s.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long"))).alias("duration_sec"),
+        )
+    )

@@ -1,0 +1,153 @@
+"""Similarity search over an embedding column (array<float>).
+
+- ``cosine_topk``: exact brute force — broadcast the (small) query set
+  against the corpus, cosine in native higher-order functions, windowed
+  top-k. The baseline: correct at any scale where |queries| is bounded,
+  because the corpus is never shuffled — one scan, one broadcast join, one
+  top-k partial aggregation per query.
+- ``lsh_topk``: random-hyperplane (sign) LSH bucketing — corpus and queries
+  hash to ``n_planes``-bit sketches; candidates share a band; exact cosine
+  re-ranks. Hyperplane weights are derived deterministically from xxhash64
+  so the operator needs no stored model and both sides of a join compute
+  identical planes. The scale path: turns ANN into an equi-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from cnics_to_fhir_spark.functions.numeric import stable_round
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ in double, left-to-right (deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per query (excluding self-matches by id).
+
+    Output: (query_id, neighbor_id, cosine_sim, rank) — rank by rounded
+    similarity then neighbor id, fully deterministic.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            stable_round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _plane_weight(plane: int, dim_index: Column) -> Column:
+    """Deterministic pseudo-random hyperplane weight in [-1, 1):
+    xxhash64(plane, dim) scaled. Uniform enough for sign-LSH."""
+    h = F.xxhash64(F.lit(plane), dim_index)
+    return h.cast("double") / F.lit(float(2**63))
+
+
+def _projection(vec: Column, plane: int) -> Column:
+    def weighted(v: Column, i: Column) -> Column:
+        return v.cast("double") * _plane_weight(plane, i)
+
+    return F.aggregate(F.transform(vec, weighted), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def sign_sketch(vec: Column, n_planes: int = 16) -> Column:
+    """n-bit sign sketch: bit p = [Σᵢ wᵢ(p)·vᵢ > 0]."""
+    bits = F.lit(0).cast("long")
+    for p in range(n_planes):
+        bits = bits + F.when(
+            _projection(vec, p) > 0, F.shiftleft(F.lit(1).cast("long"), p)
+        ).otherwise(F.lit(0).cast("long"))
+    return bits
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+    bands: int = 8,
+) -> DataFrame:
+    """Approximate top-k: sign-LSH bands prune the corpus, exact cosine
+    re-ranks survivors. Recall < 1 by construction; rows-only oracle.
+
+    Defaults (16 planes, 8 two-bit bands) give ≥0.9 recall even on weakly
+    clustered gaussian vectors; widen ``rows`` per band (fewer bands) when
+    the corpus has real cluster structure to cut candidate volume."""
+    rows = n_planes // bands
+
+    def with_bands(df: DataFrame, prefix: str) -> DataFrame:
+        sk = sign_sketch(F.col(vec_col), n_planes)
+        return (
+            df.select(F.col(id_col).alias(f"{prefix}_id"), F.col(vec_col).alias(f"{prefix}_vec"), sk.alias("sketch"))
+            .select(
+                f"{prefix}_id",
+                f"{prefix}_vec",
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(b).alias("band_id"),
+                                F.shiftrightunsigned(F.col("sketch"), rows * b)
+                                .bitwiseAND(F.lit((1 << rows) - 1))
+                                .alias("band_val"),
+                            )
+                            for b in range(bands)
+                        ]
+                    )
+                ).alias("band"),
+            )
+            .select(f"{prefix}_id", f"{prefix}_vec", "band.band_id", "band.band_val")
+        )
+
+    cb = with_bands(corpus, "neighbor")
+    qb = with_bands(queries, "query")
+    candidates = (
+        cb.join(qb, on=["band_id", "band_val"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = candidates.select(
+        "query_id",
+        "neighbor_id",
+        stable_round(cosine(F.col("query_vec"), F.col("neighbor_vec")), 6).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -1,0 +1,91 @@
+"""Text-analysis operators for training-data pipelines over ``documents``.
+
+All native Column expressions (split / filter / aggregate higher-order
+functions) — no Python in the hot path, so at 100 TB these run inside
+whole-stage codegen directly over the parquet scan with full column pruning
+(only ``text`` is read).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cnics_to_fhir_spark.functions.numeric import stable_round
+
+# Tiny per-language marker lexicons for the n-gram/stopword language-ID
+# heuristic. Deterministic and SQL-expressible so the oracle can replicate.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "is"],
+    "es": ["el", "la", "de", "que", "y"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "fr": ["le", "la", "de", "et", "est"],
+}
+
+
+def tokens(text: Column) -> Column:
+    return F.split(text, " ")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count; 0 for empty string."""
+    return F.when(F.length(text) == 0, F.lit(0)).otherwise(F.size(tokens(text)))
+
+
+def distinct_token_count(text: Column) -> Column:
+    return F.size(F.array_distinct(tokens(text)))
+
+
+def avg_token_length(text: Column) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(toks, F.lit(0).cast("double"), lambda acc, t: acc + F.length(t))
+    return total / F.size(toks)
+
+
+def marker_ratio(text: Column, markers: list[str]) -> Column:
+    """Fraction of tokens that are language markers."""
+    toks = tokens(text)
+    hits = F.size(F.filter(toks, lambda t: t.isin(*markers)))
+    return hits.cast("double") / F.size(toks)
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality heuristic: rewards lexical diversity and plausible
+    word lengths, penalizes very short docs. Bounded [0, 1]."""
+    n = token_count(text)
+    diversity = distinct_token_count(text).cast("double") / n
+    len_ok = (avg_token_length(text) >= 3) & (avg_token_length(text) <= 10)
+    length_factor = F.least(n.cast("double") / F.lit(32.0), F.lit(1.0))
+    return stable_round(diversity * 0.6 + F.when(len_ok, 0.2).otherwise(0.0) + length_factor * 0.2, 4)
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 over the case/whitespace-normalized text —
+    the exact-dup key (a content-defined rolling-hash variant lives in
+    dedup.simhash for near-dups)."""
+    return F.md5(F.lower(F.trim(F.regexp_replace(text, r"\s+", " "))))
+
+
+def lang_id(text: Column) -> Column:
+    """Best-marker-ratio language guess; 'unk' when nothing scores > 0."""
+    scores = [(lang, marker_ratio(text, m)) for lang, m in LANG_MARKERS.items()]
+    best = F.greatest(*[s for _, s in scores])
+    expr = F.lit("unk")
+    # reversed() so earlier languages win ties, matching a stable argmax
+    for lang, score in reversed(scores):
+        expr = F.when((score == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One-pass text profile per document."""
+    t = F.col(text_col)
+    return df.select(
+        id_col,
+        token_count(t).alias("n_tokens"),
+        distinct_token_count(t).alias("n_distinct_tokens"),
+        stable_round(avg_token_length(t), 4).alias("avg_token_len"),
+        quality_score(t).alias("quality"),
+        fingerprint(t).alias("fingerprint"),
+        lang_id(t).alias("lang_guess"),
+    )

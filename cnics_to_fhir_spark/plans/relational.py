@@ -1,0 +1,429 @@
+"""Relational operator queries (SURVEY.md §2.2-§2.7) over the driver corpus.
+
+Operator↔table mapping follows FIXTURES.md §5. Each query is the Spark-first
+expression of a reference operator; comments cite the reference site it
+re-expresses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cnics_to_fhir_spark.operators.merge import merge_plan
+from cnics_to_fhir_spark.plans.registry import query, table
+
+
+# --------------------------------------------------------------------------
+# Flagship: filters + wide aggregation + sort (P3/P5, A5, O1) — the classic
+# pricing-summary shape; exercises partial aggregation + AQE coalescing.
+# --------------------------------------------------------------------------
+@query(
+    "q01_pricing_summary",
+    tags="P3 A5 O1",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 2)                                    AS sum_qty,
+               ROUND(SUM(l_extendedprice), 2)                               AS sum_base_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
+               ROUND(AVG(l_quantity), 4)                                    AS avg_qty,
+               ROUND(AVG(l_discount), 4)                                    AS avg_disc,
+               COUNT(*)                                                     AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decorrelated bulk aggregate — the shape the reference's per-patient
+    loop (cnics_to_fhir.py:339-351) becomes after the J3 restructuring."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# P6/P7 — IN-list + LIKE-prefix predicates (settings.ini ConditionsFilter
+# semantics, spliced at cnics_to_fhir.py:123; LIKE prefixes settings.ini:44-48)
+# --------------------------------------------------------------------------
+@query(
+    "p06_in_list_and_like",
+    tags="P6 P7 P1",
+    oracle="""
+        SELECT p_partkey, p_name, p_brand, p_type
+        FROM part
+        WHERE p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+           OR p_type LIKE 'PRO%'
+    """,
+)
+def p06_in_list_and_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = table(spark, sf_dir, "part")
+    return part.filter(
+        F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+        | F.col("p_type").like("PRO%")
+    ).select("p_partkey", "p_name", "p_brand", "p_type")
+
+
+# --------------------------------------------------------------------------
+# P4 — null-safe inequality, 3-valued logic:
+# (Historical <> 'Yes' OR Historical IS NULL)  (cnics_to_fhir.py:121)
+# The corpus has no NULLs, so NULLIF synthesizes them first.
+# --------------------------------------------------------------------------
+@query(
+    "p04_nullsafe_inequality",
+    tags="P4 P3",
+    oracle="""
+        WITH o AS (
+            SELECT o_orderkey, o_orderstatus,
+                   NULLIF(o_orderpriority, '3-MEDIUM') AS priority
+            FROM orders
+        )
+        SELECT o_orderstatus, COUNT(*) AS n
+        FROM o
+        WHERE priority <> '1-URGENT' OR priority IS NULL
+        GROUP BY o_orderstatus
+    """,
+)
+def p04_nullsafe_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").withColumn(
+        "priority", F.nullif(F.col("o_orderpriority"), F.lit("3-MEDIUM"))
+    )
+    return (
+        o.filter((F.col("priority") != "1-URGENT") | F.col("priority").isNull())
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --------------------------------------------------------------------------
+# J1 — inner equi-join (Patient ⋈ DemographicAltered, cnics_to_fhir.py:260-262)
+# --------------------------------------------------------------------------
+@query(
+    "j01_inner_join_agg",
+    tags="J1 A5",
+    oracle="""
+        SELECT c.c_mktsegment AS mktsegment,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o.o_totalprice), 2) AS total_price
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        WHERE c.c_acctbal > 0
+        GROUP BY c.c_mktsegment
+    """,
+)
+def j01_inner_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0)
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.join(c, c["c_custkey"] == o["o_custkey"], "inner")
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# J5 — left-anti join (reconciliation delete, cnics_to_fhir.py:328-337)
+# --------------------------------------------------------------------------
+@query(
+    "j05_anti_join",
+    tags="J5",
+    oracle="""
+        SELECT c_custkey, c_name
+        FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
+    """,
+)
+def j05_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select("c_custkey", "c_name")
+
+
+# --------------------------------------------------------------------------
+# J7 — semi-join (existence probe, cnics_to_fhir.py:577-583)
+# --------------------------------------------------------------------------
+@query(
+    "j07_semi_join",
+    tags="J7",
+    oracle="""
+        SELECT c_custkey, c_mktsegment
+        FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+    """,
+)
+def j07_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi").select("c_custkey", "c_mktsegment")
+
+
+# --------------------------------------------------------------------------
+# J6 — the MERGE classify (full-outer diff), via the engine's merge_plan.
+# current = keys seen in orders; existing = the customer dimension.
+# --------------------------------------------------------------------------
+@query(
+    "j06_merge_actions",
+    tags="J6 J5 J7 A5",
+    oracle="""
+        WITH cur AS (
+            SELECT CAST(o_custkey AS VARCHAR) AS key,
+                   ROUND(MAX(o_totalprice), 2) AS max_price
+            FROM orders WHERE o_totalprice > 1000 GROUP BY o_custkey
+        ),
+        exi AS (
+            SELECT CAST(c_custkey AS VARCHAR) AS key,
+                   'srv-' || CAST(c_custkey AS VARCHAR) AS id
+            FROM customer
+        )
+        SELECT COALESCE(cur.key, exi.key) AS key,
+               CASE WHEN cur.key IS NOT NULL AND exi.key IS NOT NULL THEN 'update'
+                    WHEN cur.key IS NOT NULL THEN 'insert'
+                    ELSE 'delete' END AS action,
+               exi.id AS id,
+               cur.max_price AS max_price
+        FROM cur FULL OUTER JOIN exi ON cur.key = exi.key
+    """,
+)
+def j06_merge_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reconciliation engine itself (operators/merge.py) over star keys:
+    update iff key on both sides, insert iff current-only, delete iff
+    existing-only — the loop semantics of cnics_to_fhir.py:548-570."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    current = (
+        o.filter(F.col("o_totalprice") > 1000)
+        .groupBy(F.col("o_custkey").cast("string").alias("key"))
+        .agg(F.round(F.max("o_totalprice"), 2).alias("max_price"))
+    )
+    existing = c.select(
+        F.col("c_custkey").cast("string").alias("key"),
+        F.concat(F.lit("srv-"), F.col("c_custkey").cast("string")).alias("id"),
+    )
+    return merge_plan(current, existing, key="key", existing_id="id", payload_cols=["max_price"])
+
+
+# --------------------------------------------------------------------------
+# A3/O1 — first-row-per-group window (first demographic row wins,
+# cnics_to_fhir.py:440-525 break at :525; ORDER BY DemographicId :130)
+# --------------------------------------------------------------------------
+@query(
+    "a03_first_row_per_group",
+    tags="A3 O1 W",
+    oracle="""
+        SELECT o_custkey, o_orderkey, STRFTIME(o_orderdate, '%Y-%m-%d') AS first_order_date
+        FROM (
+            SELECT o_custkey, o_orderkey, o_orderdate,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+            FROM orders
+        )
+        WHERE rn = 1
+    """,
+)
+def a03_first_row_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("first_order_date"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# A4 — last-write-wins per key (crosswalk dict overwrite,
+# cnics_to_fhir.py:299-303) over events ordered by ts.
+# --------------------------------------------------------------------------
+@query(
+    "a04_last_write_wins",
+    tags="A4 W O1",
+    oracle="""
+        SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+               ROUND(value, 2) AS last_value
+        FROM (
+            SELECT user_id, event_id, event_type, value,
+                   ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        )
+        WHERE rn = 1
+    """,
+)
+def a04_last_write_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_event_type"),
+            F.round("value", 2).alias("last_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# A1 — DISTINCT (select distinct SessionId, cnics_to_fhir.py:144-145)
+# --------------------------------------------------------------------------
+@query(
+    "a01_distinct",
+    tags="A1 P2",
+    oracle="""
+        SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+    """,
+)
+def a01_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "orders").select("o_orderstatus", "o_orderpriority").distinct()
+
+
+# --------------------------------------------------------------------------
+# A2 — set-accumulate dedup (unique MRNs across sessions,
+# cnics_to_fhir.py:410-420) → collect_set, serialized sorted for the oracle.
+# --------------------------------------------------------------------------
+@query(
+    "a02_collect_set",
+    tags="A2 A1",
+    oracle="""
+        SELECT l_orderkey,
+               ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(LIST(l_suppkey))), ',') AS supp_set,
+               CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supp
+        FROM lineitem
+        GROUP BY l_orderkey
+    """,
+)
+def a02_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.array_join(F.sort_array(F.collect_set("l_suppkey")), ",").alias("supp_set"),
+        F.countDistinct("l_suppkey").alias("n_supp"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A5 — counting aggregation (the 12 ins/upd/del counters,
+# cnics_to_fhir.py:914-925)
+# --------------------------------------------------------------------------
+@query(
+    "a05_group_counts",
+    tags="A5",
+    oracle="""
+        SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+        FROM events GROUP BY event_type
+    """,
+)
+def a05_group_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value")
+    )
+
+
+# --------------------------------------------------------------------------
+# A6 — uniqueness assertion (duplicate-identifier abort,
+# cnics_to_fhir.py:906-908): keys with >1 row.
+# --------------------------------------------------------------------------
+@query(
+    "a06_uniqueness_guard",
+    tags="A6",
+    oracle="""
+        SELECT o_custkey AS key, COUNT(*) AS n
+        FROM orders GROUP BY o_custkey HAVING COUNT(*) > 1
+    """,
+)
+def a06_uniqueness_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cnics_to_fhir_spark.operators.merge import assert_unique_keys
+
+    o = table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("key"))
+    return assert_unique_keys(o, "key")
+
+
+# --------------------------------------------------------------------------
+# O2 — LIMIT with a total order (page extraction, cnics_to_fhir.py:265);
+# deterministic because the sort key is unique.
+# --------------------------------------------------------------------------
+@query(
+    "o02_order_limit",
+    tags="O1 O2",
+    oracle="""
+        SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS o_totalprice
+        FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+    """,
+)
+def o02_order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.7 set ops — multi-site runs concatenate per-site extracts
+# (cnics_to_fhir.py:257) → unionByName with a site lit column.
+# --------------------------------------------------------------------------
+@query(
+    "u01_union_by_name",
+    tags="U J1",
+    oracle="""
+        SELECT 'auto' AS segment_group, c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+        UNION ALL
+        SELECT 'bld' AS segment_group, c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    """,
+)
+def u01_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_mktsegment") == "AUTOMOBILE").select(
+        F.lit("auto").alias("segment_group"), "c_custkey"
+    )
+    b = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.lit("bld").alias("segment_group"), "c_custkey"
+    )
+    return a.unionByName(b)
+
+
+# --------------------------------------------------------------------------
+# J8/S3 — broadcast membership join (code-table probe, cnics_to_fhir.py:16)
+# expressed as an explicit broadcast join, the 100 TB-safe form of isin.
+# --------------------------------------------------------------------------
+@query(
+    "j08_broadcast_membership",
+    tags="J8 S3 J4",
+    oracle="""
+        SELECT n.n_name AS nation, COUNT(*) AS n_customers
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name IN ('ASIA', 'EUROPE')
+        GROUP BY n.n_name
+    """,
+)
+def j08_broadcast_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name").isin("ASIA", "EUROPE"))
+    return (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )

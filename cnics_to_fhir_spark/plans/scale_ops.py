@@ -1,0 +1,226 @@
+"""Training-data-pipeline operators (BASELINE.json north star): dedup,
+similarity search, text analysis, event windows — each over the driver's
+``documents`` / ``embeddings`` / ``events`` tables.
+
+Oracle notes: MinHash/SimHash/sign-LSH rely on xxhash64, which DuckDB lacks —
+those entries are rows-only for the driver; their correctness is pinned by
+pytest (tests/test_dedup.py) against hand-checkable fixtures, and their
+*verification* stages (exact Jaccard / hamming) ARE oracle-checked via the
+blocking-based variants here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cnics_to_fhir_spark.operators import dedup, events_windows, similarity, textanalysis
+from cnics_to_fhir_spark.plans.registry import query, table
+
+_DEC_RE = r"(-?(0|[1-9][0-9]*)(\.[0-9]+)?([eE][+-]?[0-9]+)?)"
+
+
+# ---------------------------------------------------------------------------
+# Dedup
+# ---------------------------------------------------------------------------
+@query(
+    "dd01_exact_dedup",
+    tags="DD-exact A5",
+    oracle="""
+        SELECT md5(text) AS fingerprint,
+               MIN(doc_id) AS keeper_id,
+               COUNT(*) AS n_copies
+        FROM documents GROUP BY md5(text)
+    """,
+)
+def dd01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup_plan(table(spark, sf_dir, "documents"))
+
+
+@query(
+    "dd02_ngram_jaccard",
+    tags="DD-jaccard J1",
+    oracle="""
+        WITH base AS (
+            SELECT doc_id AS id,
+                   array_to_string((string_split(text, ' '))[1:4], ' ') AS block,
+                   list_distinct(
+                       CASE WHEN len(string_split(text, ' ')) >= 3
+                            THEN list_transform(
+                                   range(1, len(string_split(text, ' ')) - 1),
+                                   i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))
+                            ELSE [text]
+                       END) AS shingles
+            FROM documents
+        )
+        SELECT a.id AS id_a, b.id AS id_b,
+               FLOOR((CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                     / len(list_distinct(a.shingles || b.shingles)))*1e6 + 0.5)/1e6 AS jaccard_sim
+        FROM base a JOIN base b ON a.block = b.block AND a.id < b.id
+        WHERE FLOOR((CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+              / len(list_distinct(a.shingles || b.shingles)))*1e6 + 0.5)/1e6 >= 0.5
+    """,
+)
+def dd02_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked n-gram Jaccard near-dup pairs (k=3 word shingles, first-4-word
+    blocking, threshold 0.5)."""
+    return dedup.ngram_jaccard_pairs(
+        table(spark, sf_dir, "documents"), k=3, block_words=4, threshold=0.5
+    )
+
+
+@query("dd03_minhash_lsh", tags="DD-minhash J1", oracle=None)
+def dd03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32)+LSH(8 bands) candidates verified by exact Jaccard ≥ 0.5.
+    Rows-only: xxhash64 signatures are not DuckDB-expressible; pytest pins
+    semantics on fixtures."""
+    return dedup.minhash_lsh_pairs(
+        table(spark, sf_dir, "documents"), num_hashes=32, bands=8, k=3, threshold=0.5
+    )
+
+
+@query("dd04_simhash_near_dup", tags="DD-simhash", oracle=None)
+def dd04_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-64 near-dup pairs (hamming ≤ 3, 16-bit-band candidates)."""
+    return dedup.simhash_near_dup_pairs(table(spark, sf_dir, "documents"), max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+@query(
+    "ann01_cosine_topk",
+    tags="ANN-brute J8 W",
+    oracle="""
+        WITH q AS (
+            SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+            FROM embeddings WHERE vec_id < 8
+        ),
+        c AS (
+            SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+        ),
+        scored AS (
+            SELECT q.query_id, c.neighbor_id,
+                   FLOOR((list_dot_product(q.qv, c.cv)
+                         / (SQRT(list_dot_product(q.qv, q.qv)) * SQRT(list_dot_product(c.cv, c.cv))))*1e6 + 0.5)/1e6 AS cosine_sim
+            FROM c, q
+            WHERE c.neighbor_id <> q.query_id
+        )
+        SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+            SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cosine_sim DESC, neighbor_id) AS INTEGER) AS rank
+            FROM scored
+        ) WHERE rank <= 5
+    """,
+)
+def ann01_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-5 for query vectors vec_id < 8."""
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
+
+
+@query("ann02_lsh_topk", tags="ANN-lsh J1", oracle=None)
+def ann02_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed approximate top-5 (16 planes, 4 bands) — the scale
+    path; recall measured against ann01 in pytest."""
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.lsh_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+@query(
+    "tx01_text_profile",
+    tags="TX F14 F22",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+        ),
+        m AS (
+            SELECT doc_id, text, toks,
+                   len(toks) AS n_tokens,
+                   len(list_distinct(toks)) AS n_distinct_tokens,
+                   CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) AS atl,
+                   CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','is'))) AS DOUBLE) / len(toks) AS r_en,
+                   CAST(len(list_filter(toks, x -> x IN ('el','la','de','que','y'))) AS DOUBLE) / len(toks) AS r_es,
+                   CAST(len(list_filter(toks, x -> x IN ('der','die','das','und','ist'))) AS DOUBLE) / len(toks) AS r_de,
+                   CAST(len(list_filter(toks, x -> x IN ('le','la','de','et','est'))) AS DOUBLE) / len(toks) AS r_fr
+            FROM t
+        )
+        SELECT doc_id,
+               CAST(n_tokens AS INTEGER) AS n_tokens,
+               CAST(n_distinct_tokens AS INTEGER) AS n_distinct_tokens,
+               FLOOR((atl)*1e4 + 0.5)/1e4 AS avg_token_len,
+               FLOOR((CAST(n_distinct_tokens AS DOUBLE) / n_tokens * 0.6
+                     + CASE WHEN atl >= 3 AND atl <= 10 THEN 0.2 ELSE 0.0 END
+                     + LEAST(CAST(n_tokens AS DOUBLE) / 32.0, 1.0) * 0.2)*1e4 + 0.5)/1e4 AS quality,
+               md5(LOWER(TRIM(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint,
+               CASE WHEN r_en = greatest(r_en, r_es, r_de, r_fr) AND r_en > 0 THEN 'en'
+                    WHEN r_es = greatest(r_en, r_es, r_de, r_fr) AND r_es > 0 THEN 'es'
+                    WHEN r_de = greatest(r_en, r_es, r_de, r_fr) AND r_de > 0 THEN 'de'
+                    WHEN r_fr = greatest(r_en, r_es, r_de, r_fr) AND r_fr > 0 THEN 'fr'
+                    ELSE 'unk' END AS lang_guess
+        FROM m
+    """,
+)
+def tx01_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document profile: token stats, quality score, fingerprint,
+    language-ID heuristic (operators/textanalysis.py)."""
+    return textanalysis.profile(table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Event windows
+# ---------------------------------------------------------------------------
+@query(
+    "ev01_tumbling_window",
+    tags="EV W A5",
+    oracle="""
+        SELECT STRFTIME(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+               event_type,
+               COUNT(*) AS n,
+               ROUND(SUM(value), 2) AS total_value
+        FROM events GROUP BY 1, 2
+    """,
+)
+def ev01_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows (batch form of the streaming aggregation)."""
+    return events_windows.tumbling_window_agg(table(spark, sf_dir, "events"), "1 hour")
+
+
+@query(
+    "ev02_sessionization",
+    tags="EV W A3",
+    oracle="""
+        WITH e AS (
+            -- floor-to-second epoch to match Spark's CAST(timestamp AS LONG)
+            SELECT user_id, event_id, ts, value,
+                   CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS es
+            FROM events
+        ),
+        s AS (
+            SELECT user_id, event_id, ts, value, es,
+                   CASE WHEN es - LAG(es) OVER w IS NULL
+                             OR es - LAG(es) OVER w > 1800
+                        THEN 1 ELSE 0 END AS new_session
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+            SELECT user_id, event_id, ts, value, es,
+                   SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING) AS session_seq
+            FROM s
+        )
+        SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 2) AS session_value,
+               STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+               MAX(es) - MIN(es) AS duration_sec
+        FROM sess GROUP BY user_id, session_seq
+    """,
+)
+def ev02_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min gap) + per-session stats."""
+    return events_windows.session_stats(table(spark, sf_dir, "events"), gap_minutes=30)

@@ -1,0 +1,100 @@
+"""Local oracle self-check: run every catalog query on Spark AND DuckDB and
+compare row count, column names, and an order-insensitive value hash —
+a local approximation of the driver's CORRECTNESS gate so mismatches are
+caught before a round ends.
+
+Usage: python selfcheck.py [sf_dir] [query_name ...]
+"""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+import pandas as pd
+
+from cnics_to_fhir_spark.plans import catalog
+from cnics_to_fhir_spark.schemas import STAR_TABLES
+from cnics_to_fhir_spark.session import build_session
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            df[c] = s.astype("datetime64[us]").astype(str)
+        elif pd.api.types.is_float_dtype(s):
+            df[c] = s.round(9)
+        elif pd.api.types.is_integer_dtype(s):
+            df[c] = s.astype("int64")
+        elif s.dtype == object:
+            df[c] = s.astype(str)
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def value_hash(df: pd.DataFrame) -> str:
+    import hashlib
+
+    return hashlib.md5(
+        pd.util.hash_pandas_object(df.astype(str), index=False).values.tobytes()
+    ).hexdigest()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+    spark = build_session("selfcheck")
+    con = duckdb.connect()
+    for t in STAR_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    entries = catalog()
+    failures = []
+    for name, e in entries.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = e.spark(spark, sf_dir).toPandas()
+        except Exception as ex:
+            failures.append((name, f"SPARK ERROR: {ex}"))
+            print(f"FAIL  {name}: spark error {str(ex)[:2000]}")
+            continue
+        if e.oracle is None:
+            print(f"ROWS  {name}: {len(sdf)} rows (no oracle)")
+            continue
+        try:
+            odf = con.execute(e.oracle).fetchdf()
+        except Exception as ex:
+            failures.append((name, f"ORACLE ERROR: {ex}"))
+            print(f"FAIL  {name}: oracle error {str(ex)[:2000]}")
+            continue
+        s_n, o_n = normalize(sdf), normalize(odf)
+        problems = []
+        if len(s_n) != len(o_n):
+            problems.append(f"rowcount spark={len(s_n)} oracle={len(o_n)}")
+        if list(s_n.columns) != list(o_n.columns):
+            problems.append(f"cols spark={list(s_n.columns)} oracle={list(o_n.columns)}")
+        elif len(s_n) == len(o_n) and value_hash(s_n) != value_hash(o_n):
+            diff_cols = [
+                c for c in s_n.columns if not s_n[c].astype(str).equals(o_n[c].astype(str))
+            ]
+            problems.append(f"value hash mismatch in cols {diff_cols}")
+            for c in diff_cols[:3]:
+                mask = s_n[c].astype(str) != o_n[c].astype(str)
+                print(f"  {name}.{c} sample diff:")
+                print("   spark :", s_n[mask][c].head(3).tolist())
+                print("   oracle:", o_n[mask][c].head(3).tolist())
+        if problems:
+            failures.append((name, "; ".join(problems)))
+            print(f"FAIL  {name}: {'; '.join(problems)}")
+        else:
+            print(f"OK    {name}: {len(s_n)} rows")
+    print(f"\n{len(entries) - len(failures)}/{len(entries)} passed")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,80 @@
+"""Dedup / similarity operator semantics on hand-checkable fixtures — pins
+the xxhash64-based operators the DuckDB oracle can't express."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cnics_to_fhir_spark.operators import dedup, similarity
+
+
+def _docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy cat"),  # near dup of 1
+        (4, "completely different text about spark engines here"),
+        (5, "unrelated short doc"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup(spark):
+    plan = dedup.exact_dedup_plan(_docs(spark))
+    by_keeper = {r["keeper_id"]: r["n_copies"] for r in plan.collect()}
+    assert by_keeper[1] == 2  # docs 1 and 2 collapse
+    assert by_keeper[3] == 1 and by_keeper[4] == 1 and by_keeper[5] == 1
+    kept = dedup.drop_exact_dups(_docs(spark))
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 3, 4, 5]
+
+
+def test_ngram_jaccard_pairs(spark):
+    pairs = dedup.ngram_jaccard_pairs(_docs(spark), k=3, block_words=4, threshold=0.4)
+    got = {(r["id_a"], r["id_b"]): r["jaccard_sim"] for r in pairs.collect()}
+    assert got[(1, 2)] == 1.0
+    # 1 vs 3: 7 shingles each, only the last differs → 6 shared / 8 union
+    assert abs(got[(1, 3)] - 0.75) < 1e-6
+    assert (1, 4) not in got and (4, 5) not in got
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    pairs = dedup.minhash_lsh_pairs(_docs(spark), num_hashes=32, bands=8, threshold=0.4)
+    got = {(r["id_a"], r["id_b"]): r["jaccard_sim"] for r in pairs.collect()}
+    assert got[(1, 2)] == 1.0  # identical docs always collide
+    assert (1, 3) in got  # 5/9 similarity survives 8×4 banding w.h.p.
+    assert all(a < b for a, b in got)
+
+
+def test_simhash_near_dups(spark):
+    sh = {r["id"]: r["simhash"] for r in dedup.simhash(_docs(spark)).collect()}
+    assert sh[1] == sh[2]  # identical text → identical simhash
+    pairs = dedup.simhash_near_dup_pairs(_docs(spark), max_hamming=10)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    assert got[(1, 2)] == 0
+
+
+def test_cosine_topk_exact(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [1.0, 0.1, 0.0]),   # closest to 0
+        (2, [0.0, 1.0, 0.0]),   # orthogonal to 0
+        (3, [-1.0, 0.0, 0.0]),  # opposite of 0
+        (4, [0.9, 0.5, 0.1]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = similarity.cosine_topk(df, df.filter(F.col("vec_id") == 0), k=4)
+    ranked = [r["neighbor_id"] for r in out.orderBy("rank").collect()]
+    assert ranked[0] == 1 and ranked[-1] == 3
+    sims = {r["neighbor_id"]: r["cosine_sim"] for r in out.collect()}
+    assert sims[3] == -1.0 and sims[2] == 0.0
+
+
+def test_lsh_topk_recall_on_testdata(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = similarity.cosine_topk(emb, q, k=5)
+    approx = similarity.lsh_topk(emb, q, k=5, n_planes=16, bands=8)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.6, f"sign-LSH recall collapsed: {recall}"

@@ -1,0 +1,41 @@
+"""Driver-contract smoke: entry() runs, queries()/oracle_sql() are consistent."""
+
+from __future__ import annotations
+
+import importlib.util
+import sys
+from pathlib import Path
+
+
+def _load_entry():
+    path = Path(__file__).resolve().parents[1] / "__spark_entry__.py"
+    spec = importlib.util.spec_from_file_location("__spark_entry__", path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["__spark_entry__"] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_entry_smoke(spark):
+    mod = _load_entry()
+    df = mod.entry(spark)
+    assert df.count() > 0
+    assert len(df.schema.fields) >= 2
+
+
+def test_queries_oracle_consistency(spark):
+    mod = _load_entry()
+    qs = mod.queries()
+    oracles = mod.oracle_sql()
+    assert len(qs) >= 30
+    # every oracle key has a query; rows-only ops are the xxhash64-based ones
+    assert set(oracles) <= set(qs)
+    rows_only = set(qs) - set(oracles)
+    assert rows_only == {"dd03_minhash_lsh", "dd04_simhash_near_dup", "ann02_lsh_topk"}
+
+
+def test_all_queries_run_at_sf0001(spark):
+    mod = _load_entry()
+    for name, fn in mod.queries().items():
+        df = fn(spark, "/root/testdata/sf0.001")
+        assert df.count() >= 0, name

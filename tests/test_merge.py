@@ -1,0 +1,60 @@
+"""Reconciliation engine tests (SURVEY.md §5.3): current-vs-existing fixture
+pairs → action plan; exact insert/update/delete partitioning matching the
+reference loop semantics (cnics_to_fhir.py:548-570, :328-337)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cnics_to_fhir_spark.operators.merge import (
+    action_counts,
+    anti_join_deletes,
+    assert_unique_keys,
+    merge_plan,
+)
+
+
+def test_merge_plan_classifies_all_three_actions(spark):
+    current = spark.createDataFrame(
+        [("k1", "body1"), ("k2", "body2"), ("k3", "body3")], ["key", "body"]
+    )
+    existing = spark.createDataFrame(
+        [("k2", "srv-2"), ("k3", "srv-3"), ("k4", "srv-4")], ["key", "id"]
+    )
+    plan = {r["key"]: r for r in merge_plan(current, existing).collect()}
+    assert plan["k1"]["action"] == "insert" and plan["k1"]["id"] is None
+    assert plan["k2"]["action"] == "update" and plan["k2"]["id"] == "srv-2"
+    assert plan["k3"]["action"] == "update"
+    assert plan["k4"]["action"] == "delete" and plan["k4"]["body"] is None
+
+
+def test_merge_plan_collapses_duplicate_existing_keys(spark):
+    # reference: first identifier match wins then break (cnics_to_fhir.py:552-560)
+    current = spark.createDataFrame([("k1", "b")], ["key", "body"])
+    existing = spark.createDataFrame([("k1", "srv-9"), ("k1", "srv-1")], ["key", "id"])
+    rows = merge_plan(current, existing).collect()
+    assert len(rows) == 1
+    assert rows[0]["action"] == "update"
+    assert rows[0]["id"] == "srv-1"  # deterministic min, not arrival order
+
+
+def test_anti_join_deletes(spark):
+    # site-level patient delete (cnics_to_fhir.py:328-337)
+    existing = spark.createDataFrame([("a", 1), ("b", 2), ("c", 3)], ["key", "x"])
+    current = spark.createDataFrame([("a",), ("c",)], ["key"])
+    gone = sorted(r["key"] for r in anti_join_deletes(existing, current).collect())
+    assert gone == ["b"]
+
+
+def test_action_counts(spark):
+    current = spark.createDataFrame([("k1", "b"), ("k2", "b")], ["key", "body"])
+    existing = spark.createDataFrame([("k2", "s2"), ("k3", "s3")], ["key", "id"])
+    plan = merge_plan(current, existing)
+    counts = {r["action"]: r["n"] for r in action_counts(plan).collect()}
+    assert counts == {"insert": 1, "update": 1, "delete": 1}
+
+
+def test_assert_unique_keys(spark):
+    df = spark.createDataFrame([("a",), ("a",), ("b",)], ["key"])
+    bad = assert_unique_keys(df, "key").collect()
+    assert len(bad) == 1 and bad[0]["key"] == "a" and bad[0]["n"] == 2
