@@ -171,6 +171,46 @@ def tx01_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Multimodal columns (binary payload plumbing; decode is a deterministic stub
+# because no image/audio libs exist in this container — see
+# operators/multimodal.py)
+# ---------------------------------------------------------------------------
+@query(
+    "mm01_binary_metadata",
+    tags="MM F16",
+    oracle="""
+        SELECT doc_id,
+               md5(text) AS content_md5,
+               CAST(strlen(text) AS INTEGER) AS n_bytes
+        FROM documents
+    """,
+)
+def mm01_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary metadata path: payload = utf8 bytes of text (a
+    deterministic stand-in for image bytes); fingerprint + size are the
+    exact-dedup keys for media at scale."""
+    d = table(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    return d.select(
+        "doc_id",
+        F.md5(payload).alias("content_md5"),
+        F.octet_length(payload).alias("n_bytes"),
+    )
+
+
+@query("mm02_image_feature_stub", tags="MM UDF", oracle=None)
+def mm02_image_feature_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas fake-decode over binary payloads (Arrow batch contract of
+    a real image decoder); deterministic, pytest-pinned, rows-only here."""
+    from cnics_to_fhir_spark.operators import multimodal as mm
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    return mm.decode_image_stub(d, payload_col="payload", id_col="doc_id")
+
+
+# ---------------------------------------------------------------------------
 # Event windows
 # ---------------------------------------------------------------------------
 @query(

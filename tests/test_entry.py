@@ -31,7 +31,12 @@ def test_queries_oracle_consistency(spark):
     # every oracle key has a query; rows-only ops are the xxhash64-based ones
     assert set(oracles) <= set(qs)
     rows_only = set(qs) - set(oracles)
-    assert rows_only == {"dd03_minhash_lsh", "dd04_simhash_near_dup", "ann02_lsh_topk"}
+    assert rows_only == {
+        "dd03_minhash_lsh",
+        "dd04_simhash_near_dup",
+        "ann02_lsh_topk",
+        "mm02_image_feature_stub",
+    }
 
 
 def test_all_queries_run_at_sf0001(spark):

@@ -1,0 +1,94 @@
+"""HTTP writer test against an in-process mock FHIR server: verifies method
+routing (POST/PUT/DELETE), the Patient cascade delete, the E1-style retry,
+and accumulator counters. local[*] executors share the process, so a
+threaded http.server is reachable from foreachPartition."""
+
+from __future__ import annotations
+
+import http.server
+import json
+import threading
+
+import pytest
+
+from cnics_to_fhir_spark.load.http_writer import WriterConfig, write_action_plan
+
+requests = pytest.importorskip("requests")
+
+
+class _Recorder(http.server.BaseHTTPRequestHandler):
+    requests_log: list[tuple[str, str]] = []
+    fail_next: dict[str, int] = {}
+
+    def _handle(self):
+        key = f"{self.command} {self.path}"
+        _Recorder.requests_log.append((self.command, self.path))
+        remaining = _Recorder.fail_next.get(key, 0)
+        if remaining > 0:
+            _Recorder.fail_next[key] = remaining - 1
+            self.send_response(500)
+            self.end_headers()
+            self.wfile.write(b"{}")
+            return
+        length = int(self.headers.get("Content-Length") or 0)
+        if length:
+            self.rfile.read(length)
+        self.send_response(200)
+        self.send_header("Content-Type", "application/fhir+json")
+        self.end_headers()
+        self.wfile.write(json.dumps({"ok": True}).encode())
+
+    do_GET = do_POST = do_PUT = do_DELETE = _handle
+
+    def log_message(self, *args):  # silence
+        pass
+
+
+@pytest.fixture()
+def mock_server():
+    _Recorder.requests_log = []
+    _Recorder.fail_next = {}
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _Recorder)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def _plan(spark):
+    return spark.createDataFrame(
+        [
+            ("Condition", "insert", None, "k1", '{"resourceType":"Condition"}'),
+            ("Condition", "update", "c9", "k2", '{"resourceType":"Condition"}'),
+            ("Condition", "delete", "c7", "k3", None),
+            ("Patient", "delete", "p1", "k4", None),
+        ],
+        "resource_type string, action string, id string, key string, body_json string",
+    ).coalesce(1)
+
+
+def test_writer_routes_methods(spark, mock_server):
+    counts = write_action_plan(_plan(spark), WriterConfig(base_url=mock_server, retry_sleep_s=0.01))
+    got = set(_Recorder.requests_log)
+    assert ("POST", "/Condition") in got
+    assert ("PUT", "/Condition/c9") in got
+    assert ("DELETE", "/Condition/c7") in got
+    assert ("DELETE", "/Patient/p1?_cascade=delete") in got  # :333
+    assert counts == {"insert": 1, "update": 1, "delete": 2, "failed": 0}
+
+
+def test_writer_retries_then_succeeds(spark, mock_server):
+    _Recorder.fail_next["PUT /Condition/c9"] = 2  # fail twice, succeed 3rd
+    counts = write_action_plan(_plan(spark), WriterConfig(base_url=mock_server, retry_sleep_s=0.01))
+    assert counts["failed"] == 0
+    puts = [p for m, p in _Recorder.requests_log if m == "PUT"]
+    assert len(puts) == 3  # two failures + one success
+
+
+def test_writer_exhausted_retries_raises(spark, mock_server):
+    _Recorder.fail_next["POST /Condition"] = 99
+    with pytest.raises(Exception):
+        write_action_plan(
+            _plan(spark),
+            WriterConfig(base_url=mock_server, retry_sleep_s=0.001, max_retries=2),
+        )
