@@ -20,6 +20,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from cnics_to_fhir_spark.functions.numeric import stable_round
+from cnics_to_fhir_spark.functions.partitioning import ensure_min_parallelism
 
 
 # ---------------------------------------------------------------------------
@@ -84,16 +85,37 @@ def ngram_jaccard_pairs(
     SQL-expressible). Candidates = pairs sharing a block; verified with exact
     shingle Jaccard ≥ threshold. Output: (id_a, id_b, jaccard_sim).
     """
-    base = df.select(
+    # Candidate generation shuffles only (id, block) — never shingle arrays;
+    # the verify stage re-attaches shingles by id. At 100 TB the block join
+    # therefore moves ~16 B/row instead of the full shingle set, and the
+    # (small) candidate list broadcasts back against the corpus.
+    df = ensure_min_parallelism(df, id_col)
+    blocks = df.select(
         F.col(id_col).alias("id"),
         F.array_join(F.slice(F.split(F.col(text_col), " "), 1, block_words), " ").alias("block"),
+    )
+    pairs = (
+        blocks.select(F.col("id").alias("id_a"), "block")
+        .join(blocks.select(F.col("id").alias("id_b"), "block"), on="block")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    shingled = df.select(
+        F.col(id_col).alias("id"),
         F.array_distinct(word_shingles(F.col(text_col), k)).alias("shingles"),
     )
-    a = base.select(F.col("id").alias("id_a"), F.col("block"), F.col("shingles").alias("sh_a"))
-    b = base.select(F.col("id").alias("id_b"), F.col("block"), F.col("shingles").alias("sh_b"))
-    pairs = a.join(b, on="block").filter(F.col("id_a") < F.col("id_b"))
+    return _verify_jaccard(pairs, shingled, threshold)
+
+
+def _verify_jaccard(pairs: DataFrame, shingled: DataFrame, threshold: float) -> DataFrame:
+    """Attach shingles to candidate (id_a, id_b) pairs and keep exact-Jaccard
+    survivors. ``shingled`` = (id, shingles)."""
+    a = shingled.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = shingled.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
     return (
-        pairs.select(
+        pairs.join(a, on="id_a")
+        .join(b, on="id_b")
+        .select(
             "id_a",
             "id_b",
             stable_round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard_sim"),
@@ -109,7 +131,11 @@ def ngram_jaccard_pairs(
 def minhash_signature(text: Column, num_hashes: int = 32, k: int = 3) -> Column:
     """array<long> MinHash signature: sig[j] = min over shingles of
     xxhash64(j, shingle). Pure codegen — no UDF, no shuffle."""
-    shingles = F.array_distinct(word_shingles(text, k))
+    return minhash_from_shingles(F.array_distinct(word_shingles(text, k)), num_hashes)
+
+
+def minhash_from_shingles(shingles: Column, num_hashes: int = 32) -> Column:
+    """MinHash signature from a pre-computed (distinct) shingle array."""
     mins = [
         F.array_min(F.transform(shingles, lambda s, j=j: F.xxhash64(F.lit(j), s)))
         for j in range(num_hashes)
@@ -131,14 +157,20 @@ def minhash_lsh_pairs(
     bands × rows = num_hashes; collision prob ≈ 1-(1-s^rows)^bands.
     """
     rows = num_hashes // bands
-    base = df.select(
+    # The band join + pair dedup run over (id, band_id, band_hash) rows only
+    # (~24 B each); the 8-way band explode never amplifies shingle arrays.
+    # Shingles rejoin by id in the verify stage — at 100 TB the shingle
+    # re-computation is two extra codegen'd scans, vs. shuffling the full
+    # shingle corpus 8× (persist ``shingled`` when the cluster has the RAM).
+    df = ensure_min_parallelism(df, id_col)
+    shingled = df.select(
         F.col(id_col).alias("id"),
         F.array_distinct(word_shingles(F.col(text_col), k)).alias("shingles"),
-        minhash_signature(F.col(text_col), num_hashes, k).alias("sig"),
     )
-    banded = base.select(
+    banded = shingled.select(
+        "id", minhash_from_shingles(F.col("shingles"), num_hashes).alias("sig")
+    ).select(
         "id",
-        "shingles",
         F.explode(
             F.array(
                 *[
@@ -150,26 +182,16 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("band"),
-    ).select("id", "shingles", "band.band_id", "band.band_hash")
+    ).select("id", "band.band_id", "band.band_hash")
 
-    a = banded.select(
-        F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"), "band_id", "band_hash"
-    )
-    b = banded.select(
-        F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"), "band_id", "band_hash"
-    )
     candidates = (
-        a.join(b, on=["band_id", "band_hash"])
+        banded.select(F.col("id").alias("id_a"), "band_id", "band_hash")
+        .join(banded.select(F.col("id").alias("id_b"), "band_id", "band_hash"), on=["band_id", "band_hash"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    return (
-        candidates.select(
-            "id_a", "id_b", stable_round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard_sim")
-        )
-        .filter(F.col("jaccard_sim") >= threshold)
-    )
+    return _verify_jaccard(candidates, shingled, threshold)
 
 
 # ---------------------------------------------------------------------------
@@ -179,6 +201,7 @@ def minhash_lsh_pairs(
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
     """64-bit SimHash per doc: explode tokens → xxhash64 → per-bit vote →
     reassemble. One shuffle (groupBy id), all-native aggregation."""
+    df = ensure_min_parallelism(df, id_col)
     tok = df.select(
         F.col(id_col).alias("id"), F.explode(F.split(F.col(text_col), " ")).alias("tok")
     ).withColumn("h", F.xxhash64("tok"))
@@ -229,3 +252,41 @@ def simhash_near_dup_pairs(
     return pairs.select("id_a", "id_b", hamming.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine ≥ threshold, IVF-style:
+    the self-join is blocked on a coarse cluster id (``block_col`` — a
+    centroid assignment in a real pipeline), so the pair space is
+    Σ|cluster|² instead of |corpus|². Near-dups land in the same coarse
+    cell by construction; cross-cell near-dups are the recall cost, the
+    standard IVF trade. Output: (id_a, id_b, cosine_sim)."""
+    from cnics_to_fhir_spark.operators.similarity import cosine
+
+    df = ensure_min_parallelism(df, id_col)
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(block_col).alias("block"), F.col(vec_col).alias("vec")
+    )
+    pairs = (
+        base.select(F.col("id").alias("id_a"), "block", F.col("vec").alias("vec_a"))
+        .join(
+            base.select(F.col("id").alias("id_b"), "block", F.col("vec").alias("vec_b")),
+            on="block",
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        stable_round(cosine(F.col("vec_a"), F.col("vec_b")), 6).alias("cosine_sim"),
+    ).filter(F.col("cosine_sim") >= threshold)

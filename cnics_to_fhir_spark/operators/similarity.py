@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window
 
 from cnics_to_fhir_spark.functions.numeric import stable_round
+from cnics_to_fhir_spark.functions.partitioning import ensure_min_parallelism
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -53,7 +54,9 @@ def cosine_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    c = ensure_min_parallelism(corpus, id_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -137,7 +140,7 @@ def lsh_topk(
             .select(f"{prefix}_id", f"{prefix}_vec", "band.band_id", "band.band_val")
         )
 
-    cb = with_bands(corpus, "neighbor")
+    cb = with_bands(ensure_min_parallelism(corpus, id_col), "neighbor")
     qb = with_bands(queries, "query")
     candidates = (
         cb.join(qb, on=["band_id", "band_val"])

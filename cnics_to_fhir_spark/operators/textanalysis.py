@@ -77,6 +77,40 @@ def lang_id(text: Column) -> Column:
     return expr
 
 
+# BPE-ish pre-tokenizer: letter runs, digit runs, punctuation runs — the
+# coarse split a byte-pair encoder refines. ASCII classes keep the regex
+# identical across Spark (Java regex) and the SQL oracle (RE2).
+BPE_SPLIT_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+"
+
+POLY_MOD = 1_000_000_007
+POLY_BASE = 31
+
+
+def bpe_tokens(text: Column) -> Column:
+    """array<string> of BPE-style pre-tokens."""
+    return F.regexp_extract_all(text, F.lit(BPE_SPLIT_RE), 0)
+
+
+def poly_hash(s: Column) -> Column:
+    """Polynomial rolling hash h = Σ c·31^i mod 1e9+7 over codepoints —
+    the classic Rabin-Karp accumulator, evaluated left-to-right so both
+    engines fold identically."""
+    return F.aggregate(
+        F.transform(F.split(s, ""), lambda c: F.ascii(c)),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * POLY_BASE + c) % POLY_MOD,
+    )
+
+
+def rolling_fingerprint(text: Column, k: int = 3) -> Column:
+    """Winnowing-style document fingerprint: rolling-hash every k-word
+    shingle, keep the minimum — robust to local edits (a single changed
+    word perturbs only k shingles, rarely the global min)."""
+    from cnics_to_fhir_spark.operators.dedup import word_shingles
+
+    return F.array_min(F.transform(word_shingles(text, k), poly_hash))
+
+
 def profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """One-pass text profile per document."""
     t = F.col(text_col)

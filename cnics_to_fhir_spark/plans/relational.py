@@ -137,6 +137,67 @@ def j01_inner_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# J2 — inner equi-join + distinct (Patients ⋈ Sessions → distinct
+# (PatientID, MRN), cnics_to_fhir.py:48-56)
+# --------------------------------------------------------------------------
+@query(
+    "j02_join_distinct",
+    tags="J2 A1 P2",
+    oracle="""
+        SELECT DISTINCT c.c_nationkey AS nationkey, o.o_orderpriority AS priority
+        FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        WHERE o.o_orderstatus = 'O'
+    """,
+)
+def j02_join_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .select(F.col("c_nationkey").alias("nationkey"), F.col("o_orderpriority").alias("priority"))
+        .distinct()
+    )
+
+
+# --------------------------------------------------------------------------
+# J3 — the decorrelated N+1: the reference runs 6 correlated queries per
+# patient (cnics_to_fhir.py:339-351); here the same result is ONE bulk join
+# of the "page" (deterministic key-ordered LIMIT, :265) against the fact
+# table, aggregated per key — broadcast the page, never loop.
+# --------------------------------------------------------------------------
+@query(
+    "j03_decorrelated_page",
+    tags="J3 O2 J1 A5",
+    oracle="""
+        WITH page AS (
+            SELECT c_custkey FROM customer ORDER BY c_custkey LIMIT 500
+        )
+        SELECT p.c_custkey,
+               COUNT(o.o_orderkey) AS n_orders,
+               ROUND(COALESCE(SUM(o.o_totalprice), 0), 2) AS total_spend
+        FROM page p LEFT JOIN orders o ON p.c_custkey = o.o_custkey
+        GROUP BY p.c_custkey
+    """,
+)
+def j03_decorrelated_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One broadcast join replaces 500 correlated lookups; at 100 TB the
+    fact side is never shuffled — the page ships to the scan."""
+    page = (
+        table(spark, sf_dir, "customer").select("c_custkey").orderBy("c_custkey").limit(500)
+    )
+    o = table(spark, sf_dir, "orders")
+    return (
+        F.broadcast(page)
+        .join(o, page["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0)), 2).alias("total_spend"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # J5 — left-anti join (reconciliation delete, cnics_to_fhir.py:328-337)
 # --------------------------------------------------------------------------
 @query(
@@ -375,6 +436,152 @@ def o02_order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(100)
         .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice"))
     )
+
+
+# --------------------------------------------------------------------------
+# O3 — the reference's (disabled) ORDER BY rand() sample (cnics_to_fhir.py:264)
+# re-expressed deterministically: hash-systematic sampling on md5 of the key,
+# identical across engines and across runs — the reproducible form a training
+# pipeline needs for held-out splits.
+# --------------------------------------------------------------------------
+@query(
+    "o03_deterministic_sample",
+    tags="O3 F22",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_orderstatus
+        FROM orders
+        WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'
+    """,
+)
+def o03_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.filter(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1) == "0"
+    ).select("o_orderkey", "o_custkey", "o_orderstatus")
+
+
+# --------------------------------------------------------------------------
+# P8/P9 — the reference's Python-side guard quirk (cnics_to_fhir.py:574):
+# a row is SKIPPED iff (key mismatch AND name non-blank); i.e. processed when
+# NOT(mismatch AND trim(name) <> ''). P9: literal-'NULL' strings dropped
+# (cnics_to_fhir.py:298-303). Reproduced exactly, as documented divergence
+# bait — the blank-name rows leak through the mismatch check.
+# --------------------------------------------------------------------------
+@query(
+    "p08_guard_quirk",
+    tags="P8 P9 F14",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_orderpriority
+        FROM orders
+        WHERE NOT (o_custkey % 7 <> 0 AND TRIM(o_orderpriority) <> '')
+          AND o_orderpriority <> 'NULL'
+    """,
+)
+def p08_guard_quirk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    mismatch = F.col("o_custkey") % 7 != 0
+    nonblank = F.trim(F.col("o_orderpriority")) != ""
+    return o.filter(~(mismatch & nonblank) & (F.col("o_orderpriority") != "NULL")).select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+
+
+# --------------------------------------------------------------------------
+# F20/F21 — JSON serialize + path extraction (orjson.dumps at
+# cnics_to_fhir.py:527; reply-path probes at :332, :556). to_json of a struct
+# and get_json_object round-trip, byte-compatible with the SQL oracle.
+# --------------------------------------------------------------------------
+@query(
+    "f20_json_roundtrip",
+    tags="F20 F21 B1",
+    oracle="""
+        WITH j AS (
+            SELECT o_orderkey,
+                   to_json(struct_pack(
+                       key := o_orderkey,
+                       status := o_orderstatus,
+                       priority := o_orderpriority))::VARCHAR AS body_json
+            FROM orders
+        )
+        SELECT o_orderkey, body_json,
+               json_extract_string(body_json, '$.status') AS status_back,
+               CAST(json_extract(body_json, '$.key') AS BIGINT) AS key_back
+        FROM j
+    """,
+)
+def f20_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    body = F.to_json(
+        F.struct(
+            F.col("o_orderkey").alias("key"),
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+    )
+    return o.select("o_orderkey", body.alias("body_json")).select(
+        "o_orderkey",
+        "body_json",
+        F.get_json_object("body_json", "$.status").alias("status_back"),
+        F.get_json_object("body_json", "$.key").cast("long").alias("key_back"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B1-B4 — nested resource assembly (Patient/Condition/Observation templates,
+# cnics_to_fhir.py:367-527, 586-625, 766-893): identifier arrays, nested
+# code.coding, value struct — built with F.struct/F.array + to_json, hash-
+# compared as the wire-format JSON string against the SQL oracle.
+# --------------------------------------------------------------------------
+@query(
+    "b01_resource_assembly",
+    tags="B1 B2 B4 F20 F19",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               to_json(struct_pack(
+                   resourceType := 'Observation',
+                   id := 'li-' || CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR),
+                   identifier := [struct_pack(
+                       system := 'urn:cnics:lineitem',
+                       value := CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR))],
+                   code := struct_pack(coding := [struct_pack(
+                       system := 'urn:cnics:part',
+                       code := CAST(l_partkey AS VARCHAR))]),
+                   valueQuantity := struct_pack(
+                       value := CAST(l_quantity AS BIGINT),
+                       unit := 'ea')))::VARCHAR AS body_json
+        FROM lineitem
+        WHERE l_linenumber = 1
+    """,
+)
+def b01_resource_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1)
+    ok = F.col("l_orderkey").cast("string")
+    ln = F.col("l_linenumber").cast("string")
+    body = F.to_json(
+        F.struct(
+            F.lit("Observation").alias("resourceType"),
+            F.concat(F.lit("li-"), ok, F.lit("-"), ln).alias("id"),
+            F.array(
+                F.struct(
+                    F.lit("urn:cnics:lineitem").alias("system"),
+                    F.concat(ok, F.lit(":"), ln).alias("value"),
+                )
+            ).alias("identifier"),
+            F.struct(
+                F.array(
+                    F.struct(
+                        F.lit("urn:cnics:part").alias("system"),
+                        F.col("l_partkey").cast("string").alias("code"),
+                    )
+                ).alias("coding")
+            ).alias("code"),
+            F.struct(
+                F.col("l_quantity").cast("long").alias("value"),
+                F.lit("ea").alias("unit"),
+            ).alias("valueQuantity"),
+        )
+    )
+    return li.select("l_orderkey", "l_linenumber", body.alias("body_json"))
 
 
 # --------------------------------------------------------------------------

@@ -85,6 +85,31 @@ def dd04_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_near_dup_pairs(table(spark, sf_dir, "documents"), max_hamming=3)
 
 
+@query(
+    "dd05_embedding_neardup",
+    tags="DD-cosine J1",
+    oracle="""
+        WITH e AS (
+            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               FLOOR((list_dot_product(a.v, b.v)
+                     / (SQRT(list_dot_product(a.v, a.v)) * SQRT(list_dot_product(b.v, b.v))))*1e6 + 0.5)/1e6 AS cosine_sim
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE FLOOR((list_dot_product(a.v, b.v)
+              / (SQRT(list_dot_product(a.v, a.v)) * SQRT(list_dot_product(b.v, b.v))))*1e6 + 0.5)/1e6 >= 0.35
+    """,
+)
+def dd05_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, IVF-blocked on the coarse cluster id
+    (``label``). Threshold 0.35 exercises the operator on the weakly-clustered
+    synthetic gaussians (max within-cluster cosine ≈ 0.5); a real corpus
+    would use ≈ 0.95."""
+    return dedup.embedding_near_dup_pairs(
+        table(spark, sf_dir, "embeddings"), threshold=0.35
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------
@@ -168,6 +193,82 @@ def tx01_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document profile: token stats, quality score, fingerprint,
     language-ID heuristic (operators/textanalysis.py)."""
     return textanalysis.profile(table(spark, sf_dir, "documents"))
+
+
+@query(
+    "tx02_bpe_token_stats",
+    tags="TX F22 F18",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id,
+                   regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+') AS bpe,
+                   string_split(text, ' ') AS words
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(bpe) AS INTEGER) AS n_bpe_tokens,
+               CAST(len(list_distinct(bpe)) AS INTEGER) AS n_distinct_bpe,
+               CAST(len(list_filter(bpe, x -> x ~ '^[0-9]+$')) AS INTEGER) AS n_digit_runs,
+               FLOOR((CAST(len(bpe) AS DOUBLE) / len(words))*1e4 + 0.5)/1e4 AS bpe_per_word
+        FROM t
+    """,
+)
+def tx02_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pre-tokenizer stats: letter/digit/punct runs per document —
+    the token-count feature a training pipeline budgets on."""
+    d = table(spark, sf_dir, "documents")
+    bpe = textanalysis.bpe_tokens(F.col("text"))
+    words = F.split(F.col("text"), " ")
+    from cnics_to_fhir_spark.functions.numeric import stable_round
+
+    return d.select(
+        "doc_id",
+        F.size(bpe).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(bpe)).alias("n_distinct_bpe"),
+        F.size(F.filter(bpe, lambda x: x.rlike("^[0-9]+$"))).alias("n_digit_runs"),
+        stable_round(F.size(bpe).cast("double") / F.size(words), 4).alias("bpe_per_word"),
+    )
+
+
+@query(
+    "tx03_rolling_fingerprint",
+    tags="TX F22 DD-exact",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks, text FROM documents
+        ),
+        sh AS (
+            SELECT doc_id,
+                   CASE WHEN len(toks) >= 3
+                        THEN list_transform(range(1, len(toks) - 1),
+                               i -> array_to_string(toks[i:i+2], ' '))
+                        ELSE [array_to_string(toks, ' ')]
+                   END AS shingles,
+                   text
+            FROM t
+        )
+        SELECT doc_id,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split_regex(text, ''),
+                       c -> CASE WHEN c = '' THEN 0 ELSE unicode(c) END)),
+                   (a, b) -> (a * 31 + b) % 1000000007) AS doc_poly_hash,
+               list_min(list_transform(shingles, s ->
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(string_split_regex(s, ''),
+                           c -> CASE WHEN c = '' THEN 0 ELSE unicode(c) END)),
+                       (a, b) -> (a * 31 + b) % 1000000007))) AS winnow_min
+        FROM sh
+    """,
+)
+def tx03_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rabin-Karp document fingerprints: whole-doc polynomial hash + the
+    winnowing minimum over 3-word-shingle rolling hashes."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        textanalysis.poly_hash(F.col("text")).alias("doc_poly_hash"),
+        textanalysis.rolling_fingerprint(F.col("text"), k=3).alias("winnow_min"),
+    )
 
 
 # ---------------------------------------------------------------------------

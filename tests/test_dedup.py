@@ -53,6 +53,21 @@ def test_simhash_near_dups(spark):
     assert got[(1, 2)] == 0
 
 
+def test_embedding_near_dup_pairs(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0], 7),
+        (1, [0.99, 0.05, 0.0], 7),   # near-dup of 0, same block
+        (2, [0.0, 1.0, 0.0], 7),     # same block, orthogonal
+        (3, [1.0, 0.0, 0.0], 8),     # identical to 0 but other block → missed (IVF recall cost)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    out = dedup.embedding_near_dup_pairs(df, threshold=0.9)
+    got = {(r["id_a"], r["id_b"]): r["cosine_sim"] for r in out.collect()}
+    assert (0, 1) in got and got[(0, 1)] > 0.99
+    assert (0, 2) not in got
+    assert (0, 3) not in got  # blocked away — documents the IVF trade
+
+
 def test_cosine_topk_exact(spark):
     rows = [
         (0, [1.0, 0.0, 0.0]),

@@ -37,3 +37,34 @@ def test_lang_id_unknown(spark):
     df = spark.createDataFrame([("xyzzy plugh quux",)], ["text"])
     out = df.select(tx.lang_id(F.col("text")).alias("lg")).collect()
     assert out[0]["lg"] == "unk"
+
+
+def test_bpe_tokens_split_classes(spark):
+    df = spark.createDataFrame([("ab12-cd e",)], ["text"])
+    out = df.select(tx.bpe_tokens(F.col("text")).alias("t")).collect()[0]["t"]
+    assert out == ["ab", "12", "-", "cd", "e"]
+
+
+def test_poly_hash_matches_python_reference(spark):
+    def ref(s: str) -> int:
+        h = 0
+        for ch in s:
+            h = (h * tx.POLY_BASE + ord(ch)) % tx.POLY_MOD
+        return h
+
+    texts = ["abc", "hello world", "", "a" * 50]
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    out = [r["h"] for r in df.select(tx.poly_hash(F.col("text")).alias("h")).collect()]
+    assert out == [ref(t) for t in texts]
+
+
+def test_rolling_fingerprint_stable_under_tail_edit(spark):
+    # winnowing min: editing one word far from the minimal shingle usually
+    # keeps the fingerprint; identical docs always match
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "a b c d e f g h"), (3, "completely different text here")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["fp"] for r in df.select("doc_id", tx.rolling_fingerprint(F.col("text")).alias("fp")).collect()}
+    assert out[1] == out[2]
+    assert out[1] != out[3]
