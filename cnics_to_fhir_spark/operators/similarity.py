@@ -75,6 +75,41 @@ def cosine_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+) -> DataFrame:
+    """IVF-style ANN: probe only the query's coarse cell (nprobe=1).
+
+    ``cell_col`` is the coarse-quantizer assignment (a centroid id in a real
+    index; the ``label`` column here). The search becomes an equi-join on the
+    cell id — at 100 TB, bucket the corpus by cell and the probe is a
+    shuffle-free co-located join; recall is bounded by the quantizer, the
+    standard IVF trade. Unlike sign-LSH this is fully SQL-expressible, so it
+    is the oracle-checked scale path."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(cell_col).alias("cell"), F.col(vec_col).alias("q_vec")
+    )
+    c = ensure_min_parallelism(corpus, id_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(cell_col).alias("cell"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.join(F.broadcast(q), on="cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            stable_round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def _plane_weight(plane: int, dim_index: Column) -> Column:
     """Deterministic pseudo-random hyperplane weight in [-1, 1):
     xxhash64(plane, dim) scaled. Uniform enough for sign-LSH."""

@@ -180,19 +180,29 @@ def j02_join_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def j03_decorrelated_page(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One broadcast join replaces 500 correlated lookups; at 100 TB the
-    fact side is never shuffled — the page ships to the scan."""
+    """One broadcast join replaces 500 correlated lookups. An outer join
+    can't broadcast its preserved side (BHJ builds only the non-preserved
+    side), so the 100 TB shape is: inner BHJ fact⋈broadcast(page) →
+    aggregate (shuffle carries ≤|page| grouped rows) → tiny page↔agg left
+    join to restore empty groups. The fact table is never shuffled."""
     page = (
         table(spark, sf_dir, "customer").select("c_custkey").orderBy("c_custkey").limit(500)
     )
     o = table(spark, sf_dir, "orders")
-    return (
-        F.broadcast(page)
-        .join(o, page["c_custkey"] == o["o_custkey"], "left")
-        .groupBy("c_custkey")
+    agg = (
+        o.join(F.broadcast(page), page["c_custkey"] == o["o_custkey"], "inner")
+        .groupBy("o_custkey")
         .agg(
-            F.count("o_orderkey").alias("n_orders"),
-            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0)), 2).alias("total_spend"),
+            F.count("o_orderkey").alias("n"),
+            F.sum("o_totalprice").alias("spend"),
+        )
+    )
+    return (
+        page.join(F.broadcast(agg), page["c_custkey"] == agg["o_custkey"], "left")
+        .select(
+            "c_custkey",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_orders"),
+            F.round(F.coalesce(F.col("spend"), F.lit(0)), 2).alias("total_spend"),
         )
     )
 

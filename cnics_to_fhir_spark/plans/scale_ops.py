@@ -144,6 +144,38 @@ def ann01_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
 
 
+@query(
+    "ann03_ivf_topk",
+    tags="ANN-ivf J1 W",
+    oracle="""
+        WITH q AS (
+            SELECT vec_id AS query_id, label, CAST(embedding AS DOUBLE[]) AS qv
+            FROM embeddings WHERE vec_id < 8
+        ),
+        c AS (
+            SELECT vec_id AS neighbor_id, label, CAST(embedding AS DOUBLE[]) AS cv
+            FROM embeddings
+        ),
+        scored AS (
+            SELECT q.query_id, c.neighbor_id,
+                   FLOOR((list_dot_product(q.qv, c.cv)
+                         / (SQRT(list_dot_product(q.qv, q.qv)) * SQRT(list_dot_product(c.cv, c.cv))))*1e6 + 0.5)/1e6 AS cosine_sim
+            FROM q JOIN c ON q.label = c.label AND c.neighbor_id <> q.query_id
+        )
+        SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+            SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cosine_sim DESC, neighbor_id) AS INTEGER) AS rank
+            FROM scored
+        ) WHERE rank <= 5
+    """,
+)
+def ann03_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (coarse-cell) approximate top-5: probe only the query's cluster
+    cell — the bucketed-join scale path, oracle-checked."""
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
+
+
 @query("ann02_lsh_topk", tags="ANN-lsh J1", oracle=None)
 def ann02_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH bucketed approximate top-5 (16 planes, 4 bands) — the scale

@@ -84,6 +84,19 @@ def test_cosine_topk_exact(spark):
     assert sims[3] == -1.0 and sims[2] == 0.0
 
 
+def test_ivf_topk_probes_own_cell_only(spark):
+    rows = [
+        (0, [1.0, 0.0], 1),
+        (1, [0.9, 0.1], 1),
+        (2, [1.0, 0.01], 2),  # closest overall but in another cell
+        (3, [0.0, 1.0], 1),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    out = similarity.ivf_topk(df, df.filter(F.col("vec_id") == 0), k=2)
+    neighbors = [r["neighbor_id"] for r in out.orderBy("rank").collect()]
+    assert neighbors == [1, 3]  # 2 is pruned by the cell filter
+
+
 def test_lsh_topk_recall_on_testdata(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     q = emb.filter(F.col("vec_id") < 5)
