@@ -40,3 +40,109 @@ def test_reconcile_stream_emits_plans(spark, tmp_path):
 
     actions = {r["key"]: r["action"] for r in collected}
     assert actions == {"k1": "insert", "k2": "update", "k3": "delete"}
+
+
+def test_watermarked_window_drops_late_rows(spark, tmp_path):
+    """Watermark semantics: a window is finalized (and emitted in append
+    mode) once the watermark passes its end; rows arriving later than the
+    watermark are dropped, bounding state on an unbounded stream."""
+    from datetime import datetime
+
+    from cnics_to_fhir_spark.streaming.windows import run_to_memory_sink, tumbling_window_stream
+
+    src = tmp_path / "ev-src"
+    src.mkdir()
+    chk = tmp_path / "ev-chk"
+    schema = "ts timestamp, event_type string, value double"
+
+    def write_batch(name, rows):
+        spark.createDataFrame(
+            [(datetime.fromisoformat(t), e, v) for t, e, v in rows], schema
+        ).write.parquet(str(src / name))
+
+    # batch 0: two rows in the 10:00 window, one at 12:00 (advances the
+    # watermark far past 10:00 once processed)
+    write_batch("b0", [
+        ("2024-01-01 10:05:00", "click", 1.0),
+        ("2024-01-01 10:20:00", "click", 2.0),
+        ("2024-01-01 12:00:00", "view", 5.0),
+    ])
+
+    stream = spark.readStream.schema(schema).parquet(str(src) + "/*")
+    q = run_to_memory_sink(
+        tumbling_window_stream(stream, width="1 hour", watermark="30 minutes"),
+        "win_sink", str(chk),
+    )
+    try:
+        q.processAllAvailable()
+        # batch 1: a LATE click for the already-finalized 10:00 window +
+        # a fresh row advancing time further
+        write_batch("b1", [
+            ("2024-01-01 10:40:00", "click", 100.0),
+            ("2024-01-01 13:30:00", "view", 7.0),
+        ])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    out = {
+        (r["window_start"].isoformat(), r["event_type"]): (r["n"], r["total_value"])
+        for r in spark.table("win_sink").collect()
+    }
+    # 10:00 click window finalized from batch 0 only — the late 100.0 row
+    # was dropped, not merged
+    assert out[("2024-01-01T10:00:00", "click")] == (2, 3.0)
+
+
+def test_stateful_sessionization_stream(spark, tmp_path):
+    """applyInPandasWithState sessionization: a gap inside a batch closes a
+    session immediately; an idle user's open session closes via event-time
+    timeout once the watermark passes session_end + gap."""
+    from datetime import datetime
+
+    from cnics_to_fhir_spark.streaming.sessions import sessionize_stream
+
+    src = tmp_path / "sess-src"
+    src.mkdir()
+    chk = tmp_path / "sess-chk"
+    schema = "ts timestamp, user_id bigint, event_id bigint, event_type string, value double"
+
+    def write_batch(name, rows):
+        spark.createDataFrame(
+            [(datetime.fromisoformat(t), u, i, "e", v) for t, u, i, v in rows], schema
+        ).write.parquet(str(src / name))
+
+    # user 7: two rows 5 min apart, then a row 2 hours later in the same
+    # batch → first session closes on the in-batch gap
+    write_batch("b0", [
+        ("2024-01-01 10:00:00", 7, 1, 1.0),
+        ("2024-01-01 10:05:00", 7, 2, 2.0),
+        ("2024-01-01 12:00:00", 7, 3, 4.0),
+    ])
+
+    stream = spark.readStream.schema(schema).parquet(str(src) + "/*")
+    q = (
+        sessionize_stream(stream, gap_minutes=30, watermark="10 minutes")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_sink")
+        .option("checkpointLocation", str(chk))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # advance watermark far past 12:00+30min via another user, then one
+        # more batch so the new watermark is applied to timeouts
+        write_batch("b1", [("2024-01-01 15:00:00", 8, 4, 1.0)])
+        q.processAllAvailable()
+        write_batch("b2", [("2024-01-01 15:10:00", 8, 5, 1.0)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r["user_id"], r["session_start"].isoformat()): (r["n_events"], r["total_value"])
+        for r in spark.table("sess_sink").collect()
+    }
+    assert got[(7, "2024-01-01T10:00:00")] == (2, 3.0)   # closed by in-batch gap
+    assert got[(7, "2024-01-01T12:00:00")] == (1, 4.0)   # closed by timeout
