@@ -19,17 +19,24 @@ from cnics_to_fhir_spark.session import build_session
 
 HEADLINE = [
     "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_local_supplier_volume",
     "j01_inner_join_agg",
+    "j03_decorrelated_page",
     "j06_merge_actions",
     "a03_first_row_per_group",
     "a02_collect_set",
     "f01_dx_coding_dispatch",
     "f11_lab_value_typing",
+    "b01_resource_assembly",
     "dd01_exact_dedup",
     "dd02_ngram_jaccard",
     "dd03_minhash_lsh",
+    "dd05_embedding_neardup",
     "ann01_cosine_topk",
+    "ann03_ivf_topk",
     "tx01_text_profile",
+    "tx03_rolling_fingerprint",
     "ev01_tumbling_window",
     "ev02_sessionization",
 ]

@@ -55,6 +55,99 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Flagship multi-join shapes: the analytics the decorrelated engine enables.
+# q03: selective dimension filter → fact join → top-k by computed measure.
+# q05: 6-table snowflake join, dimensions broadcast, one fact shuffle.
+# --------------------------------------------------------------------------
+@query(
+    "q03_shipping_priority",
+    tags="J1 P3 A5 O1 O2",
+    oracle="""
+        SELECT l.l_orderkey,
+               FLOOR((SUM(l.l_extendedprice * (1 - l.l_discount)))*1e2 + 0.5)/1e2 AS revenue,
+               STRFTIME(o.o_orderdate, '%Y-%m-%d') AS orderdate
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1997-06-01 00:00:00'
+          AND l.l_shipdate > TIMESTAMP '1997-06-01 00:00:00'
+        GROUP BY l.l_orderkey, o.o_orderdate
+        ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+)
+def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 open-revenue orders for one segment: filtered customer dim is
+    broadcast; lineitem is filtered at the scan and shuffles once for the
+    per-order aggregate; top-k is a TakeOrdered, never a full sort."""
+    from cnics_to_fhir_spark.functions.numeric import stable_round
+
+    cutoff = F.lit("1997-06-01 00:00:00").cast("timestamp")
+    c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            stable_round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q05_local_supplier_volume",
+    tags="J1 J8 P3 A5",
+    oracle="""
+        SELECT n.n_name AS nation,
+               FLOOR((SUM(l.l_extendedprice * (1 - l.l_discount)))*1e2 + 0.5)/1e2 AS revenue
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+        GROUP BY n.n_name
+    """,
+)
+def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """6-table snowflake join: supplier/nation/region broadcast; the only
+    big-big join is lineitem⋈orders; customer⋈orders feeds it after its own
+    broadcast-filtered reduction."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    from cnics_to_fhir_spark.functions.numeric import stable_round
+
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(
+            F.broadcast(s),
+            (li["l_suppkey"] == s["s_suppkey"]) & (c["c_nationkey"] == s["s_nationkey"]),
+        )
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            stable_round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # P6/P7 — IN-list + LIKE-prefix predicates (settings.ini ConditionsFilter
 # semantics, spliced at cnics_to_fhir.py:123; LIKE prefixes settings.ini:44-48)
 # --------------------------------------------------------------------------
