@@ -1,0 +1,56 @@
+"""As-of (point-in-time) join — a custom operator Spark's API lacks.
+
+Joins each left-side event to the most recent right-side row with
+``r.ts <= l.ts`` per key. The naive form is a range join (an O(n·m)
+explosion per key); the scalable form used here is union + windowed
+last-carry-forward:
+
+  1. tag both inputs and union them (no join at all),
+  2. one shuffle: partition by key, order by (ts, side) — right rows sort
+     before left rows at equal timestamps so "<=" semantics hold,
+  3. ``last(right_payload, ignorenulls=True)`` over rows-unbounded-preceding
+     carries the latest right row forward,
+  4. keep left rows.
+
+Cost at 100 TB: exactly one shuffle of left+right keyed on the join key —
+the same price as a regular sort-merge join, with no range-explosion. Skewed
+keys fall to AQE skew handling; a hot single key can additionally be
+windowed by coarse time-bucket pre-aggregation of the right side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "user_id",
+    ts_col: str = "ts",
+    payload_cols: list[str] | None = None,
+    prefix: str = "matched_",
+) -> DataFrame:
+    """Left as-of join: every ``left`` row, plus ``prefix``-renamed payload
+    (and timestamp) of the latest ``right`` row at-or-before its timestamp
+    (NULLs when no prior right row exists)."""
+    payload_cols = payload_cols or ["value"]
+    payload = F.struct(F.col(ts_col).alias("ts"), *[F.col(c) for c in payload_cols])
+
+    r = right.select(
+        F.col(on), F.col(ts_col), F.lit(0).alias("_side"), payload.alias("_r")
+    )
+    l = left.withColumn("_side", F.lit(1)).withColumn("_r", F.lit(None).cast(r.schema["_r"].dataType))
+
+    u = l.unionByName(r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col(ts_col), F.col("_side"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = u.withColumn("_m", F.last("_r", ignorenulls=True).over(w))
+    out_cols = [F.col(c) for c in left.columns]
+    out_cols.append(F.col("_m.ts").alias(f"{prefix}{ts_col}"))
+    out_cols.extend(F.col(f"_m.{c}").alias(f"{prefix}{c}") for c in payload_cols)
+    return carried.filter(F.col("_side") == 1).select(*out_cols)

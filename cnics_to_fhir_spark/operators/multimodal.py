@@ -94,6 +94,58 @@ def decode_image_stub(
     return df.select(id_col, payload_col).mapInPandas(extract, schema=out_schema)
 
 
+def resize_image_stub(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    target_w: int = 32,
+    target_h: int = 32,
+    real_decode: bool = False,
+) -> DataFrame:
+    """Binary-in → binary-out resize contract: output rows carry a NEW
+    payload plus its dimensions — the geometry of a real thumbnailer. The
+    stub 'resizes' by deterministic byte subsampling to w*h bytes (pad with
+    zeros when shorter); a real implementation decodes, resizes, re-encodes
+    inside the same batch loop."""
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+        ]
+    )
+    n_out = target_w * target_h
+
+    def resize(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        if real_decode:
+            raise NotImplementedError(
+                "real resize requires an image codec — not in this container"
+            )
+        for pdf in batches:
+            outs = []
+            for raw in pdf[payload_col]:
+                b = np.frombuffer(raw or b"", dtype=np.uint8)
+                if len(b) >= n_out:
+                    idx = np.linspace(0, len(b) - 1, n_out).astype(np.int64)
+                    outs.append(b[idx].tobytes())
+                else:
+                    outs.append(b.tobytes() + b"\x00" * (n_out - len(b)))
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].astype("int64"),
+                    "payload": outs,
+                    "width": target_w,
+                    "height": target_h,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(resize, schema=out_schema)
+
+
 def frame_sample_stub(
     df: DataFrame,
     payload_col: str = "payload",

@@ -331,6 +331,31 @@ def mm01_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "mm03_frame_sample",
+    tags="MM UDF F16",
+    oracle="""
+        SELECT doc_id AS id,
+               CAST(j AS INTEGER) AS sample_index,
+               unicode(substr(text, CAST(j * 64 + 1 AS INTEGER), 1)) AS sample_value
+        FROM documents,
+             UNNEST(range(0, CAST(ceil(strlen(text) / 64.0) AS BIGINT))) AS t(j)
+    """,
+)
+def mm03_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling geometry (one output row per sample) via mapInPandas
+    over binary payloads; byte stride stands in for frame stride. The text
+    corpus is ASCII so the DuckDB oracle can mirror byte offsets with
+    substr/unicode — the Arrow row-multiplying path itself is what's under
+    test."""
+    from cnics_to_fhir_spark.operators import multimodal as mm
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    return mm.frame_sample_stub(d, payload_col="payload", id_col="doc_id", every_n_bytes=64)
+
+
 @query("mm02_image_feature_stub", tags="MM UDF", oracle=None)
 def mm02_image_feature_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas fake-decode over binary payloads (Arrow batch contract of
@@ -341,6 +366,103 @@ def mm02_image_feature_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
     )
     return mm.decode_image_stub(d, payload_col="payload", id_col="doc_id")
+
+
+# ---------------------------------------------------------------------------
+# As-of join (custom operator — union + last-carry-forward, operators/asof.py)
+# ---------------------------------------------------------------------------
+@query(
+    "aj01_asof_join",
+    tags="AJ J1 W",
+    oracle="""
+        WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
+             v AS (SELECT * FROM events WHERE event_type = 'view')
+        SELECT c.event_id, c.user_id,
+               STRFTIME(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+               STRFTIME(v.ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+               ROUND(v.value, 2) AS view_value
+        FROM c ASOF LEFT JOIN v
+          ON c.user_id = v.user_id AND c.ts >= v.ts
+    """,
+)
+def aj01_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attach the latest at-or-before 'view' to every 'click' per user —
+    point-in-time feature lookup, the training-data staple. One shuffle,
+    no range explosion (see operators/asof.py)."""
+    from cnics_to_fhir_spark.operators.asof import asof_join
+
+    e = table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    views = e.filter(F.col("event_type") == "view").select("user_id", "ts", "value")
+    out = asof_join(clicks, views, on="user_id", ts_col="ts", payload_cols=["value"])
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.date_format("matched_ts", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
+        F.round("matched_value", 2).alias("view_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rollup + salted aggregation (§2.4 extensions for pipeline reporting/skew)
+# ---------------------------------------------------------------------------
+@query(
+    "a07_rollup_counts",
+    tags="A5 ROLLUP",
+    oracle="""
+        SELECT COALESCE(o_orderstatus, '(all)') AS status,
+               COALESCE(o_orderpriority, '(all)') AS priority,
+               COUNT(*) AS n,
+               ROUND(SUM(o_totalprice), 2) AS total_price
+        FROM orders
+        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def a07_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals in one pass — the reference's 12 hand-kept
+    counters (cnics_to_fhir.py:914-925) generalized to grouping sets."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total_price"))
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("(all)")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("(all)")).alias("priority"),
+            "n",
+            "total_price",
+        )
+    )
+
+
+@query(
+    "a08_salted_agg",
+    tags="A5 SKEW",
+    oracle="""
+        SELECT l_returnflag,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               COUNT(*) AS n
+        FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a08_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation: phase 1 groups on (key, salt) so a hot
+    key spreads over 8 reducers; phase 2 merges the 8 partials. Result is
+    bit-identical to the direct groupBy (the oracle), which is the point —
+    salting is a physical rewrite, not a semantic one. Spark's partial
+    (map-side) aggregation already does this for simple aggs; the explicit
+    form is the template for aggs without partial pushdown (collect_list,
+    exact distinct counts)."""
+    li = table(spark, sf_dir, "lineitem")
+    salted = li.withColumn(
+        "salt", F.pmod(F.crc32(F.col("l_orderkey").cast("string")), F.lit(8))
+    )
+    partial = salted.groupBy("l_returnflag", "salt").agg(
+        F.sum("l_quantity").alias("p_qty"), F.count(F.lit(1)).alias("p_n")
+    )
+    return partial.groupBy("l_returnflag").agg(
+        F.round(F.sum("p_qty"), 2).alias("sum_qty"), F.sum("p_n").alias("n")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,39 @@
+"""As-of join semantics on hand-checkable fixtures (operators/asof.py);
+the testdata-scale equivalence vs DuckDB ASOF JOIN runs in the oracle
+(aj01_asof_join)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from cnics_to_fhir_spark.operators.asof import asof_join
+
+
+def _ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+def test_asof_join_picks_latest_at_or_before(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 100, _ts("2024-01-01 10:00:00")),  # after two views → latest wins
+            (2, 100, _ts("2024-01-01 08:00:00")),  # before any view → nulls
+            (3, 100, _ts("2024-01-01 09:30:00")),  # exactly at a view ts → inclusive
+            (4, 200, _ts("2024-01-01 10:00:00")),  # other key, isolated
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (100, _ts("2024-01-01 09:00:00"), 1.0),
+            (100, _ts("2024-01-01 09:30:00"), 2.0),
+            (200, _ts("2024-01-01 09:59:00"), 9.0),
+        ],
+        "user_id long, ts timestamp, value double",
+    )
+    out = {r["event_id"]: r for r in asof_join(left, right).collect()}
+    assert len(out) == 4
+    assert out[1]["matched_value"] == 2.0
+    assert out[2]["matched_ts"] is None and out[2]["matched_value"] is None
+    assert out[3]["matched_value"] == 2.0  # ts == view ts counts ("<=")
+    assert out[4]["matched_value"] == 9.0  # keys don't leak across users

@@ -45,6 +45,16 @@ def test_frame_sample_explode_shape(spark):
     assert 3 not in per_id  # empty payload → no samples
 
 
+def test_resize_stub_geometry(spark):
+    out = {r["id"]: r for r in mm.resize_image_stub(_media(spark), target_w=4, target_h=4).collect()}
+    assert all(len(r["payload"]) == 16 and r["width"] == 4 and r["height"] == 4 for r in out.values())
+    # 256 bytes subsampled to 16: first and last sampled bytes preserved
+    assert out[1]["payload"][0] == 0x00 and out[1]["payload"][-1] == 0x03
+    # shorter payload zero-padded
+    assert bytes(out[3]["payload"]) == b"\x00" * 16
+    assert bytes(out[2]["payload"])[:16] == b"\xff" * 16
+
+
 def test_payload_fingerprint_and_size(spark):
     df = _media(spark).select(
         "doc_id",
