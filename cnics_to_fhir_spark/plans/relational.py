@@ -153,19 +153,26 @@ def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "p06_in_list_and_like",
-    tags="P6 P7 P1",
+    tags="P5 P6 P7 P1",
     oracle="""
         SELECT p_partkey, p_name, p_brand, p_type
         FROM part
-        WHERE p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
-           OR p_type LIKE 'PRO%'
+        WHERE (p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+               OR p_type LIKE 'PRO%')
+          AND length(p_name) > 15
     """,
 )
 def p06_in_list_and_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-list + LIKE-prefix + string-length predicates ANDed, the
+    settings.ini filter-splice shape (the reference's length guard is > 0,
+    cnics_to_fhir.py:122; > 15 here so the predicate demonstrably bites)."""
     part = table(spark, sf_dir, "part")
     return part.filter(
-        F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
-        | F.col("p_type").like("PRO%")
+        (
+            F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+            | F.col("p_type").like("PRO%")
+        )
+        & (F.length("p_name") > 15)
     ).select("p_partkey", "p_name", "p_brand", "p_type")
 
 

@@ -85,6 +85,37 @@ def test_writer_retries_then_succeeds(spark, mock_server):
     assert len(puts) == 3  # two failures + one success
 
 
+def test_auth_token_roundtrip(mock_server):
+    """S12: client-credentials POST → bearer header tuple; AuthError
+    fail-fast on failure (E4)."""
+    from cnics_to_fhir_spark.load import auth
+
+    class _AuthHandler(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length") or 0)
+            body = self.rfile.read(n).decode()
+            ok = "grant_type=client_credentials" in body and "client_id=me" in body
+            self.send_response(200 if ok else 400)
+            self.send_header("Content-Type", "application/json")
+            self.end_headers()
+            self.wfile.write(json.dumps({"access_token": "tok-123"} if ok else {}).encode())
+
+        def log_message(self, *args):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _AuthHandler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{srv.server_address[1]}/auth/token"
+    try:
+        tok = auth.fetch_client_credentials_token(url, "me", "s3cret")
+        assert tok == "tok-123"
+        assert auth.bearer_headers(tok) == (("Authorization", "Bearer tok-123"),)
+        with pytest.raises(auth.AuthError):
+            auth.fetch_client_credentials_token(url, "wrong", "creds")
+    finally:
+        srv.shutdown()
+
+
 def test_writer_exhausted_retries_raises(spark, mock_server):
     _Recorder.fail_next["POST /Condition"] = 99
     with pytest.raises(Exception):
