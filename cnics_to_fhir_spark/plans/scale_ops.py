@@ -436,6 +436,32 @@ def a07_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "a09_percentiles",
+    tags="A5 PCT",
+    oracle="""
+        SELECT event_type,
+               FLOOR((quantile_cont(value, 0.5))*1e6 + 0.5)/1e6 AS p50,
+               FLOOR((quantile_cont(value, 0.9))*1e6 + 0.5)/1e6 AS p90,
+               FLOOR((MAX(value))*1e6 + 0.5)/1e6 AS vmax
+        FROM events GROUP BY event_type
+    """,
+)
+def a09_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (quality-score cutoffs for
+    filtering pipelines). Exact percentile needs the group's values sorted —
+    at 100 TB switch to percentile_approx (t-digest, mergeable map-side)
+    and accept bounded error; both forms are one shuffle."""
+    from cnics_to_fhir_spark.functions.numeric import stable_round
+
+    e = table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        stable_round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        stable_round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
+        stable_round(F.max("value"), 6).alias("vmax"),
+    )
+
+
+@query(
     "a08_salted_agg",
     tags="A5 SKEW",
     oracle="""
