@@ -461,6 +461,20 @@ def a09_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("a10_approx_distinct", tags="A5 APPROX", oracle=None)
+def a10_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct counts per group — the mergeable, map-side-
+    combinable form exact COUNT(DISTINCT) can't give you at 100 TB (exact
+    needs a full shuffle of the distinct keys; HLL ships 1.5 KB sketches).
+    Rows-only: sketch estimates are engine-specific; pytest pins the
+    relative error against the exact count."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
 @query(
     "a08_salted_agg",
     tags="A5 SKEW",

@@ -36,7 +36,31 @@ def test_queries_oracle_consistency(spark):
         "dd04_simhash_near_dup",
         "ann02_lsh_topk",
         "mm02_image_feature_stub",
+        "a10_approx_distinct",
     }
+
+
+def test_approx_distinct_error_bound(spark):
+    """a10 is rows-only for the driver; pin HLL relative error here."""
+    from cnics_to_fhir_spark.plans import catalog
+
+    sf = "/root/testdata/sf0.01"
+    approx = {
+        r["l_returnflag"]: r["approx_orders"]
+        for r in catalog()["a10_approx_distinct"].spark(spark, sf).collect()
+    }
+    from cnics_to_fhir_spark.sources.tables import read_table
+    from pyspark.sql import functions as F
+
+    exact = {
+        r["l_returnflag"]: r["n"]
+        for r in read_table(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.countDistinct("l_orderkey").alias("n"))
+        .collect()
+    }
+    for k, est in approx.items():
+        assert abs(est - exact[k]) / exact[k] < 0.05, (k, est, exact[k])
 
 
 def test_all_queries_run_at_sf0001(spark):
