@@ -14,10 +14,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
+    """Flagship on /root/testdata/sf0.001: the end-to-end conditions
+    pipeline (extract → transform → FHIR assembly → MERGE action plan);
+    driver checks rows>0."""
     from cnics_to_fhir_spark.plans import catalog
 
-    return catalog()["q01_pricing_summary"].spark(spark, "/root/testdata/sf0.001")
+    return catalog()["e2e01_conditions_pipeline"].spark(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -18,6 +18,7 @@ from cnics_to_fhir_spark.plans import catalog
 from cnics_to_fhir_spark.session import build_session
 
 HEADLINE = [
+    "e2e01_conditions_pipeline",
     "q01_pricing_summary",
     "q03_shipping_priority",
     "q05_local_supplier_volume",

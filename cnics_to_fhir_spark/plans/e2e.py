@@ -1,0 +1,196 @@
+"""End-to-end pipeline query: the SURVEY §7.2 vertical slice under the
+oracle gate.
+
+CNICS-shaped tables are DERIVED deterministically from the star corpus
+(orders → DiagnosisAltered, customer → patient page, every-3rd order → the
+existing FHIR snapshot), then the REAL pipeline runs —
+``pipelines.conditions_plan``: P4/P5/P6 filters → broadcast page join (J3)
+→ F1-F7 transforms → B2 nested-struct assembly → ``to_json`` → full-outer
+MERGE (J6) — and the oracle replicates every stage in one SQL statement,
+INCLUDING the byte-exact serialized Condition JSON. A hash match validates
+the whole vertical, not any one operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cnics_to_fhir_spark.plans.registry import query, table
+
+_DXTYPE_SQL = """
+    CASE o_orderkey % 5
+        WHEN 0 THEN 'Verified clinical diagnosis'
+        WHEN 1 THEN 'Data collected at CNICS site'
+        WHEN 2 THEN 'Patient reported without supporting outside documentation'
+        WHEN 3 THEN 'Reported in outside documentation'
+        ELSE 'Source unknown'
+    END
+"""
+
+_DXNAME_SQL = """
+    CASE o_orderkey % 6
+        WHEN 0 THEN 'E11.9'
+        WHEN 1 THEN '250.00'
+        WHEN 2 THEN 'V02.61'
+        WHEN 3 THEN 'COPD'
+        WHEN 4 THEN 'chronic cough, unspecified'
+        ELSE 'J44.1'
+    END
+"""
+
+_NAME_FILTER_SQL = (
+    "DiagnosisName in ('E11.9', 'COPD', '250.00') "
+    "or DiagnosisName like 'J44.%' or DiagnosisName like 'V02.%'"
+)
+
+_ORACLE = f"""
+WITH page AS (
+    SELECT c_custkey AS pid, 'hapi-' || CAST(c_custkey AS VARCHAR) AS fhir_id
+    FROM customer
+),
+dx AS (
+    SELECT o_orderkey AS k,
+           o_custkey AS pid,
+           'dx-' || CAST(o_orderkey AS VARCHAR) AS rid,
+           o_orderdate AS d,
+           CASE WHEN o_orderkey % 7 = 0 THEN 'Yes' ELSE NULL END AS hist,
+           {_DXTYPE_SQL} AS dxtype,
+           {_DXNAME_SQL} AS dxname
+    FROM orders
+),
+cur AS (
+    SELECT dx.*, page.fhir_id
+    FROM dx JOIN page ON dx.pid = page.pid
+    WHERE (hist <> 'Yes' OR hist IS NULL)
+      AND length(dxname) > 0
+      AND (dxname IN ('E11.9', 'COPD', '250.00')
+           OR dxname LIKE 'J44.%' OR dxname LIKE 'V02.%')
+),
+body AS (
+    SELECT rid AS key,
+           to_json(struct_pack(
+               resourceType := 'Condition',
+               meta := struct_pack(profile := ['http://hl7.org/fhir/us/core/StructureDefinition/us-core-condition']),
+               verificationStatus := struct_pack(coding := [struct_pack(
+                   system := 'http://terminology.hl7.org/CodeSystem/condition-ver-status',
+                   code := CASE dxtype
+                       WHEN 'Data collected at CNICS site' THEN 'confirmed'
+                       WHEN 'Patient reported without supporting outside documentation' THEN 'unconfirmed'
+                       WHEN 'Reported in outside documentation' THEN 'confirmed'
+                       WHEN 'Source unknown' THEN 'unconfirmed'
+                       WHEN 'Verified clinical diagnosis' THEN 'confirmed' END)]),
+               category := [struct_pack(coding := [struct_pack(
+                   system := 'http://terminology.hl7.org/CodeSystem/condition-category',
+                   code := CASE dxtype
+                       WHEN 'Data collected at CNICS site' THEN 'encounter-diagnosis'
+                       WHEN 'Patient reported without supporting outside documentation' THEN 'health-concern'
+                       WHEN 'Reported in outside documentation' THEN 'problem-list-item'
+                       WHEN 'Source unknown' THEN 'health-concern'
+                       WHEN 'Verified clinical diagnosis' THEN 'problem-list-item' END,
+                   display := CASE dxtype
+                       WHEN 'Data collected at CNICS site' THEN 'Encounter Diagnosis'
+                       WHEN 'Patient reported without supporting outside documentation' THEN 'Health Concern'
+                       WHEN 'Reported in outside documentation' THEN 'Problem List Item'
+                       WHEN 'Source unknown' THEN 'Health Concern'
+                       WHEN 'Verified clinical diagnosis' THEN 'Problem List Item' END)])],
+               code := struct_pack(
+                   coding := [struct_pack(
+                       system := CASE
+                           WHEN regexp_matches(dxname, '^[A-Z][0-9]{{2}}') AND NOT regexp_matches(dxname, '^V')
+                                THEN 'http://hl7.org/fhir/sid/icd-10-cm'
+                           WHEN regexp_matches(dxname, '^[0-9]{{3}}') OR regexp_matches(dxname, '^V[0-9]{{2}}')
+                                THEN 'http://hl7.org/fhir/sid/icd-9-cm'
+                           WHEN dxname IN ('COPD', 'Diabetes Mellitus Type 2', 'Hypertension')
+                                THEN 'https://cnics.cirg.washington.edu/diagnosis-name'
+                           ELSE 'http://snomed.info/sct' END,
+                       code := CASE
+                           WHEN regexp_matches(dxname, '^[A-Z][0-9]{{2}}') AND NOT regexp_matches(dxname, '^V') THEN dxname
+                           WHEN regexp_matches(dxname, '^[0-9]{{3}}') OR regexp_matches(dxname, '^V[0-9]{{2}}') THEN dxname
+                           WHEN dxname IN ('COPD', 'Diabetes Mellitus Type 2', 'Hypertension') THEN dxname
+                           ELSE '404684003' END,
+                       display := CASE
+                           WHEN regexp_matches(dxname, '^[A-Z][0-9]{{2}}') AND NOT regexp_matches(dxname, '^V') THEN dxname
+                           WHEN regexp_matches(dxname, '^[0-9]{{3}}') OR regexp_matches(dxname, '^V[0-9]{{2}}') THEN dxname
+                           WHEN dxname IN ('COPD', 'Diabetes Mellitus Type 2', 'Hypertension') THEN dxname
+                           ELSE 'Clinical finding (finding): ' || dxname END)],
+                   text := dxname),
+               subject := struct_pack(reference := 'Patient/' || fhir_id),
+               recordedDate := STRFTIME(d, '%Y-%m-%d'),
+               identifier := [struct_pack(
+                   system := 'https://cnics.cirg.washington.edu/diagnosis/site-record-id/uw',
+                   value := rid)]
+           ))::VARCHAR AS body_json
+    FROM cur
+),
+exi AS (
+    SELECT 'dx-' || CAST(o_orderkey AS VARCHAR) AS key,
+           'srv-' || CAST(o_orderkey AS VARCHAR) AS id
+    FROM orders WHERE o_orderkey % 3 = 0
+)
+SELECT 'Condition' AS resource_type,
+       CASE WHEN b.key IS NOT NULL AND e.key IS NOT NULL THEN 'update'
+            WHEN b.key IS NOT NULL THEN 'insert'
+            ELSE 'delete' END AS action,
+       e.id AS id,
+       COALESCE(b.key, e.key) AS key,
+       b.body_json AS body_json
+FROM body b FULL OUTER JOIN exi e ON b.key = e.key
+"""
+
+
+@query("e2e01_conditions_pipeline", tags="E2E J3 J6 B2 F1-F7 P4 P5 P6 A5", oracle=_ORACLE)
+def e2e01_conditions_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The real ``pipelines.conditions_plan`` over star-derived CNICS tables;
+    the oracle rebuilds the full vertical — filters, page join, coding
+    dispatch, byte-exact Condition JSON, MERGE classification — in SQL."""
+    from cnics_to_fhir_spark import pipelines
+    from cnics_to_fhir_spark.plans.transforms import _STD_DX
+
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    k = F.col("o_orderkey")
+
+    dxtype = (
+        F.when(k % 5 == 0, "Verified clinical diagnosis")
+        .when(k % 5 == 1, "Data collected at CNICS site")
+        .when(k % 5 == 2, "Patient reported without supporting outside documentation")
+        .when(k % 5 == 3, "Reported in outside documentation")
+        .otherwise("Source unknown")
+    )
+    dxname = (
+        F.when(k % 6 == 0, "E11.9")
+        .when(k % 6 == 1, "250.00")
+        .when(k % 6 == 2, "V02.61")
+        .when(k % 6 == 3, "COPD")
+        .when(k % 6 == 4, "chronic cough, unspecified")
+        .otherwise("J44.1")
+    )
+    dx = orders.select(
+        k.alias("DiagnosisId"),
+        F.when(k % 7 == 0, "Yes").otherwise(F.lit(None).cast("string")).alias("Historical"),
+        F.col("o_custkey").alias("PatientId"),
+        F.encode(F.concat(F.lit("dx-"), k.cast("string")), "UTF-8").alias("SiteRecordId"),
+        F.col("o_orderdate").alias("DiagnosisDate"),
+        dxtype.alias("DiagnosisType"),
+        dxname.alias("DiagnosisName"),
+    )
+    page = customer.select(
+        F.col("c_custkey").alias("PatientId"),
+        F.lit("UW").alias("Site"),
+        F.concat(F.lit("hapi-"), F.col("c_custkey").cast("string")).alias("fhir_patient_id"),
+    )
+    snapshot = orders.filter(k % 3 == 0).select(
+        F.lit("Condition").alias("resource_type"),
+        F.concat(F.lit("srv-"), k.cast("string")).alias("id"),
+        F.lit(None).cast("string").alias("subject"),
+        F.lit("https://cnics.cirg.washington.edu/diagnosis/site-record-id/uw").alias(
+            "identifier_0_system"
+        ),
+        F.concat(F.lit("dx-"), k.cast("string")).alias("identifier_0_value"),
+        F.lit(True).alias("has_identifier"),
+    )
+    std = spark.createDataFrame([(c,) for c in _STD_DX], "code string")
+    return pipelines.conditions_plan(
+        dx, page, snapshot, std, name_filter_sql=_NAME_FILTER_SQL
+    )

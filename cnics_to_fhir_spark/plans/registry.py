@@ -51,6 +51,6 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def catalog() -> dict[str, CatalogEntry]:
     # Import side-effect modules that populate the registry.
-    from cnics_to_fhir_spark.plans import relational, scale_ops, transforms  # noqa: F401
+    from cnics_to_fhir_spark.plans import e2e, relational, scale_ops, transforms  # noqa: F401
 
     return dict(_REGISTRY)
