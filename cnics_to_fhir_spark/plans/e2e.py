@@ -139,6 +139,127 @@ FROM body b FULL OUTER JOIN exi e ON b.key = e.key
 """
 
 
+_OBS_META = (
+    '"meta":{"profile":["http://hl7.org/fhir/us/core/StructureDefinition/us-core-observation-lab"]}'
+)
+_OBS_CATEGORY = (
+    '"category":[{"coding":[{"system":"http://terminology.hl7.org/CodeSystem/observation-category",'
+    '"code":"laboratory","display":"laboratory"}]}]'
+)
+_OBS_REFRANGE_TYPE = (
+    '"type":{"coding":[{"system":"http://terminology.hl7.org/CodeSystem/referencerange-meaning",'
+    '"code":"normal","display":"Normal Range"}],"text":"Normal Range"}'
+)
+
+# The five value[x] shapes, one per o_orderkey % 5, with correlated Units /
+# RefRange choices so every conditional-key path of B4 is pinned:
+#  m=0 int '42'       Units NULL  RefLow '1.0'  → valueInteger, NO refRange (gate)
+#  m=1 dec '5.7'      Units mg/dL Ref 3.5/7.5   → valueQuantity + both bounds
+#  m=2 cmp '<4.5'     Units NULL  Ref neg/10    → comparator + '%' default + high-only
+#  m=3 rng '3-9'      Units g/L   Ref NULL/NULL → valueRange, no refRange
+#  m=4 str 'positive' Units NULL  Ref NULL/NULL → valueString
+_OBS_ORACLE = f"""
+WITH page AS (
+    SELECT c_custkey AS pid, 'hapi-' || CAST(c_custkey AS VARCHAR) AS fhir_id
+    FROM customer
+),
+lab AS (
+    SELECT o_orderkey AS k, o_custkey AS pid,
+           'lab-' || CAST(o_orderkey AS VARCHAR) AS rid,
+           o_orderdate AS d,
+           o_orderkey % 5 AS m
+    FROM orders
+),
+cur AS (
+    SELECT lab.*, page.fhir_id, STRFTIME(lab.d, '%Y-%m-%d') AS eff
+    FROM lab JOIN page ON lab.pid = page.pid
+),
+body AS (
+    SELECT rid AS key,
+        '{{"resourceType":"Observation",' || '{_OBS_META},' || '"status":"final",'
+        || '{_OBS_CATEGORY},'
+        || '"code":{{"coding":[{{"system":"https://cnics.cirg.washington.edu/test-name",'
+        || '"code":"Hemoglobin A1C","display":"Hemoglobin A1C"}}],"text":"Hemoglobin A1C"}},'
+        || '"subject":{{"reference":"Patient/' || fhir_id || '"}},'
+        || '"effectiveDateTime":"' || eff || '",'
+        || CASE m
+           WHEN 0 THEN '"valueInteger":42,'
+           WHEN 1 THEN '"valueQuantity":{{"value":5.7,"unit":"mg/dL",'
+                       || '"system":"http://unitsofmeasure.org","code":"mg/dL"}},'
+                       || '"referenceRange":[{{' || '{_OBS_REFRANGE_TYPE},'
+                       || '"low":{{"value":3.5,"unit":"mg/dL","system":"http://unitsofmeasure.org","code":"mg/dL"}},'
+                       || '"high":{{"value":7.5,"unit":"mg/dL","system":"http://unitsofmeasure.org","code":"mg/dL"}}}}],'
+           WHEN 2 THEN '"valueQuantity":{{"value":4.5,"comparator":"<","unit":"%","system":"http://unitsofmeasure.org","code":"%"}},'
+                       || '"referenceRange":[{{' || '{_OBS_REFRANGE_TYPE},'
+                       || '"high":{{"value":10.0}}}}],'
+           WHEN 3 THEN '"valueRange":{{"low":{{"value":3.0,"unit":"g/L","system":"http://unitsofmeasure.org","code":"g/L"}},'
+                       || '"high":{{"value":9.0,"unit":"g/L","system":"http://unitsofmeasure.org","code":"g/L"}}}},'
+           ELSE '"valueString":"positive",'
+           END
+        || '"identifier":[{{"system":"https://cnics.cirg.washington.edu/lab/site-record-id/uw",'
+        || '"value":"' || rid || '"}}]}}' AS body_json
+    FROM cur
+),
+exi AS (
+    SELECT 'lab-' || CAST(o_orderkey AS VARCHAR) AS key,
+           'srv-' || CAST(o_orderkey AS VARCHAR) AS id
+    FROM orders WHERE o_orderkey % 4 = 0
+)
+SELECT 'Observation' AS resource_type,
+       CASE WHEN b.key IS NOT NULL AND e.key IS NOT NULL THEN 'update'
+            WHEN b.key IS NOT NULL THEN 'insert'
+            ELSE 'delete' END AS action,
+       e.id AS id,
+       COALESCE(b.key, e.key) AS key,
+       b.body_json AS body_json
+FROM body b FULL OUTER JOIN exi e ON b.key = e.key
+"""
+
+
+@query("e2e02_observations_pipeline", tags="E2E J3 J6 B4 F11 F12 F13 A5", oracle=_OBS_ORACLE)
+def e2e02_observations_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hardest vertical (SURVEY §7.4): variant value[x] Observation
+    assembly end-to-end — the oracle string-assembles the exact per-branch
+    JSON (heterogeneous keys per row) and the hash must still match."""
+    from cnics_to_fhir_spark import pipelines
+
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    k = F.col("o_orderkey")
+    m = k % 5
+    lab = orders.select(
+        k.alias("LabId"),
+        F.lit(None).cast("string").alias("Historical"),
+        F.col("o_custkey").alias("PatientId"),
+        F.concat(F.lit("lab-"), k.cast("string")).alias("SiteRecordId"),  # str, not bytes (labs quirk)
+        F.lit("Hemoglobin A1C").alias("TestName"),
+        F.when(m == 0, "42")
+        .when(m == 1, "5.7")
+        .when(m == 2, "<4.5")
+        .when(m == 3, "3-9")
+        .otherwise("positive")
+        .alias("Result"),
+        F.when(m == 1, "mg/dL").when(m == 3, "g/L").otherwise(F.lit(None).cast("string")).alias("Units"),
+        F.col("o_orderdate").alias("CollectionDate"),
+        F.when(m == 0, "1.0").when(m == 1, "3.5").when(m == 2, "neg").otherwise(F.lit(None).cast("string")).alias("RefRangeLow"),
+        F.when(m == 1, "7.5").when(m == 2, "10").otherwise(F.lit(None).cast("string")).alias("RefRangeHigh"),
+    )
+    page = customer.select(
+        F.col("c_custkey").alias("PatientId"),
+        F.lit("UW").alias("Site"),
+        F.concat(F.lit("hapi-"), F.col("c_custkey").cast("string")).alias("fhir_patient_id"),
+    )
+    snapshot = orders.filter(k % 4 == 0).select(
+        F.lit("Observation").alias("resource_type"),
+        F.concat(F.lit("srv-"), k.cast("string")).alias("id"),
+        F.lit(None).cast("string").alias("subject"),
+        F.lit("https://cnics.cirg.washington.edu/lab/site-record-id/uw").alias("identifier_0_system"),
+        F.concat(F.lit("lab-"), k.cast("string")).alias("identifier_0_value"),
+        F.lit(True).alias("has_identifier"),
+    )
+    return pipelines.observations_plan(lab, page, snapshot)
+
+
 @query("e2e01_conditions_pipeline", tags="E2E J3 J6 B2 F1-F7 P4 P5 P6 A5", oracle=_ORACLE)
 def e2e01_conditions_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The real ``pipelines.conditions_plan`` over star-derived CNICS tables;
