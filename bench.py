@@ -19,6 +19,8 @@ from cnics_to_fhir_spark.session import build_session
 
 HEADLINE = [
     "e2e01_conditions_pipeline",
+    "e2e02_observations_pipeline",
+    "e2e04_patients_pipeline",
     "q01_pricing_summary",
     "q03_shipping_priority",
     "q05_local_supplier_volume",

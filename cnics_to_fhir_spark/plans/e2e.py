@@ -260,6 +260,237 @@ def e2e02_observations_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipelines.observations_plan(lab, page, snapshot)
 
 
+_P_US_CORE = "http://hl7.org/fhir/us/core/StructureDefinition/"
+_P_OMB = "urn:oid:2.16.840.1.113883.6.238"
+# NB: SQL-escaped apostrophe ('') and JSON-escaped quotes (\") — this text
+# lands inside a single-quoted SQL literal inside a JSON string.
+_P_DIV = (
+    '<div xmlns=\\"http://www.w3.org/1999/xhtml\\">Generated by CIRG' + "''" + "s CNICS to"
+    " FHIR. Version identifier: 0.1</div>"
+)
+
+# Patient derivation keyed on c = c_custkey:
+#  Sex c%3: Female / Male / 'Declined' (unmapped → no birthsex ext, no gender)
+#  Race c%4: White / Black / Pacific Islander (collapsing pair) / unmapped
+#  Hispanic c%2: No / Yes            sessions c%5==0 (two, + dup → distinct)
+#  crosswalk c%7==0 (hmrn only; suppresses PRO ids)   pro-identity c%5==0
+#  snapshot c%3==0
+_PAT_ORACLE = f"""
+WITH c AS (
+    SELECT c_custkey AS ck,
+           'sp-' || CAST(c_custkey AS VARCHAR) AS spid,
+           c_custkey % 3 AS msex, c_custkey % 4 AS mrace, c_custkey % 2 AS meth,
+           (c_custkey % 5 = 0) AS has_sess,
+           (c_custkey % 7 = 0) AS in_xwalk
+    FROM customer
+),
+body AS (
+    SELECT spid AS key,
+        '{{"resourceType":"Patient",'
+        || '"meta":{{"profile":["{_P_US_CORE}us-core-patient"]}},'
+        || '"text":{{"status":"generated","div":"{_P_DIV}"}},'
+        || '"extension":['
+        || CASE mrace
+           WHEN 0 THEN '{{"url":"{_P_US_CORE}us-core-race","extension":[{{"url":"ombCategory","valueCoding":{{"system":"{_P_OMB}","code":"2106-3","display":"White"}}}},{{"url":"text","valueString":"White"}}]}},'
+           WHEN 1 THEN '{{"url":"{_P_US_CORE}us-core-race","extension":[{{"url":"ombCategory","valueCoding":{{"system":"{_P_OMB}","code":"2054-5","display":"Black or African American"}}}},{{"url":"text","valueString":"Black or African American"}}]}},'
+           WHEN 2 THEN '{{"url":"{_P_US_CORE}us-core-race","extension":[{{"url":"ombCategory","valueCoding":{{"system":"{_P_OMB}","code":"2076-8","display":"Native Hawaiian or Other Pacific Islander"}}}},{{"url":"text","valueString":"Native Hawaiian or Other Pacific Islander"}}]}},'
+           ELSE ''
+           END
+        || CASE meth
+           WHEN 0 THEN '{{"url":"{_P_US_CORE}us-core-ethnicity","extension":[{{"url":"ombCategory","valueCoding":{{"system":"{_P_OMB}","code":"2186-5","display":"Non Hispanic or Latino"}}}},{{"url":"text","valueString":"Non Hispanic or Latino"}}]}}'
+           ELSE '{{"url":"{_P_US_CORE}us-core-ethnicity","extension":[{{"url":"ombCategory","valueCoding":{{"system":"{_P_OMB}","code":"2135-2","display":"Hispanic or Latino"}}}},{{"url":"text","valueString":"Hispanic or Latino"}}]}}'
+           END
+        || CASE msex
+           WHEN 0 THEN ',{{"url":"{_P_US_CORE}us-core-birthsex","valueCode":"F"}}'
+           WHEN 1 THEN ',{{"url":"{_P_US_CORE}us-core-birthsex","valueCode":"M"}}'
+           ELSE ''
+           END
+        || '],'
+        || '"identifier":[{{"system":"https://cnics.cirg.washington.edu/site-patient-id/uw","value":"' || spid || '"}}'
+        || CASE WHEN has_sess
+           THEN ',{{"system":"https://cnics-pro.cirg.washington.edu/session-id/uw","value":"sA-' || CAST(ck AS VARCHAR) || '"}}'
+             || ',{{"system":"https://cnics-pro.cirg.washington.edu/session-id/uw","value":"sB-' || CAST(ck AS VARCHAR) || '"}}'
+           ELSE '' END
+        || CASE WHEN in_xwalk
+           THEN ',{{"system":"https://cnics-pro.cirg.washington.edu/institution-mrn/uw","value":"H-' || CAST(ck AS VARCHAR) || '"}}'
+           ELSE '' END
+        || CASE WHEN has_sess AND NOT in_xwalk
+           THEN ',{{"system":"https://cnics-pro.cirg.washington.edu/pro-patient-id/uw","value":"9-' || CAST(ck AS VARCHAR) || '"}}'
+             || ',{{"system":"https://cnics-pro.cirg.washington.edu/institution-mrn/uw","value":"M-' || CAST(ck AS VARCHAR) || '"}}'
+           ELSE '' END
+        || ']'
+        || CASE msex WHEN 0 THEN ',"gender":"female"' WHEN 1 THEN ',"gender":"male"' ELSE '' END
+        || '}}' AS body_json
+    FROM c
+),
+exi AS (
+    SELECT 'sp-' || CAST(c_custkey AS VARCHAR) AS key,
+           'hapi-' || CAST(c_custkey AS VARCHAR) AS id
+    FROM customer WHERE c_custkey % 3 = 0
+)
+SELECT 'Patient' AS resource_type,
+       CASE WHEN b.key IS NOT NULL AND e.key IS NOT NULL THEN 'update'
+            WHEN b.key IS NOT NULL THEN 'insert'
+            ELSE 'delete' END AS action,
+       e.id AS id,
+       COALESCE(b.key, e.key) AS key,
+       b.body_json AS body_json
+FROM body b FULL OUTER JOIN exi e ON b.key = e.key
+"""
+
+
+@query("e2e04_patients_pipeline", tags="E2E J2 J4 J5 A1 A2 A3 B1 F8 F9 F10 A5", oracle=_PAT_ORACLE)
+def e2e04_patients_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Patient vertical: 5-source identifier assembly (site / sessions /
+    crosswalk MRNs / PRO ids with crosswalk-precedence suppression),
+    conditional race/ethnicity/birthsex extensions, session DISTINCT, and
+    the MERGE — oracle string-assembles every conditional arm."""
+    from cnics_to_fhir_spark import pipelines
+
+    customer = table(spark, sf_dir, "customer")
+    c = F.col("c_custkey")
+    cs = c.cast("string")
+    page = customer.select(
+        c.alias("PatientId"),
+        F.concat(F.lit("sp-"), cs).alias("SitePatientId"),
+        F.lit("UW").alias("Site"),
+    )
+    demo = customer.select(
+        c.alias("DemographicId"),
+        c.alias("PatientId"),
+        F.when(c % 3 == 0, "Female").when(c % 3 == 1, "Male").otherwise("Declined").alias("Sex"),
+        F.when(c % 4 == 0, "White")
+        .when(c % 4 == 1, "Black")
+        .when(c % 4 == 2, "Pacific Islander")
+        .otherwise("Unmapped Race")
+        .alias("Race"),
+        F.when(c % 2 == 0, "No").otherwise("Yes").alias("Hispanic"),
+    )
+    sess = customer.filter(c % 5 == 0)
+    pro = (
+        sess.select(F.concat(F.lit("sA-"), cs).alias("SessionId"), c.alias("PatientId"))
+        .unionByName(sess.select(F.concat(F.lit("sB-"), cs).alias("SessionId"), c.alias("PatientId")))
+        .unionByName(sess.select(F.concat(F.lit("sA-"), cs).alias("SessionId"), c.alias("PatientId")))
+    )  # duplicate sA row → DISTINCT must dedupe (A1)
+    crosswalk = customer.filter(c % 7 == 0).select(
+        F.concat(F.lit("sp-"), cs).alias("SitePatientId"),
+        F.concat(F.lit("H-"), cs).alias("hmrn"),
+        F.lit(None).cast("string").alias("umrn"),
+    )
+    pro_ident = sess.select(
+        c.alias("PatientId"),
+        F.array(F.concat(F.lit("9-"), cs)).alias("pro_patient_ids"),
+        F.array(F.concat(F.lit("M-"), cs)).alias("pro_mrns"),
+    )
+    snapshot = customer.filter(c % 3 == 0).select(
+        F.lit("Patient").alias("resource_type"),
+        F.concat(F.lit("hapi-"), cs).alias("id"),
+        F.lit(None).cast("string").alias("subject"),
+        F.lit("https://cnics.cirg.washington.edu/site-patient-id/uw").alias("identifier_0_system"),
+        F.concat(F.lit("sp-"), cs).alias("identifier_0_value"),
+        F.lit(True).alias("has_identifier"),
+    )
+    return pipelines.patients_plan(page, demo, pro, crosswalk, pro_ident, snapshot)
+
+
+# Medication branches by o_orderkey % 4 (status × name-cleanup quirks):
+#  m=0 start+end        → 'stopped'     name 'ABACAVIR  ER' (double space → code collapses)
+#  m=1 start only       → 'active'      name 'TENOFOVIR'
+#  m=2 no start, end    → 'unknown'     name 'DOLUTEGRAVIR   50MG' (3 spaces → 2 in code)
+#  m=3 start only       → 'active'      name 'RITONAVIR'
+_MED_ORACLE = """
+WITH page AS (
+    SELECT c_custkey AS pid, 'hapi-' || CAST(c_custkey AS VARCHAR) AS fhir_id
+    FROM customer
+),
+med AS (
+    SELECT o_orderkey AS k, o_custkey AS pid,
+           'med-' || CAST(o_orderkey AS VARCHAR) AS rid,
+           o_orderkey % 4 AS m
+    FROM orders
+),
+cur AS (
+    SELECT med.*, page.fhir_id,
+           CASE m WHEN 0 THEN 'ABACAVIR  ER' WHEN 1 THEN 'TENOFOVIR'
+                  WHEN 2 THEN 'DOLUTEGRAVIR   50MG' ELSE 'RITONAVIR' END AS name,
+           CASE m WHEN 0 THEN 'stopped' WHEN 2 THEN 'unknown' ELSE 'active' END AS status
+    FROM med JOIN page ON med.pid = page.pid
+),
+body AS (
+    SELECT rid AS key,
+        '{"resourceType":"MedicationRequest",'
+        || '"meta":{"profile":["http://hl7.org/fhir/us/core/StructureDefinition/us-core-medicationrequest"]},'
+        || '"intent":"order",'
+        || '"status":"' || status || '",'
+        || '"medicationCodeableConcept":{"coding":[{'
+        || '"system":"https://cnics.cirg.washington.edu/medication-name",'
+        || '"code":"' || regexp_replace(name, '  ', ' ', 'g') || '",'
+        || '"display":"' || name || '"}],"text":"' || name || '"},'
+        || '"subject":{"reference":"Patient/' || fhir_id || '"},'
+        || '"identifier":[{"system":"https://cnics.cirg.washington.edu/medication/site-record-id/uw",'
+        || '"value":"' || rid || '"}]}' AS body_json
+    FROM cur
+),
+exi AS (
+    SELECT 'med-' || CAST(o_orderkey AS VARCHAR) AS key,
+           'srv-' || CAST(o_orderkey AS VARCHAR) AS id
+    FROM orders WHERE o_orderkey % 5 = 0
+)
+SELECT 'MedicationRequest' AS resource_type,
+       CASE WHEN b.key IS NOT NULL AND e.key IS NOT NULL THEN 'update'
+            WHEN b.key IS NOT NULL THEN 'insert'
+            ELSE 'delete' END AS action,
+       e.id AS id,
+       COALESCE(b.key, e.key) AS key,
+       b.body_json AS body_json
+FROM body b FULL OUTER JOIN exi e ON b.key = e.key
+"""
+
+
+@query("e2e03_medications_pipeline", tags="E2E J3 J6 B3 F4 F14 A5", oracle=_MED_ORACLE)
+def e2e03_medications_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MedicationRequest vertical: F4 status mapping + the F14 double-space
+    collapse quirk in the coding code (display keeps the raw name).
+
+    NOTE the reference's single ``replace('  ', ' ')`` pass collapses
+    non-overlapping pairs left-to-right (3 spaces → 2); DuckDB's
+    regexp_replace(..., 'g') has the same non-overlapping semantics."""
+    from cnics_to_fhir_spark import pipelines
+
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    k = F.col("o_orderkey")
+    m = k % 4
+    med = orders.select(
+        k.alias("MedicationId"),
+        F.lit(None).cast("string").alias("Historical"),
+        F.col("o_custkey").alias("PatientId"),
+        F.encode(F.concat(F.lit("med-"), k.cast("string")), "UTF-8").alias("SiteRecordId"),
+        F.when(m == 0, "ABACAVIR  ER")
+        .when(m == 1, "TENOFOVIR")
+        .when(m == 2, "DOLUTEGRAVIR   50MG")
+        .otherwise("RITONAVIR")
+        .alias("MedicationName"),
+        F.when(m != 2, F.col("o_orderdate")).alias("StartDate"),
+        F.when(m == 0, F.col("o_orderdate")).alias("EndDate"),
+        F.when(m == 0, "completed").alias("EndType"),
+    )
+    page = customer.select(
+        F.col("c_custkey").alias("PatientId"),
+        F.lit("UW").alias("Site"),
+        F.concat(F.lit("hapi-"), F.col("c_custkey").cast("string")).alias("fhir_patient_id"),
+    )
+    snapshot = orders.filter(k % 5 == 0).select(
+        F.lit("MedicationRequest").alias("resource_type"),
+        F.concat(F.lit("srv-"), k.cast("string")).alias("id"),
+        F.lit(None).cast("string").alias("subject"),
+        F.lit("https://cnics.cirg.washington.edu/medication/site-record-id/uw").alias("identifier_0_system"),
+        F.concat(F.lit("med-"), k.cast("string")).alias("identifier_0_value"),
+        F.lit(True).alias("has_identifier"),
+    )
+    return pipelines.medications_plan(med, page, snapshot)
+
+
 @query("e2e01_conditions_pipeline", tags="E2E J3 J6 B2 F1-F7 P4 P5 P6 A5", oracle=_ORACLE)
 def e2e01_conditions_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The real ``pipelines.conditions_plan`` over star-derived CNICS tables;
