@@ -1,0 +1,143 @@
+"""Training-dataset assembly operators: sequence packing, stratified
+sampling (dataset mixing), and deterministic global shuffle.
+
+These are the last-mile ops of an LLM data pipeline, downstream of dedup /
+quality filtering (operators/dedup.py, operators/textanalysis.py): decide
+what fraction of each stratum enters the mix, pack documents into fixed
+token-budget context windows, and give the corpus a reproducible random
+order for training.
+
+Scale design (100 TB):
+- Sampling is a pure per-row filter on an md5 bucket — no shuffle, pushes
+  down to the scan, and is deterministic across engines and reruns (unlike
+  ``df.sample``, whose output depends on partitioning).
+- Packing shuffles once on the shard key and runs per-shard; shards are the
+  unit of parallelism exactly as in real pretraining pipelines (each output
+  shard is packed independently). Chunked packing stays fully native
+  (window cumsum inside codegen); exact greedy packing is the one
+  genuinely sequential recurrence here, so it uses Arrow-batched
+  ``applyInPandas`` per shard — never a driver-side loop.
+- The shuffle materializes (bucket, rank-in-bucket) rather than a global
+  row_number: a single total-order window would serialize onto one task,
+  while 256 md5 buckets ≡ range partitions that sort in parallel; global
+  order is (bucket, rank) lexicographically.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cnics_to_fhir_spark.operators.textanalysis import token_count
+
+
+def _md5_prefix(col, n: int):
+    return F.substring(F.md5(col.cast("string")), 1, n)
+
+
+def stratified_sample(
+    df: DataFrame, rates: dict[str, str], strata_col: str, key_col: str, default_rate: str = "00"
+) -> DataFrame:
+    """Deterministic per-stratum sampling for dataset mixing.
+
+    ``rates`` maps a stratum value to a 2-hex-digit threshold: a row is kept
+    iff the first two hex chars of ``md5(key)`` sort before the threshold,
+    so ``"80"`` ≈ 50 %, ``"40"`` ≈ 25 %. Lowercase-hex lexicographic order
+    equals numeric order, which keeps the predicate engine-portable (no
+    hex→int conversion on either side).
+    """
+    bucket = _md5_prefix(F.col(key_col), 2)
+    thresh = F.lit(default_rate)
+    for stratum, rate in rates.items():
+        thresh = F.when(F.col(strata_col) == stratum, F.lit(rate)).otherwise(thresh)
+    return df.filter(bucket < thresh)
+
+
+def pack_chunked(
+    df: DataFrame,
+    budget: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shard_col: str = "lang",
+) -> DataFrame:
+    """Concat-and-chunk packing (GPT-style): within each shard, documents in
+    ``id_col`` order form one virtual token stream split every ``budget``
+    tokens. Emits the bin each document *starts* in and its offset there.
+    One shuffle (on the shard key); the cumsum window is codegen-native.
+    """
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tok = token_count(F.col(text_col))
+    prec = F.coalesce(F.sum(tok).over(w), F.lit(0)).cast("long")
+    return df.select(
+        F.col(shard_col).alias("shard"),
+        F.col(id_col).alias("doc_id"),
+        tok.cast("long").alias("tok"),
+        F.floor(prec / budget).alias("bin_id"),
+        (prec % budget).alias("bin_offset"),
+    )
+
+
+def pack_greedy(
+    df: DataFrame,
+    budget: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shard_col: str = "lang",
+) -> DataFrame:
+    """Exact greedy sequential packing: within each shard (in ``id_col``
+    order) a document joins the current bin iff it fits, else opens a new
+    one; an oversize document gets a bin to itself. The fill-level reset
+    makes this a true sequential recurrence — not expressible as a window
+    cumsum — so it runs as Arrow-batched ``applyInPandas`` per shard, the
+    same per-shard parallelism as :func:`pack_chunked`.
+    """
+    prepared = df.select(
+        F.col(shard_col).alias("shard"),
+        F.col(id_col).alias("doc_id"),
+        token_count(F.col(text_col)).cast("long").alias("tok"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        bins, fills = [], []
+        bin_id, fill = -1, 0
+        first = True
+        for tok in pdf["tok"]:
+            if first or fill + tok > budget:
+                bin_id += 1
+                fill = tok
+                first = False
+            else:
+                fill += tok
+            bins.append(bin_id)
+            fills.append(fill)
+        pdf["bin_id"] = pd.Series(bins, dtype="int64")
+        pdf["bin_fill"] = pd.Series(fills, dtype="int64")
+        return pdf
+
+    return prepared.groupBy("shard").applyInPandas(
+        pack, schema="shard string, doc_id long, tok long, bin_id long, bin_fill long"
+    )
+
+
+def deterministic_shuffle(df: DataFrame, key_col: str, n_hex: int = 2) -> DataFrame:
+    """Reproducible pseudo-random training order: ``bucket`` = first
+    ``n_hex`` md5 hex chars of the key (256 range partitions at the
+    default), ``rank`` = position within the bucket by full md5 (key as
+    tiebreak). Global order is (bucket, rank); each bucket sorts in
+    parallel — no single-task total-order window.
+    """
+    h = F.md5(F.col(key_col).cast("string"))
+    w = Window.partitionBy("bucket").orderBy("h", key_col)
+    return (
+        df.withColumn("h", h)
+        .withColumn("bucket", F.substring(F.col("h"), 1, n_hex))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .drop("h")
+    )

@@ -559,3 +559,123 @@ def ev01_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ev02_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min gap) + per-session stats."""
     return events_windows.session_stats(table(spark, sf_dir, "events"), gap_minutes=30)
+
+
+# ---------------------------------------------------------------------------
+# Dataset assembly (operators/dataset.py): mixing, packing, shuffle
+# ---------------------------------------------------------------------------
+@query(
+    "ds01_stratified_sample",
+    tags="DS-mix O3 F22",
+    oracle="""
+        SELECT doc_id, lang, source
+        FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+              < CASE lang WHEN 'en' THEN '80' WHEN 'de' THEN '40' ELSE '20' END
+    """,
+)
+def ds01_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-mixing sampler: per-language keep rates (en 50 %, de 25 %,
+    rest 12.5 %) via deterministic md5 buckets — a pure filter (no shuffle,
+    scan-pushed), reproducible across engines and reruns unlike df.sample."""
+    from cnics_to_fhir_spark.operators import dataset
+
+    return dataset.stratified_sample(
+        table(spark, sf_dir, "documents"),
+        rates={"en": "80", "de": "40"},
+        strata_col="lang",
+        key_col="doc_id",
+        default_rate="20",
+    ).select("doc_id", "lang", "source")
+
+
+@query(
+    "ds02_chunked_packing",
+    tags="DS-pack A3 W",
+    oracle="""
+        WITH t AS (
+            SELECT lang AS shard, doc_id,
+                   CAST(CASE WHEN length(text) = 0 THEN 0
+                             ELSE len(string_split(text, ' ')) END AS BIGINT) AS tok
+            FROM documents
+        ),
+        c AS (
+            SELECT shard, doc_id, tok,
+                   CAST(COALESCE(SUM(tok) OVER (
+                       PARTITION BY shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS BIGINT) AS prec
+            FROM t
+        )
+        SELECT shard, doc_id, tok,
+               prec // 256 AS bin_id,
+               prec % 256 AS bin_offset
+        FROM c
+    """,
+)
+def ds02_chunked_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (budget 256 tokens) per language
+    shard — GPT-style virtual token stream split every ``budget`` tokens;
+    one shuffle on the shard key, cumsum window inside codegen."""
+    from cnics_to_fhir_spark.operators import dataset
+
+    return dataset.pack_chunked(table(spark, sf_dir, "documents"), budget=256)
+
+
+@query(
+    "ds03_greedy_packing",
+    tags="DS-pack UDF",
+    oracle="""
+        WITH RECURSIVE t AS (
+            SELECT lang AS shard, doc_id,
+                   CAST(CASE WHEN length(text) = 0 THEN 0
+                             ELSE len(string_split(text, ' ')) END AS BIGINT) AS tok,
+                   ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+            FROM documents
+        ),
+        packed AS (
+            SELECT shard, doc_id, tok, rn,
+                   CAST(0 AS BIGINT) AS bin_id, tok AS bin_fill
+            FROM t WHERE rn = 1
+            UNION ALL
+            SELECT t.shard, t.doc_id, t.tok, t.rn,
+                   CASE WHEN p.bin_fill + t.tok <= 256
+                        THEN p.bin_id ELSE p.bin_id + 1 END,
+                   CASE WHEN p.bin_fill + t.tok <= 256
+                        THEN p.bin_fill + t.tok ELSE t.tok END
+            FROM packed p JOIN t ON t.shard = p.shard AND t.rn = p.rn + 1
+        )
+        SELECT shard, doc_id, tok, bin_id, bin_fill FROM packed
+    """,
+)
+def ds03_greedy_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact greedy first-fit-sequential packing (budget 256): the fill
+    reset is a true sequential recurrence, so it runs as Arrow-batched
+    applyInPandas per shard; the oracle replays it as a recursive CTE."""
+    from cnics_to_fhir_spark.operators import dataset
+
+    return dataset.pack_greedy(table(spark, sf_dir, "documents"), budget=256)
+
+
+@query(
+    "ds04_deterministic_shuffle",
+    tags="DS-shuffle W O3",
+    oracle="""
+        SELECT doc_id,
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
+               ROW_NUMBER() OVER (
+                   PARTITION BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rank
+        FROM documents
+    """,
+)
+def ds04_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible training order: (md5 bucket, rank-in-bucket) — 256
+    parallel range partitions instead of a single-task global row_number;
+    global order is (bucket, rank) lexicographically."""
+    from cnics_to_fhir_spark.operators import dataset
+
+    return dataset.deterministic_shuffle(
+        table(spark, sf_dir, "documents"), key_col="doc_id"
+    ).select("doc_id", "bucket", "rank")

@@ -1,0 +1,90 @@
+"""Semantics pins for operators/dataset.py (mixing, packing, shuffle)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cnics_to_fhir_spark.operators import dataset
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_greedy_packing_resets_and_oversize(spark):
+    # tokens: 3, 3, 3 (budget 7 → bins [0,0,1]); then an oversize 10-token
+    # doc gets its own bin; then a 2-token doc opens a fresh bin after it.
+    rows = [
+        (0, "a b c", "en"),
+        (1, "d e f", "en"),
+        (2, "g h i", "en"),
+        (3, "t t t t t t t t t t", "en"),
+        (4, "x y", "en"),
+        (10, "uno dos", "es"),  # separate shard restarts at bin 0
+    ]
+    out = {
+        r["doc_id"]: (r["shard"], r["bin_id"], r["bin_fill"])
+        for r in dataset.pack_greedy(_docs(spark, rows), budget=7).collect()
+    }
+    assert out[0] == ("en", 0, 3)
+    assert out[1] == ("en", 0, 6)
+    assert out[2] == ("en", 1, 3)  # 6+3 > 7 → new bin
+    assert out[3] == ("en", 2, 10)  # oversize: alone, fill > budget
+    assert out[4] == ("en", 3, 2)  # forced out of the overfull bin
+    assert out[10] == ("es", 0, 2)
+
+
+def test_greedy_bins_never_mix_fitting_overflow(spark):
+    # Every bin's fill ≤ budget unless the bin holds exactly one oversize doc.
+    rows = [(i, " ".join(["w"] * (1 + i * 3 % 11)), "en") for i in range(40)]
+    df = dataset.pack_greedy(_docs(spark, rows), budget=16)
+    bad = (
+        df.groupBy("shard", "bin_id")
+        .agg(F.sum("tok").alias("fill"), F.count("*").alias("n"))
+        .filter((F.col("fill") > 16) & (F.col("n") > 1))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_chunked_packing_offsets(spark):
+    rows = [(0, "a b c", "en"), (1, "d e", "en"), (2, "f g h i", "en")]
+    out = {
+        r["doc_id"]: (r["bin_id"], r["bin_offset"])
+        for r in dataset.pack_chunked(_docs(spark, rows), budget=4).collect()
+    }
+    # cum-before: 0, 3, 5 → bins 0, 0, 1; offsets 0, 3, 1
+    assert out[0] == (0, 0)
+    assert out[1] == (0, 3)
+    assert out[2] == (1, 1)
+
+
+def test_stratified_sample_threshold_and_rate(spark):
+    rows = [(i, "t", "en" if i % 2 == 0 else "zh") for i in range(2000)]
+    df = _docs(spark, rows)
+    kept = dataset.stratified_sample(
+        df, rates={"en": "80"}, strata_col="lang", key_col="doc_id", default_rate="20"
+    )
+    checked = kept.withColumn(
+        "bucket", F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    ).collect()
+    for r in checked:
+        limit = "80" if r["lang"] == "en" else "20"
+        assert r["bucket"] < limit
+    n_en = sum(1 for r in checked if r["lang"] == "en")
+    n_zh = len(checked) - n_en
+    assert 0.4 * 1000 < n_en < 0.6 * 1000  # ≈ 50 %
+    assert 0.07 * 1000 < n_zh < 0.19 * 1000  # ≈ 12.5 %
+
+
+def test_deterministic_shuffle_reproducible_and_dense(spark):
+    rows = [(i, "t", "en") for i in range(500)]
+    df = _docs(spark, rows)
+    a = {r["doc_id"]: (r["bucket"], r["rank"]) for r in dataset.deterministic_shuffle(df, "doc_id").collect()}
+    b = {r["doc_id"]: (r["bucket"], r["rank"]) for r in dataset.deterministic_shuffle(df, "doc_id").collect()}
+    assert a == b  # reproducible across runs
+    per_bucket: dict[str, list[int]] = {}
+    for bucket, rank in a.values():
+        per_bucket.setdefault(bucket, []).append(rank)
+    for ranks in per_bucket.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))  # dense 1..n
