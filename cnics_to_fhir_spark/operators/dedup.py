@@ -151,6 +151,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     k: int = 3,
     threshold: float = 0.5,
+    persist_shingles: bool = True,
 ) -> DataFrame:
     """MinHash → band buckets → equi-join candidates → exact-Jaccard verify.
 
@@ -159,14 +160,19 @@ def minhash_lsh_pairs(
     rows = num_hashes // bands
     # The band join + pair dedup run over (id, band_id, band_hash) rows only
     # (~24 B each); the 8-way band explode never amplifies shingle arrays.
-    # Shingles rejoin by id in the verify stage — at 100 TB the shingle
-    # re-computation is two extra codegen'd scans, vs. shuffling the full
-    # shingle corpus 8× (persist ``shingled`` when the cluster has the RAM).
+    # Shingles are used 3× (banding + both sides of the verify join);
+    # persist_shingles caches them MEMORY_AND_DISK (~25 % wall-clock at
+    # sf0.1). On a storage-tight cluster set False: re-computation is two
+    # extra codegen'd scans, still never shuffling the shingle corpus 8×.
     df = ensure_min_parallelism(df, id_col)
     shingled = df.select(
         F.col(id_col).alias("id"),
         F.array_distinct(word_shingles(F.col(text_col), k)).alias("shingles"),
     )
+    if persist_shingles:
+        from pyspark import StorageLevel
+
+        shingled = shingled.persist(StorageLevel.MEMORY_AND_DISK)
     banded = shingled.select(
         "id", minhash_from_shingles(F.col("shingles"), num_hashes).alias("sig")
     ).select(
