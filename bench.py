@@ -42,6 +42,9 @@ HEADLINE = [
     "tx03_rolling_fingerprint",
     "ev01_tumbling_window",
     "ev02_sessionization",
+    "ds02_chunked_packing",
+    "ds03_greedy_packing",
+    "ds04_deterministic_shuffle",
 ]
 
 
