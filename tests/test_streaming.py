@@ -146,3 +146,53 @@ def test_stateful_sessionization_stream(spark, tmp_path):
     }
     assert got[(7, "2024-01-01T10:00:00")] == (2, 3.0)   # closed by in-batch gap
     assert got[(7, "2024-01-01T12:00:00")] == (1, 4.0)   # closed by timeout
+
+
+def test_streaming_fingerprint_dedup_bounded_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: duplicate fingerprints arriving while
+    the key's state is live are suppressed across micro-batches; distinct
+    texts pass. State expires with the event-time watermark (bounded)."""
+    from datetime import datetime
+
+    from cnics_to_fhir_spark.streaming.dedup import (
+        fingerprint_dedup_stream,
+        run_dedup_to_memory_sink,
+    )
+
+    src = tmp_path / "dd-src"
+    src.mkdir()
+    chk = tmp_path / "dd-chk"
+    schema = "ts timestamp, doc_id long, text string"
+
+    def write_batch(name, rows):
+        spark.createDataFrame(
+            [(datetime.fromisoformat(t), i, x) for t, i, x in rows], schema
+        ).write.parquet(str(src / name))
+
+    # b0: same normalized text twice (case/whitespace differ), one distinct
+    write_batch("b0", [
+        ("2024-01-01 10:00:00", 0, "Hello  World"),
+        ("2024-01-01 10:01:00", 1, "hello world"),
+        ("2024-01-01 10:02:00", 2, "something else"),
+    ])
+
+    stream = spark.readStream.schema(schema).parquet(str(src) + "/*")
+    q = run_dedup_to_memory_sink(
+        fingerprint_dedup_stream(stream, watermark="1 hour"), "dd_sink", str(chk)
+    )
+    try:
+        q.processAllAvailable()
+        # b1: another duplicate of the first text within the watermark →
+        # suppressed; a new text → emitted
+        write_batch("b1", [
+            ("2024-01-01 10:10:00", 3, "HELLO   WORLD"),
+            ("2024-01-01 10:11:00", 4, "brand new"),
+        ])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = sorted(r["doc_id"] for r in spark.table("dd_sink").collect())
+    assert got == [0, 2, 4] or got == [1, 2, 4]  # one survivor per fingerprint
+    fps = [r["fingerprint"] for r in spark.table("dd_sink").collect()]
+    assert len(fps) == len(set(fps))
