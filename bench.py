@@ -45,6 +45,7 @@ HEADLINE = [
     "ds02_chunked_packing",
     "ds03_greedy_packing",
     "ds04_deterministic_shuffle",
+    "e2e05_corpus_curation",
 ]
 
 

@@ -61,11 +61,13 @@ def pack_chunked(
     text_col: str = "text",
     id_col: str = "doc_id",
     shard_col: str = "lang",
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Concat-and-chunk packing (GPT-style): within each shard, documents in
     ``id_col`` order form one virtual token stream split every ``budget``
     tokens. Emits the bin each document *starts* in and its offset there.
     One shuffle (on the shard key); the cumsum window is codegen-native.
+    ``extra_cols`` pass through unchanged.
     """
     w = (
         Window.partitionBy(shard_col)
@@ -80,6 +82,48 @@ def pack_chunked(
         tok.cast("long").alias("tok"),
         F.floor(prec / budget).alias("bin_id"),
         (prec % budget).alias("bin_offset"),
+        *[F.col(c) for c in extra_cols],
+    )
+
+
+def curate_corpus(
+    df: DataFrame,
+    budget: int = 256,
+    quality_min: float = 0.65,
+    rates: dict[str, str] | None = None,
+    default_rate: str = "20",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shard_col: str = "lang",
+) -> DataFrame:
+    """End-to-end corpus curation in ONE DataFrame DAG: exact dedup (keep
+    the lowest id per normalized-text fingerprint) → quality gate →
+    stratified language mixing → chunked sequence packing.
+
+    Shuffle budget: one hash partition on the fingerprint (dedup window) and
+    one on the shard key (packing window); the quality gate and the sampler
+    are pure filters fused into the scan side of the first exchange.
+    """
+    from cnics_to_fhir_spark.operators.textanalysis import fingerprint, quality_score
+
+    if rates is None:
+        rates = {"en": "80", "de": "40"}
+    w = Window.partitionBy("fingerprint").orderBy(id_col)
+    kept = (
+        df.select(
+            F.col(shard_col),
+            F.col(id_col),
+            F.col(text_col),
+            fingerprint(F.col(text_col)).alias("fingerprint"),
+            quality_score(F.col(text_col)).alias("quality"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("quality") >= quality_min))
+    )
+    kept = stratified_sample(kept, rates, shard_col, id_col, default_rate)
+    return pack_chunked(
+        kept, budget, text_col=text_col, id_col=id_col, shard_col=shard_col,
+        extra_cols=("quality",),
     )
 
 

@@ -679,3 +679,55 @@ def ds04_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dataset.deterministic_shuffle(
         table(spark, sf_dir, "documents"), key_col="doc_id"
     ).select("doc_id", "bucket", "rank")
+
+
+@query(
+    "e2e05_corpus_curation",
+    tags="E2E DS DD-exact TX A3 W F22",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, lang, text, string_split(text, ' ') AS toks
+            FROM documents
+        ),
+        m AS (
+            SELECT doc_id, lang, text,
+                   md5(LOWER(TRIM(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint,
+                   FLOOR((CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) * 0.6
+                         + CASE WHEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
+                                     BETWEEN 3 AND 10 THEN 0.2 ELSE 0.0 END
+                         + LEAST(CAST(len(toks) AS DOUBLE) / 32.0, 1.0) * 0.2)*1e4 + 0.5)/1e4 AS quality,
+                   CAST(CASE WHEN length(text) = 0 THEN 0 ELSE len(toks) END AS BIGINT) AS tok
+            FROM t
+        ),
+        kept AS (
+            SELECT * FROM (
+                SELECT m.*, ROW_NUMBER() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+                FROM m
+            )
+            WHERE rn = 1 AND quality >= 0.65
+              AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                  < CASE lang WHEN 'en' THEN '80' WHEN 'de' THEN '40' ELSE '20' END
+        ),
+        c AS (
+            SELECT lang AS shard, doc_id, tok, quality,
+                   CAST(COALESCE(SUM(tok) OVER (
+                       PARTITION BY lang ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS BIGINT) AS prec
+            FROM kept
+        )
+        SELECT shard, doc_id, tok,
+               prec // 256 AS bin_id,
+               prec % 256 AS bin_offset,
+               quality
+        FROM c
+    """,
+)
+def e2e05_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-curation vertical in ONE DAG: exact dedup (keeper = lowest id
+    per normalized fingerprint) → quality gate (≥ 0.65) → stratified
+    language mixing → chunked packing. Two shuffles total (fingerprint
+    window, shard window); the gate and sampler are scan-fused filters."""
+    from cnics_to_fhir_spark.operators import dataset
+
+    return dataset.curate_corpus(table(spark, sf_dir, "documents"))

@@ -88,3 +88,19 @@ def test_deterministic_shuffle_reproducible_and_dense(spark):
         per_bucket.setdefault(bucket, []).append(rank)
     for ranks in per_bucket.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))  # dense 1..n
+
+
+def test_curate_corpus_dedup_and_quality_floor(spark):
+    rows = [
+        (0, "the cat sat on the mat and looked around the room", "en"),
+        (1, "THE CAT SAT ON THE MAT AND LOOKED AROUND THE ROOM", "en"),  # dup of 0
+        (2, "word word word word word word word word", "en"),  # low diversity
+        (3, "a quick brown fox jumps over the lazy dog near banks", "en"),
+    ]
+    out = dataset.curate_corpus(
+        _docs(spark, rows), quality_min=0.5, rates={"en": "ff"}, default_rate="ff"
+    ).collect()
+    ids = {r["doc_id"] for r in out}
+    assert 1 not in ids  # fingerprint dup: only the lowest id survives
+    assert 0 in ids and 3 in ids
+    assert all(r["quality"] >= 0.5 for r in out)
