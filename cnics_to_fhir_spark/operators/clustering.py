@@ -1,0 +1,88 @@
+"""K-means (Lloyd) training over an embedding column — the iterative-
+refinement algorithm class, expressed the idiomatic Spark way: the corpus
+never leaves the cluster; only the k×dim centroid matrix round-trips the
+driver between iterations (exactly MLlib's structure).
+
+Per iteration: broadcast the tiny centroid table, assign each vector to its
+nearest centroid (argmin over a broadcast nested-loop join + one window),
+recompute centroids as per-dimension means (posexplode → groupBy(cid, dim)
+— a shuffle of |corpus|×dim scalar rows, the only shuffle per iteration).
+
+Determinism across engines (for the DuckDB oracle, which unrolls the same
+fixed iteration count in SQL): centroids round to 6 dp after init and every
+recompute, squared distances use the identical dot-product expansion
+``<v,v> - 2<v,c> + <c,c>`` on both sides, and argmin ties break on the
+centroid id — so assignments match exactly unless two distances collide
+within float-summation noise of a rounding boundary (~1e-15).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cnics_to_fhir_spark.functions.numeric import stable_round
+from cnics_to_fhir_spark.operators.similarity import dot
+
+
+def _sq_dist(v, c):
+    return dot(v, v) - 2 * dot(v, c) + dot(c, c)
+
+
+def _assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest centroid per vector: broadcast the k-row centroid table."""
+    w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+    return (
+        vectors.crossJoin(F.broadcast(centroids))
+        .withColumn("dist", _sq_dist(F.col("v"), F.col("cv")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "cid", "dist")
+    )
+
+
+def kmeans_assign(
+    spark: SparkSession,
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 4,
+    iters: int = 2,
+) -> DataFrame:
+    """Run ``iters`` Lloyd iterations from a deterministic init (the k
+    lowest-id vectors) and return the final assignment
+    (vec_id, cluster, dist — dist rounded 6 dp)."""
+    vectors = df.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    init = vectors.orderBy("vec_id").limit(k).collect()
+    centroid_rows = [
+        (cid, [math.floor(x * 1e6 + 0.5) / 1e6 for x in r["v"]])
+        for cid, r in enumerate(init)
+    ]
+
+    def centroid_df(rows):
+        return spark.createDataFrame(rows, "cid int, cv array<double>")
+
+    assigned = None
+    for _ in range(iters):
+        assigned = _assign(vectors, centroid_df(centroid_rows))
+        means = (
+            assigned.select("cid", F.posexplode("v").alias("idx", "val"))
+            .groupBy("cid", "idx")
+            .agg(stable_round(F.avg("val"), 6).alias("m"))
+            .groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("idx", "m"))).alias("dims"))
+            .select("cid", F.col("dims.m").alias("cv"))
+            .collect()
+        )
+        centroid_rows = [(r["cid"], list(r["cv"])) for r in means]
+
+    return assigned.select(
+        "vec_id",
+        F.col("cid").alias("cluster"),
+        stable_round(F.col("dist"), 6).alias("dist"),
+    )

@@ -731,3 +731,63 @@ def e2e05_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cnics_to_fhir_spark.operators import dataset
 
     return dataset.curate_corpus(table(spark, sf_dir, "documents"))
+
+
+@query(
+    "cl01_kmeans_assign",
+    tags="CL-iterative J8 A5 W",
+    oracle="""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        c0 AS (
+            SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid,
+                   list_transform(v, x -> FLOOR(x*1e6 + 0.5)/1e6) AS cv
+            FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 4)
+        ),
+        d0 AS (
+            SELECT e.vec_id, e.v, c.cid,
+                   list_dot_product(e.v, e.v) - 2*list_dot_product(e.v, c.cv)
+                     + list_dot_product(c.cv, c.cv) AS dist
+            FROM e CROSS JOIN c0 c
+        ),
+        a0 AS (
+            SELECT vec_id, v, cid, dist FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+                FROM d0
+            ) WHERE rn = 1
+        ),
+        c1 AS (
+            SELECT cid, list(m ORDER BY idx) AS cv FROM (
+                SELECT a.cid, t.idx, FLOOR(AVG(a.v[CAST(t.idx AS INT) + 1])*1e6 + 0.5)/1e6 AS m
+                FROM a0 a, range(64) t(idx)
+                GROUP BY a.cid, t.idx
+            ) GROUP BY cid
+        ),
+        d1 AS (
+            SELECT e.vec_id, c.cid,
+                   list_dot_product(e.v, e.v) - 2*list_dot_product(e.v, c.cv)
+                     + list_dot_product(c.cv, c.cv) AS dist
+            FROM e CROSS JOIN c1 c
+        ),
+        a1 AS (
+            SELECT vec_id, cid, dist FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+                FROM d1
+            ) WHERE rn = 1
+        )
+        SELECT vec_id, CAST(cid AS INT) AS cluster,
+               FLOOR(dist*1e6 + 0.5)/1e6 AS dist
+        FROM a1
+    """,
+)
+def cl01_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means (Lloyd, k=4, 2 iterations, deterministic lowest-id init) —
+    the iterative-refinement class done Spark-style: corpus stays
+    distributed, only the k×64 centroid matrix visits the driver between
+    iterations; the oracle unrolls the same two iterations in SQL."""
+    from cnics_to_fhir_spark.operators import clustering
+
+    return clustering.kmeans_assign(
+        spark, table(spark, sf_dir, "embeddings"), k=4, iters=2
+    )
