@@ -791,3 +791,71 @@ def cl01_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clustering.kmeans_assign(
         spark, table(spark, sf_dir, "embeddings"), k=4, iters=2
     )
+
+
+@query(
+    "ann04_ivf_trained_topk",
+    tags="ANN-ivf CL-iterative J1 W",
+    oracle="""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        c0 AS (
+            SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid,
+                   list_transform(v, x -> FLOOR(x*1e6 + 0.5)/1e6) AS cv
+            FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 4)
+        ),
+        a0 AS (
+            SELECT vec_id, v, cid FROM (
+                SELECT e.vec_id, e.v, c.cid,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                           list_dot_product(e.v, e.v) - 2*list_dot_product(e.v, c.cv)
+                             + list_dot_product(c.cv, c.cv), c.cid) AS rn
+                FROM e CROSS JOIN c0 c
+            ) WHERE rn = 1
+        ),
+        c1 AS (
+            SELECT cid, list(m ORDER BY idx) AS cv FROM (
+                SELECT a.cid, t.idx, FLOOR(AVG(a.v[CAST(t.idx AS INT) + 1])*1e6 + 0.5)/1e6 AS m
+                FROM a0 a, range(64) t(idx)
+                GROUP BY a.cid, t.idx
+            ) GROUP BY cid
+        ),
+        cells AS (
+            SELECT vec_id, v, cid FROM (
+                SELECT e.vec_id, e.v, c.cid,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                           list_dot_product(e.v, e.v) - 2*list_dot_product(e.v, c.cv)
+                             + list_dot_product(c.cv, c.cv), c.cid) AS rn
+                FROM e CROSS JOIN c1 c
+            ) WHERE rn = 1
+        ),
+        scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   FLOOR((list_dot_product(q.v, c.v)
+                         / (SQRT(list_dot_product(q.v, q.v)) * SQRT(list_dot_product(c.v, c.v))))*1e6 + 0.5)/1e6 AS cosine_sim
+            FROM (SELECT * FROM cells WHERE vec_id < 8) q
+            JOIN cells c ON q.cid = c.cid AND c.vec_id <> q.vec_id
+        )
+        SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+            SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cosine_sim DESC, neighbor_id) AS INTEGER) AS rank
+            FROM scored
+        ) WHERE rank <= 5
+    """,
+)
+def ann04_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-loop IVF: the coarse quantizer is TRAINED (cl01's 2-iteration
+    k-means) instead of taken from the synthetic label column; cells feed
+    the same bucketed-probe search as ann03. Train → index → search, all
+    oracle-checked end to end."""
+    from cnics_to_fhir_spark.operators import clustering, similarity
+
+    emb = table(spark, sf_dir, "embeddings")
+    cells = clustering.kmeans_assign(spark, emb, k=4, iters=2).select(
+        "vec_id", F.col("cluster").alias("cell")
+    )
+    indexed = emb.join(cells, "vec_id")
+    return similarity.ivf_topk(
+        indexed, indexed.filter(F.col("vec_id") < 8), k=5, cell_col="cell"
+    )
