@@ -296,3 +296,56 @@ def embedding_near_dup_pairs(
         "id_b",
         stable_round(cosine(F.col("vec_a"), F.col("vec_b")), 6).alias("cosine_sim"),
     ).filter(F.col("cosine_sim") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# Duplicate clusters (transitive closure over near-dup pairs)
+# ---------------------------------------------------------------------------
+
+def duplicate_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs: every doc that appears in a
+    pair gets its component's minimum id as ``cluster_rep`` — the canonical
+    keeper; drop everything where doc_id != cluster_rep.
+
+    Min-label propagation to fixpoint: each iteration every node takes the
+    min of its own label and its neighbors' labels (one join + one groupBy
+    per iteration, both on the node id). Converges in O(component diameter)
+    iterations — duplicate clusters are near-cliques, so 2-3 in practice.
+    ``localCheckpoint`` truncates lineage per iteration (swap for reliable
+    ``checkpoint`` on a real cluster). The fixpoint (min reachable id) is
+    path-independent, so the result is deterministic however partitions
+    race — which is what lets a DuckDB recursive-CTE oracle replay it.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
+    for _ in range(max_iters):
+        nbr = (
+            edges.join(
+                labels.select(F.col("id").alias("dst"), F.col("label").alias("dst_label")),
+                on="dst",
+            )
+            .groupBy("src")
+            .agg(F.min("dst_label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr, labels["id"] == nbr["src"], "left")
+            .select(
+                labels["id"],
+                F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            labels.select("id", F.col("label").alias("old"))
+            .join(new_labels, "id")
+            .filter(F.col("old") != F.col("label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_rep"))
+    raise RuntimeError(f"label propagation did not converge in {max_iters} iterations")

@@ -859,3 +859,50 @@ def ann04_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(
         indexed, indexed.filter(F.col("vec_id") < 8), k=5, cell_col="cell"
     )
+
+
+@query(
+    "dd06_dup_clusters",
+    tags="DD-clusters CL-iterative J1",
+    oracle="""
+        WITH RECURSIVE base AS (
+            SELECT doc_id AS id,
+                   array_to_string((string_split(text, ' '))[1:4], ' ') AS block,
+                   list_distinct(
+                       CASE WHEN len(string_split(text, ' ')) >= 3
+                            THEN list_transform(
+                                   range(1, len(string_split(text, ' ')) - 1),
+                                   i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))
+                            ELSE [text]
+                       END) AS shingles
+            FROM documents
+        ),
+        pairs AS (
+            SELECT a.id AS id_a, b.id AS id_b
+            FROM base a JOIN base b ON a.block = b.block AND a.id < b.id
+            WHERE FLOOR((CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                  / len(list_distinct(a.shingles || b.shingles)))*1e6 + 0.5)/1e6 >= 0.5
+        ),
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION ALL
+            SELECT id_b AS src, id_a AS dst FROM pairs
+        ),
+        reach AS (
+            SELECT DISTINCT src AS id, src AS r FROM edges
+            UNION
+            SELECT e.dst AS id, reach.r FROM reach JOIN edges e ON e.src = reach.id
+        )
+        SELECT id AS doc_id, MIN(r) AS cluster_rep FROM reach GROUP BY id
+    """,
+)
+def dd06_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure over dd02's near-dup pairs: connected components
+    by min-label propagation (joins-until-fixpoint); every pair member gets
+    its component's minimum doc_id as the canonical keeper. The oracle
+    computes the same closure with a recursive CTE — path-independence of
+    the fixpoint is what makes the two comparable."""
+    pairs = dedup.ngram_jaccard_pairs(
+        table(spark, sf_dir, "documents"), k=3, block_words=4, threshold=0.5
+    )
+    return dedup.duplicate_clusters(pairs)

@@ -106,3 +106,15 @@ def test_lsh_topk_recall_on_testdata(spark):
     a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
     recall = len(e & a) / len(e)
     assert recall >= 0.6, f"sign-LSH recall collapsed: {recall}"
+
+
+def test_duplicate_clusters_transitive_chain(spark):
+    """a~b and b~c (but no a~c pair) must still land in ONE cluster with
+    the minimum id as rep — transitivity the pair list alone doesn't give."""
+    from cnics_to_fhir_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 5), (5, 9), (20, 30)], "id_a long, id_b long"
+    )
+    got = {r["doc_id"]: r["cluster_rep"] for r in duplicate_clusters(pairs).collect()}
+    assert got == {1: 1, 5: 1, 9: 1, 20: 20, 30: 20}
