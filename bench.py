@@ -46,6 +46,10 @@ HEADLINE = [
     "ds03_greedy_packing",
     "ds04_deterministic_shuffle",
     "e2e05_corpus_curation",
+    # Iterative ops (dd06, cl01, ann04) are deliberately NOT headline:
+    # their wall time at toy SFs is driver-loop job-launch overhead
+    # (~1.2 s/iteration), not data-path throughput; correctness is gated
+    # via the catalog oracle like everything else.
 ]
 
 
