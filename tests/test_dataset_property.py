@@ -1,0 +1,45 @@
+"""Property-based tests for sequence packing: Spark pack_greedy matches a
+pure-Python reference for ANY token-length sequence, and greedy packing
+never uses fewer bins than chunked packing (chunking wastes no space)."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from cnics_to_fhir_spark.operators.dataset import pack_chunked, pack_greedy
+
+BUDGET = 37
+
+
+def _ref_greedy(toks: list[int]) -> dict[int, tuple[int, int]]:
+    out, bin_id, fill, first = {}, -1, 0, True
+    for i, t in enumerate(toks):
+        if first or fill + t > BUDGET:
+            bin_id, fill, first = bin_id + 1, t, False
+        else:
+            fill += t
+        out[i] = (bin_id, fill)
+    return out
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.integers(min_value=1, max_value=50), min_size=1, max_size=60))
+def test_greedy_matches_reference_and_bin_count_bound(spark, toks):
+    rows = [(i, " ".join(["w"] * t), "en") for i, t in enumerate(toks)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    got = {
+        r["doc_id"]: (r["bin_id"], r["bin_fill"])
+        for r in pack_greedy(df, budget=BUDGET).collect()
+    }
+    assert got == _ref_greedy(toks)
+
+    greedy_bins = len({b for b, _ in got.values()})
+    chunked = pack_chunked(df, budget=BUDGET).collect()
+    chunked_bins = len({r["bin_id"] for r in chunked})
+    assert greedy_bins >= chunked_bins
+    # chunked conservation: offsets + token counts reproduce the cumsum
+    total = sum(toks)
+    last = max(chunked, key=lambda r: r["doc_id"])
+    assert last["bin_id"] * BUDGET + last["bin_offset"] + last["tok"] == total
