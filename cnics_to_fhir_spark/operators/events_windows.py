@@ -50,3 +50,22 @@ def session_stats(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long"))).alias("duration_sec"),
         )
     )
+
+
+def sliding_window_agg(
+    events: DataFrame, width: str = "1 hour", slide: str = "30 minutes"
+) -> DataFrame:
+    """Sliding-window counts/sums per event_type: each event lands in
+    width/slide overlapping windows (F.window replicates it into each).
+    Same single shuffle as the tumbling form, with a width/slide row
+    amplification before it — the standard sliding trade."""
+    return (
+        events.groupBy(F.window("ts", width, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )

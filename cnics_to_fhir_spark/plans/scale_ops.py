@@ -906,3 +906,33 @@ def dd06_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "documents"), k=3, block_words=4, threshold=0.5
     )
     return dedup.duplicate_clusters(pairs)
+
+
+@query(
+    "ev03_sliding_window",
+    tags="EV W A5",
+    oracle="""
+        WITH e AS (
+            SELECT event_type, value,
+                   CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS es
+            FROM events
+        ),
+        x AS (
+            -- width 1 h / slide 30 min: every event belongs to exactly 2
+            -- windows, starts at floor(es/1800)*1800 - k*1800 for k in {0,1}
+            SELECT e.event_type, e.value,
+                   (e.es // 1800) * 1800 - t.k * 1800 AS ws
+            FROM e, (SELECT UNNEST([0, 1]) AS k) t
+        )
+        SELECT STRFTIME(make_timestamp(ws * 1000000), '%Y-%m-%d %H:%M:%S') AS window_start,
+               event_type,
+               COUNT(*) AS n,
+               ROUND(SUM(value), 2) AS total_value
+        FROM x GROUP BY 1, 2
+    """,
+)
+def ev03_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 h wide, 30 min slide): F.window's overlap
+    replication vs an oracle that unrolls the two containing windows per
+    event arithmetically."""
+    return events_windows.sliding_window_agg(table(spark, sf_dir, "events"))

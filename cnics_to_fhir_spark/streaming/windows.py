@@ -21,12 +21,16 @@ def tumbling_window_stream(
     width: str = "1 hour",
     watermark: str = "30 minutes",
     ts_col: str = "ts",
+    slide: str | None = None,
 ) -> DataFrame:
-    """Watermarked tumbling-window counts/sums per event_type for an
-    unbounded event stream. Output (append mode): finalized windows only."""
+    """Watermarked tumbling (or, with ``slide``, sliding) window counts/sums
+    per event_type for an unbounded event stream. Output (append mode):
+    finalized windows only. A sliding window multiplies live state by
+    width/slide — the watermark bound applies per overlapping window."""
+    win = F.window(ts_col, width, slide) if slide else F.window(ts_col, width)
     return (
         events.withWatermark(ts_col, watermark)
-        .groupBy(F.window(ts_col, width).alias("w"), "event_type")
+        .groupBy(win.alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
         .select(
             F.col("w.start").alias("window_start"),
