@@ -22,6 +22,7 @@ HEADLINE = [
     "e2e02_observations_pipeline",
     "e2e04_patients_pipeline",
     "q01_pricing_summary",
+    "q06_forecast_revenue",
     "q03_shipping_priority",
     "q05_local_supplier_volume",
     "j01_inner_join_agg",

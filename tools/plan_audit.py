@@ -33,7 +33,10 @@ def audit(name: str, df) -> list[str]:
     # Python-eval nodes instead.
     plan = df._jdf.queryExecution().executedPlan().toString()
     scans = len(re.findall(r"FileScan parquet|Scan parquet", plan))
-    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    # No closing-bracket anchor: plan toString truncates long filter lists
+    # ("PushedFilters: [IsNotNull(x), GreaterThan(l_shipda...") and the
+    # anchored form undercounted those scans as unpushed.
+    pushed = re.findall(r"PushedFilters: \[([^\]\n]*)", plan)
     read_schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
     bhj = len(re.findall(r"BroadcastHashJoin", plan))
     smj = len(re.findall(r"SortMergeJoin", plan))
