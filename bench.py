@@ -24,7 +24,11 @@ HEADLINE = [
     "q01_pricing_summary",
     "q06_forecast_revenue",
     "q03_shipping_priority",
+    "q04_order_priority",
     "q05_local_supplier_volume",
+    "q17_small_quantity_revenue",
+    "w01_topn_per_group",
+    "w02_running_spend",
     "j01_inner_join_agg",
     "j03_decorrelated_page",
     "j06_merge_actions",
@@ -41,6 +45,7 @@ HEADLINE = [
     "ann03_ivf_topk",
     "tx01_text_profile",
     "tx03_rolling_fingerprint",
+    "tx04_heavy_hitters",
     "ev01_tumbling_window",
     "ev02_sessionization",
     "ds02_chunked_packing",

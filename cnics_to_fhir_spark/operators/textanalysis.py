@@ -123,3 +123,24 @@ def profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
         fingerprint(t).alias("fingerprint"),
         lang_id(t).alias("lang_guess"),
     )
+
+
+def heavy_hitters(df: DataFrame, k: int = 50, text_col: str = "text") -> DataFrame:
+    """Top-k corpus token frequencies — the vocabulary/frequency profile a
+    training pipeline budgets tokenizers on.
+
+    Scale shape: explode → hash-agg. Token frequency is Zipfian (worst-case
+    skewed keys), but partial aggregation combines each partition's counts
+    map-side before the shuffle, so the reducer for 'the' receives one row
+    per upstream partition, not one per occurrence. The top-k itself is
+    TakeOrderedAndProject (per-partition heaps + driver merge), never a
+    global sort. (freq DESC, token ASC) is a total order → deterministic cut.
+    """
+    return (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("token"))
+        .limit(k)
+    )

@@ -779,3 +779,173 @@ def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Subquery shapes. The reference's only subquery pattern is the correlated
+# N+1 loop (cnics_to_fhir.py:339-351); a real analytics surface also needs
+# EXISTS and correlated-scalar subqueries, decorrelated the way Catalyst
+# does: EXISTS -> left-semi join, scalar-per-key -> aggregate + equi-join.
+# --------------------------------------------------------------------------
+@query(
+    "q04_order_priority",
+    tags="J7 P3 A5 O1",
+    oracle="""
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+)
+def q04_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS as a left-semi join with a mixed equi + non-equi
+    condition. The equi component (l_orderkey = o_orderkey) keeps the join
+    hash-partitionable at scale; the range component rides along as a
+    residual predicate — no nested-loop fallback."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = o.filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    return (
+        o.join(
+            li,
+            (o["o_orderkey"] == li["l_orderkey"]) & (li["l_shipdate"] > o["o_orderdate"]),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    tags="J1 J3 A5 F18",
+    oracle="""
+        WITH brand_parts AS (
+            SELECT p_partkey FROM part WHERE p_brand = 'Brand#23'
+        ),
+        thresh AS (
+            SELECT l_partkey, 0.2 * AVG(l_quantity) AS qty_thresh
+            FROM lineitem
+            WHERE l_partkey IN (SELECT p_partkey FROM brand_parts)
+            GROUP BY l_partkey
+        )
+        SELECT FLOOR((SUM(l.l_extendedprice) / 7.0)*1e2 + 0.5)/1e2 AS avg_yearly,
+               COUNT(*) AS n
+        FROM lineitem l
+        JOIN thresh t ON l.l_partkey = t.l_partkey
+        WHERE l.l_quantity < t.qty_thresh
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (per-part avg quantity), decorrelated
+    scale-first: the brand filter cuts part to ~1/25, that key set is
+    BROADCAST into the lineitem scan as a semi-join BEFORE the per-part
+    average, so the aggregate shuffles ~4% of the fact table instead of all
+    of it. The threshold table (≤ |brand parts| rows) then broadcasts back
+    into the probe — zero fact-table shuffles end to end."""
+    from cnics_to_fhir_spark.functions.numeric import stable_round
+
+    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity", "l_extendedprice")
+    brand_parts = (
+        table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23").select("p_partkey")
+    )
+    brand_li = li.join(
+        F.broadcast(brand_parts), li["l_partkey"] == F.col("p_partkey"), "left_semi"
+    )
+    thresh = brand_li.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_thresh")
+    )
+    probe = brand_li.join(
+        F.broadcast(thresh.withColumnRenamed("l_partkey", "t_partkey")),
+        (F.col("l_partkey") == F.col("t_partkey")) & (F.col("l_quantity") < F.col("qty_thresh")),
+        "inner",
+    )
+    return probe.agg(
+        stable_round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Window shapes beyond A3's row_number: ranked top-n per group and running
+# frames (cumulative sum + lag). Both partition by a key, so at scale they
+# shuffle once on that key and never sort globally.
+# --------------------------------------------------------------------------
+@query(
+    "w01_topn_per_group",
+    tags="A3 O1 J1",
+    oracle="""
+        SELECT nation, supplier, s_acctbal, rnk
+        FROM (
+            SELECT n.n_name AS nation, s.s_name AS supplier, s.s_acctbal,
+                   CAST(ROW_NUMBER() OVER (
+                        PARTITION BY n.n_name
+                        ORDER BY s.s_acctbal DESC, s.s_suppkey) AS INTEGER) AS rnk
+            FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+        )
+        WHERE rnk <= 2
+    """,
+)
+def w01_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 suppliers by account balance per nation: broadcast dim join +
+    one window shuffle on the group key; total order (acctbal DESC, suppkey)
+    makes the cut deterministic."""
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    w = Window.partitionBy("nation").orderBy(F.col("s_acctbal").desc(), F.col("s_suppkey"))
+    return (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .select(F.col("n_name").alias("nation"), F.col("s_name").alias("supplier"), "s_acctbal", "s_suppkey")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 2)
+        .select("nation", "supplier", "s_acctbal", "rnk")
+    )
+
+
+@query(
+    "w02_running_spend",
+    tags="A3 O1 F17 F18",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               STRFTIME(o_orderdate, '%Y-%m-%d') AS orderdate,
+               FLOOR((SUM(o_totalprice) OVER (
+                    PARTITION BY o_custkey
+                    ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))*1e2 + 0.5)/1e2
+                   AS running_spend,
+               CAST(COALESCE(DATEDIFF('day',
+                    CAST(LAG(o_orderdate) OVER (
+                        PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey) AS DATE),
+                    CAST(o_orderdate AS DATE)), -1) AS INTEGER) AS days_since_prev
+        FROM orders
+    """,
+)
+def w02_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-customer spend + gap-since-previous-order: one shuffle on
+    o_custkey feeds both window frames (cumulative ROWS frame and LAG share
+    the same partitioning/ordering, so Spark evaluates them in one Window
+    node)."""
+    from cnics_to_fhir_spark.functions.numeric import stable_round
+
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        stable_round(F.sum("o_totalprice").over(run), 2).alias("running_spend"),
+        F.coalesce(
+            F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)), F.lit(-1)
+        ).cast("int").alias("days_since_prev"),
+    )

@@ -936,3 +936,22 @@ def ev03_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     replication vs an oracle that unrolls the two containing windows per
     event arithmetically."""
     return events_windows.sliding_window_agg(table(spark, sf_dir, "events"))
+
+
+@query(
+    "tx04_heavy_hitters",
+    tags="TX A5 O2 F22",
+    oracle="""
+        SELECT tok AS token, COUNT(*) AS freq
+        FROM (SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents)
+        WHERE tok <> ''
+        GROUP BY tok
+        ORDER BY freq DESC, token
+        LIMIT 50
+    """,
+)
+def tx04_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-50 token frequencies (operators/textanalysis.py:
+    heavy_hitters): Zipf-skew-safe via map-side partial agg; top-k without a
+    global sort."""
+    return textanalysis.heavy_hitters(table(spark, sf_dir, "documents"), k=50)
