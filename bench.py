@@ -48,6 +48,7 @@ HEADLINE = [
     "tx04_heavy_hitters",
     "ev01_tumbling_window",
     "ev02_sessionization",
+    "rj01_interval_attribution",
     "ds02_chunked_packing",
     "ds03_greedy_packing",
     "ds04_deterministic_shuffle",

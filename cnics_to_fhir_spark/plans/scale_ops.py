@@ -955,3 +955,53 @@ def tx04_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     heavy_hitters): Zipf-skew-safe via map-side partial agg; top-k without a
     global sort."""
     return textanalysis.heavy_hitters(table(spark, sf_dir, "documents"), k=50)
+
+
+@query(
+    "rj01_interval_attribution",
+    tags="RJ J1 A5 EV",
+    oracle="""
+        WITH e AS (
+            SELECT event_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS es,
+                   value, event_type
+            FROM events
+        ),
+        i AS (
+            SELECT event_id AS incident_id, es AS i_start, es + 600 AS i_end
+            FROM e WHERE event_type = 'error'
+        )
+        SELECT i.incident_id,
+               COUNT(*) AS n_events,
+               FLOOR((SUM(p.value))*1e2 + 0.5)/1e2 AS window_value
+        FROM i JOIN e p ON p.es >= i.i_start AND p.es < i.i_end
+        GROUP BY i.incident_id
+    """,
+)
+def rj01_interval_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join without an equi key (operators/intervals.py): every event
+    within 10 minutes after an 'error' event is attributed to that incident.
+    Bucketized to a hash equi-join (W = interval length → ≤2× interval
+    replication); the naive Spark plan here would be a nested-loop join."""
+    from cnics_to_fhir_spark.functions.numeric import stable_round
+    from cnics_to_fhir_spark.operators.intervals import point_in_interval_join
+
+    e = table(spark, sf_dir, "events").select(
+        "event_id", F.col("ts").cast("long").alias("es"), "value", "event_type"
+    )
+    incidents = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("incident_id"),
+        F.col("es").alias("i_start"),
+        (F.col("es") + 600).alias("i_end"),
+    )
+    joined = point_in_interval_join(
+        e.select("es", "value"),
+        incidents,
+        point_col="es",
+        start_col="i_start",
+        end_col="i_end",
+        bucket_seconds=600,
+    )
+    return joined.groupBy("incident_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        stable_round(F.sum("value"), 2).alias("window_value"),
+    )

@@ -1,0 +1,79 @@
+"""Range-join operator contract (operators/intervals.py).
+
+Two guarantees: (1) the bucketized join returns exactly the rows the naive
+theta join returns, including boundary cases; (2) the physical plan is an
+equi-join — no BroadcastNestedLoopJoin / CartesianProduct node, which is
+what Spark plans for a bare range predicate and what must never run at
+scale.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from cnics_to_fhir_spark.operators.intervals import point_in_interval_join
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    # Boundary battery: points at interval start (in), end (out), one below
+    # start (out), bucket-straddling intervals, zero-length interval (empty),
+    # overlapping intervals (point matches both).
+    points = spark.createDataFrame(
+        [(1, 100), (2, 699), (3, 700), (4, 99), (5, 1205), (6, 40)],
+        "pid int, p long",
+    )
+    intervals = spark.createDataFrame(
+        [
+            (10, 100, 700),   # [100, 700): pids 1, 2
+            (11, 650, 1300),  # straddles buckets; pids 2, 3, 5
+            (12, 500, 500),   # empty
+            (13, 0, 101),     # pids 4, 6, 1
+        ],
+        "iid int, s long, e long",
+    )
+    return points, intervals
+
+
+def expected_pairs(points, intervals):
+    naive = points.join(
+        intervals,
+        (points["p"] >= intervals["s"]) & (points["p"] < intervals["e"]),
+    )
+    return sorted((r.pid, r.iid) for r in naive.collect())
+
+
+def test_matches_naive_theta_join(spark, frames):
+    points, intervals = frames
+    got = point_in_interval_join(
+        points, intervals, point_col="p", start_col="s", end_col="e", bucket_seconds=600
+    )
+    assert sorted((r.pid, r.iid) for r in got.collect()) == expected_pairs(points, intervals)
+    assert set(got.columns) == {"pid", "p", "iid", "s", "e"}  # helper bucket dropped
+
+
+@pytest.mark.parametrize("w", [1, 7, 600, 10_000])
+def test_bucket_width_is_semantics_free(spark, frames, w):
+    points, intervals = frames
+    got = point_in_interval_join(
+        points, intervals, point_col="p", start_col="s", end_col="e", bucket_seconds=w
+    )
+    assert sorted((r.pid, r.iid) for r in got.collect()) == expected_pairs(points, intervals)
+
+
+def test_plan_is_equi_join(spark, frames):
+    points, intervals = frames
+    got = point_in_interval_join(
+        points, intervals, point_col="p", start_col="s", end_col="e", bucket_seconds=600
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_rejects_nonpositive_bucket(spark, frames):
+    points, intervals = frames
+    with pytest.raises(ValueError):
+        point_in_interval_join(
+            points, intervals, point_col="p", start_col="s", end_col="e", bucket_seconds=0
+        )
