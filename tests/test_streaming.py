@@ -196,3 +196,67 @@ def test_streaming_fingerprint_dedup_bounded_state(spark, tmp_path):
     assert got == [0, 2, 4] or got == [1, 2, 4]  # one survivor per fingerprint
     fps = [r["fingerprint"] for r in spark.table("dd_sink").collect()]
     assert len(fps) == len(set(fps))
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Watermarked stream-stream join: clicks within 10 min of an
+    impression on the same ad match (inner emits on match); with
+    left-outer, an unmatched impression is emitted null-padded only after
+    the click-side watermark passes its match window."""
+    from datetime import datetime
+
+    from cnics_to_fhir_spark.streaming.joins import interval_stream_join
+
+    imp_src = tmp_path / "imp"
+    clk_src = tmp_path / "clk"
+    imp_src.mkdir()
+    clk_src.mkdir()
+    imp_schema = "imp_ad string, imp_ts timestamp"
+    clk_schema = "clk_ad string, clk_ts timestamp"
+
+    def write(src, schema, name, rows):
+        spark.createDataFrame(
+            [(a, datetime.fromisoformat(t)) for a, t in rows], schema
+        ).write.parquet(str(src / name))
+
+    # a1: click 5 min after impression (match); a2: no click ever;
+    # a3: click 30 min later (outside the 10-min window)
+    write(imp_src, imp_schema, "b0", [
+        ("a1", "2024-01-01 10:00:00"),
+        ("a2", "2024-01-01 10:00:00"),
+        ("a3", "2024-01-01 10:00:00"),
+    ])
+    write(clk_src, clk_schema, "b0", [
+        ("a1", "2024-01-01 10:05:00"),
+        ("a3", "2024-01-01 10:30:00"),
+    ])
+
+    imps = spark.readStream.schema(imp_schema).parquet(str(imp_src) + "/*")
+    clks = spark.readStream.schema(clk_schema).parquet(str(clk_src) + "/*")
+    joined = interval_stream_join(
+        imps, clks,
+        key=("imp_ad", "clk_ad"), ts=("imp_ts", "clk_ts"),
+        within="10 minutes", watermark="5 minutes", how="left_outer",
+    )
+    q = (
+        joined.writeStream.outputMode("append").format("memory")
+        .queryName("ss_join_sink")
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        mid = {r["imp_ad"]: r["clk_ad"] for r in spark.table("ss_join_sink").collect()}
+        assert mid.get("a1") == "a1"  # inner match emitted immediately
+        assert "a2" not in mid  # outer result held until watermark passes
+        # advance both watermarks far past every match window
+        write(imp_src, imp_schema, "b1", [("zz", "2024-01-01 12:00:00")])
+        write(clk_src, clk_schema, "b1", [("zz", "2024-01-01 12:00:01")])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    out = {r["imp_ad"]: r["clk_ad"] for r in spark.table("ss_join_sink").collect()}
+    assert out["a1"] == "a1"
+    assert out["a2"] is None  # expired unmatched impression, null-padded
+    assert out["a3"] is None  # click outside window — also unmatched
