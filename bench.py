@@ -30,6 +30,7 @@ HEADLINE = [
     "w01_topn_per_group",
     "w02_running_spend",
     "j01_inner_join_agg",
+    "j09_salted_skew_join",
     "j03_decorrelated_page",
     "j06_merge_actions",
     "a03_first_row_per_group",

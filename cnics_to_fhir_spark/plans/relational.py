@@ -949,3 +949,45 @@ def w02_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)), F.lit(-1)
         ).cast("int").alias("days_since_prev"),
     )
+
+
+@query(
+    "j09_salted_skew_join",
+    tags="J1 SKEW A5",
+    oracle="""
+        SELECT d.flag_desc,
+               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+               COUNT(*) AS n
+        FROM lineitem l
+        JOIN (VALUES ('A', 'returned'), ('N', 'in-flight'), ('R', 'refused'))
+             AS d(l_returnflag, flag_desc)
+          ON l.l_returnflag = d.l_returnflag
+        GROUP BY d.flag_desc
+        ORDER BY d.flag_desc
+    """,
+)
+def j09_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Worst-case join skew: the key has 3 distinct values over the whole
+    fact table, so an unsalted shuffle join lands ~33% of 100 TB on three
+    reducers. operators/skew.py salts the fact side 8 ways and replicates
+    the 3-row dim — row-identical to the plain join (the oracle)."""
+    from cnics_to_fhir_spark.operators.skew import salted_join
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"
+    )
+    dim = spark.createDataFrame(
+        [("A", "returned"), ("N", "in-flight"), ("R", "refused")],
+        "l_returnflag string, flag_desc string",
+    )
+    joined = salted_join(
+        li, dim, ["l_returnflag"], salt_from=["l_orderkey", "l_linenumber"], buckets=8
+    )
+    return (
+        joined.groupBy("flag_desc")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("flag_desc")
+    )
