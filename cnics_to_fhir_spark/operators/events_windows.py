@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from cnics_to_fhir_spark.functions.numeric import stable_round
+
 
 def tumbling_window_agg(events: DataFrame, width: str = "1 hour") -> DataFrame:
     """Tumbling-window counts/sums per event_type."""
@@ -67,5 +69,42 @@ def sliding_window_agg(
             "event_type",
             "n",
             "total_value",
+        )
+    )
+
+
+def gap_filled_hourly(events: DataFrame, value_col: str = "value") -> DataFrame:
+    """Hourly rollup with gap fill: every (hour, event_type) cell between
+    the corpus min and max hour exists in the output, zero-filled when no
+    event landed in it — the time-spine pattern behind hypertable rollups
+    and training-telemetry dashboards.
+
+    Scale shape: the fact table aggregates once on (hour, type); the spine
+    is sequence(min_hour, max_hour) × distinct(type) — two tiny aggregate
+    results combined driver-free, so the cross product is O(hours × types)
+    rows, never O(events). The final left join broadcasts the dense rollup
+    only if small; the spine side is always the small build side.
+    """
+    hour = F.date_trunc("hour", F.col("ts"))
+    dense = (
+        events.groupBy(hour.alias("h"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(value_col).alias("sv"))
+    )
+    bounds = events.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    hours = bounds.select(
+        F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias("h")
+    )
+    types = events.select("event_type").distinct()
+    spine = hours.crossJoin(types)
+    return (
+        spine.join(dense, ["h", "event_type"], "left")
+        .select(
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            stable_round(F.coalesce("sv", F.lit(0.0)), 2).alias("total_value"),
         )
     )

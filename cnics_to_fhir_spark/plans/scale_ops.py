@@ -1005,3 +1005,55 @@ def rj01_interval_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         stable_round(F.sum("value"), 2).alias("window_value"),
     )
+
+
+@query(
+    "ev04_gap_filled_rollup",
+    tags="EV W A5 J1",
+    oracle="""
+        WITH dense AS (
+            SELECT date_trunc('hour', ts) AS h, event_type,
+                   COUNT(*) AS n, SUM(value) AS sv
+            FROM events GROUP BY 1, 2
+        ),
+        bounds AS (
+            SELECT date_trunc('hour', MIN(ts)) AS h0,
+                   date_trunc('hour', MAX(ts)) AS h1
+            FROM events
+        ),
+        spine AS (
+            SELECT UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+            FROM bounds
+        )
+        SELECT STRFTIME(s.h, '%Y-%m-%d %H:%M:%S') AS hour,
+               t.event_type,
+               COALESCE(d.n, 0) AS n,
+               FLOOR(COALESCE(d.sv, 0)*1e2 + 0.5)/1e2 AS total_value
+        FROM spine s
+        CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+        LEFT JOIN dense d ON d.h = s.h AND d.event_type = t.event_type
+    """,
+)
+def ev04_gap_filled_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly rollup with a dense time spine: empty (hour, type) cells are
+    zero-filled (operators/events_windows.py: gap_filled_hourly). The spine
+    is built from two scalar aggregates — O(hours × types), never
+    O(events)."""
+    return events_windows.gap_filled_hourly(table(spark, sf_dir, "events"))
+
+
+@query("a11_approx_percentiles", tags="A5 APPROX PCT", oracle=None)
+def a11_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL/Greenwald-Khanna approximate percentiles per group — mergeable
+    sketches vs a09's exact form (exact interpolation needs the full sorted
+    value set per group; the sketch is a bounded-size partial aggregate, so
+    it map-side combines and never materializes the group). Rows-only:
+    sketch outputs are engine-specific; pytest pins the rank error against
+    a09's exact values."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx(
+            "l_extendedprice", [0.5, 0.9, 0.99], 10_000
+        ).alias("approx_price_pcts"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

@@ -37,6 +37,7 @@ def test_queries_oracle_consistency(spark):
         "ann02_lsh_topk",
         "mm02_image_feature_stub",
         "a10_approx_distinct",
+        "a11_approx_percentiles",
     }
 
 
@@ -68,3 +69,28 @@ def test_all_queries_run_at_sf0001(spark):
     for name, fn in mod.queries().items():
         df = fn(spark, "/root/testdata/sf0.001")
         assert df.count() >= 0, name
+
+
+def test_approx_percentile_error_bound(spark):
+    """a11 is rows-only for the driver; pin sketch error against the exact
+    interpolated percentiles (a09's method) at sf0.01."""
+    from pyspark.sql import functions as F
+
+    from cnics_to_fhir_spark.plans import catalog
+    from cnics_to_fhir_spark.sources.tables import read_table
+
+    sf = "/root/testdata/sf0.01"
+    approx = {
+        r["l_returnflag"]: r["approx_price_pcts"]
+        for r in catalog()["a11_approx_percentiles"].spark(spark, sf).collect()
+    }
+    exact = {
+        r["l_returnflag"]: r["pcts"]
+        for r in read_table(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))").alias("pcts"))
+        .collect()
+    }
+    for k, est in approx.items():
+        for e, x in zip(est, exact[k]):
+            assert abs(e - x) / x < 0.01, (k, e, x)
