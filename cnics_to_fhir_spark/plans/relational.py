@@ -991,3 +991,91 @@ def j09_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("flag_desc")
     )
+
+
+# --------------------------------------------------------------------------
+# Reshaping: pivot (long→wide) and unpivot (wide→long). The pivot value
+# list is DECLARED, not discovered — df.pivot(col) without values runs an
+# extra distinct-collect job over the fact table at plan time, a hidden
+# full scan at 100 TB. Unpivot is melt: k value columns → k× rows, no
+# shuffle (scan-local explode).
+# --------------------------------------------------------------------------
+@query(
+    "a12_pivot_revenue",
+    tags="A5 RESHAPE",
+    oracle="""
+        SELECT l_returnflag,
+               FLOOR((SUM(CASE WHEN l_linestatus = 'F'
+                               THEN l_extendedprice * (1 - l_discount) END))*1e2 + 0.5)/1e2 AS rev_F,
+               FLOOR((SUM(CASE WHEN l_linestatus = 'O'
+                               THEN l_extendedprice * (1 - l_discount) END))*1e2 + 0.5)/1e2 AS rev_O,
+               COUNT(*) AS n
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+)
+def a12_pivot_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long→wide: revenue per returnflag pivoted over linestatus. The
+    explicit values list keeps it one aggregation pass; a pivot is just a
+    grouped conditional aggregate, so it map-side combines like any
+    groupBy."""
+    from cnics_to_fhir_spark.functions.numeric import stable_round
+
+    li = table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            stable_round(F.sum(F.when(F.col("l_linestatus") == "F", rev)), 2).alias("rev_F"),
+            stable_round(F.sum(F.when(F.col("l_linestatus") == "O", rev)), 2).alias("rev_O"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "a13_column_profile",
+    tags="A5 RESHAPE DQ",
+    oracle="""
+        WITH long AS (
+            SELECT 'l_quantity' AS col, l_quantity AS v FROM lineitem
+            UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+            UNION ALL SELECT 'l_tax', l_tax FROM lineitem
+            UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+        )
+        SELECT col,
+               COUNT(v) AS n_filled,
+               COUNT(*) - COUNT(v) AS n_null,
+               FLOOR((MIN(v))*1e4 + 0.5)/1e4 AS min_v,
+               FLOOR((MAX(v))*1e4 + 0.5)/1e4 AS max_v,
+               FLOOR((AVG(v))*1e4 + 0.5)/1e4 AS avg_v
+        FROM long GROUP BY col ORDER BY col
+    """,
+)
+def a13_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long data-quality profile: unpivot (melt) four measure columns
+    and aggregate per column — null counts, ranges, means in ONE pass over
+    the table. The unpivot is scan-local (no shuffle); the aggregate
+    shuffles 4 groups."""
+    from cnics_to_fhir_spark.functions.numeric import stable_round
+
+    li = table(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        [],
+        ["l_quantity", "l_discount", "l_tax", "l_extendedprice"],
+        "col",
+        "v",
+    )
+    return (
+        long.groupBy("col")
+        .agg(
+            F.count("v").alias("n_filled"),
+            (F.count(F.lit(1)) - F.count("v")).alias("n_null"),
+            stable_round(F.min("v"), 4).alias("min_v"),
+            stable_round(F.max("v"), 4).alias("max_v"),
+            stable_round(F.avg("v"), 4).alias("avg_v"),
+        )
+        .orderBy("col")
+    )
