@@ -277,16 +277,23 @@ def embedding_near_dup_pairs(
     Σ|cluster|² instead of |corpus|². Near-dups land in the same coarse
     cell by construction; cross-cell near-dups are the recall cost, the
     standard IVF trade. Output: (id_a, id_b, cosine_sim)."""
-    from cnics_to_fhir_spark.operators.similarity import cosine
+    from cnics_to_fhir_spark.operators.similarity import cosine_with_norms, norm
 
     df = ensure_min_parallelism(df, id_col)
+    # Norms are computed once per row BEFORE the self-join (same association
+    # as dot/(‖a‖·‖b‖), so rounded values match the oracle) — each candidate
+    # pair then runs one higher-order dot instead of three. With ~c rows per
+    # block that is 2(c-1) fewer array traversals per row.
     base = df.select(
-        F.col(id_col).alias("id"), F.col(block_col).alias("block"), F.col(vec_col).alias("vec")
+        F.col(id_col).alias("id"),
+        F.col(block_col).alias("block"),
+        F.col(vec_col).alias("vec"),
+        norm(F.col(vec_col)).alias("nrm"),
     )
     pairs = (
-        base.select(F.col("id").alias("id_a"), "block", F.col("vec").alias("vec_a"))
+        base.select(F.col("id").alias("id_a"), "block", F.col("vec").alias("vec_a"), F.col("nrm").alias("nrm_a"))
         .join(
-            base.select(F.col("id").alias("id_b"), "block", F.col("vec").alias("vec_b")),
+            base.select(F.col("id").alias("id_b"), "block", F.col("vec").alias("vec_b"), F.col("nrm").alias("nrm_b")),
             on="block",
         )
         .filter(F.col("id_a") < F.col("id_b"))
@@ -294,7 +301,9 @@ def embedding_near_dup_pairs(
     return pairs.select(
         "id_a",
         "id_b",
-        stable_round(cosine(F.col("vec_a"), F.col("vec_b")), 6).alias("cosine_sim"),
+        stable_round(
+            cosine_with_norms(F.col("vec_a"), F.col("vec_b"), F.col("nrm_a"), F.col("nrm_b")), 6
+        ).alias("cosine_sim"),
     ).filter(F.col("cosine_sim") >= threshold)
 
 

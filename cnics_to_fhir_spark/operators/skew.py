@@ -50,4 +50,10 @@ def salted_join(
     replicated = small.withColumn(
         SALT, F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
     )
-    return salted_big.join(replicated, on=[*on, SALT], how=how).drop(SALT)
+    # Pin a shuffled hash join building the replicated side. Without the hint
+    # Spark may size-estimate the post-explode small side as unknown and pick
+    # the BIG side as broadcast build — shipping the fact table to every
+    # executor, the exact failure mode salting exists to avoid. The hint keeps
+    # the plan shape honest at any scale: both sides hash-shuffle on
+    # (key, salt), so each hot key spreads over ``buckets`` reducers.
+    return salted_big.join(replicated.hint("shuffle_hash"), on=[*on, SALT], how=how).drop(SALT)

@@ -483,9 +483,14 @@ def a01_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def a02_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_orderkey").agg(
-        F.array_join(F.sort_array(F.collect_set("l_suppkey")), ",").alias("supp_set"),
-        F.countDistinct("l_suppkey").alias("n_supp"),
+    # n_supp is derived from the set (size == COUNT DISTINCT, both null-free)
+    # instead of a separate countDistinct, which would add an Expand node and
+    # a second aggregation path over the same shuffle.
+    agged = li.groupBy("l_orderkey").agg(F.collect_set("l_suppkey").alias("supps"))
+    return agged.select(
+        "l_orderkey",
+        F.array_join(F.sort_array("supps"), ",").alias("supp_set"),
+        F.size("supps").cast("long").alias("n_supp"),
     )
 
 
