@@ -170,6 +170,45 @@ def pack_greedy(
     )
 
 
+def weighted_priority_sample(
+    df: DataFrame,
+    k: int,
+    weight: "F.Column | None" = None,
+    key_col: str = "doc_id",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic weighted bottom-k sample (priority sampling).
+
+    Each row gets an integer priority ``(hash32 * scale) div weight`` where
+    ``hash32`` is the first 8 hex chars of ``md5(key)`` as an integer —
+    a fixed uniform draw in [0, 2^32). Dividing by the weight shrinks the
+    priority of heavy rows, so the global bottom-k by (priority, key) is a
+    weighted-without-replacement sample that is reproducible across reruns,
+    partitionings, and engines (pure integer arithmetic end to end — no
+    float rounding to diverge between Spark and the SQL oracle).
+
+    Scale shape: priorities are per-row scan expressions; the bottom-k is
+    TakeOrderedAndProject — per-partition top-k heaps merged on the driver,
+    never a global sort. With hash32 < 2^32 and scale = 1e6 the product
+    stays < 2^52, well inside BIGINT.
+
+    ``weight`` defaults to the document's token count (longer docs more
+    likely sampled — the usual token-budget-proportional corpus draw).
+    """
+    w = token_count(F.col("text")) if weight is None else weight
+    hash32 = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10).cast("long")
+    prepared = df.select(
+        "*",
+        F.greatest(w.cast("long"), F.lit(1)).alias("weight"),
+        hash32.alias("__h32"),
+    )
+    # integer `div` keeps both engines exact; `/` would widen to double.
+    prepared = prepared.select(
+        "*", F.expr(f"(__h32 * {scale}) div weight").alias("priority")
+    )
+    return prepared.orderBy("priority", key_col).limit(k).drop("__h32")
+
+
 def deterministic_shuffle(df: DataFrame, key_col: str, n_hex: int = 2) -> DataFrame:
     """Reproducible pseudo-random training order: ``bucket`` = first
     ``n_hex`` md5 hex chars of the key (256 range partitions at the

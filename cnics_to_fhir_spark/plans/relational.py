@@ -998,6 +998,48 @@ def j09_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "j10_bloom_semi_join",
+    tags="J5 J7 P6 A5",
+    oracle="""
+        SELECT l.l_returnflag,
+               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+               COUNT(*) AS n
+        FROM lineitem l
+        WHERE l.l_orderkey IN (
+            SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        )
+        GROUP BY l.l_returnflag
+        ORDER BY l.l_returnflag
+    """,
+)
+def j10_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join reduction with an explicit Bloom runtime filter
+    (operators/bloom.py): the urgent-order key set is Bloom-compressed to a
+    64 Kib bitmap that prunes lineitem rows at the scan, BEFORE the join
+    shuffle; the exact semi join then removes false positives, so the
+    result — and the oracle — is the plain semi join. At 100 TB this is the
+    difference between shuffling the whole fact table and shuffling the ~⅕
+    of it that can match."""
+    from cnics_to_fhir_spark.operators.bloom import bloom_semi_join
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"
+    )
+    urgent = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    joined = bloom_semi_join(li, urgent, "l_orderkey", "o_orderkey")
+    return (
+        joined.groupBy("l_returnflag")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 # --------------------------------------------------------------------------
 # Reshaping: pivot (long→wide) and unpivot (wide→long). The pivot value
 # list is DECLARED, not discovered — df.pivot(col) without values runs an

@@ -682,6 +682,38 @@ def ds04_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ds05_weighted_sample",
+    tags="DS-sample O2 O3",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, lang,
+                   GREATEST(CAST(CASE WHEN length(text) = 0 THEN 0
+                                 ELSE len(string_split(text, ' ')) END AS BIGINT),
+                            1) AS w,
+                   CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h32
+            FROM documents
+        )
+        SELECT doc_id, lang, w AS weight, (h32 * 1000000) // w AS priority
+        FROM t
+        ORDER BY priority, doc_id
+        LIMIT 500
+    """,
+)
+def ds05_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted bottom-k corpus sample (k=500, weight = token
+    count): integer priority = (md5-derived 32-bit draw × 1e6) div weight —
+    pure integer arithmetic, so Spark and the oracle agree exactly; the
+    bottom-k is TakeOrderedAndProject (per-partition heaps), never a global
+    sort."""
+    from cnics_to_fhir_spark.operators import dataset
+
+    sampled = dataset.weighted_priority_sample(
+        table(spark, sf_dir, "documents"), k=500
+    )
+    return sampled.select("doc_id", "lang", "weight", "priority")
+
+
+@query(
     "e2e05_corpus_curation",
     tags="E2E DS DD-exact TX A3 W F22",
     oracle="""

@@ -104,3 +104,29 @@ def test_curate_corpus_dedup_and_quality_floor(spark):
     assert 1 not in ids  # fingerprint dup: only the lowest id survives
     assert 0 in ids and 3 in ids
     assert all(r["quality"] >= 0.5 for r in out)
+
+
+def test_weighted_sample_priority_formula_and_determinism(spark):
+    rows = [(i, " ".join(["w"] * (1 + i % 5)), "en") for i in range(300)]
+    df = _docs(spark, rows)
+    out = dataset.weighted_priority_sample(df, k=50).collect()
+    assert len(out) == 50
+    # priority recomputed row-by-row must match: (hash32 * 1e6) div weight
+    import hashlib
+
+    for r in out:
+        h32 = int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:8], 16)
+        expect = (h32 * 1_000_000) // max(r["weight"], 1)
+        assert r["priority"] == expect
+    again = dataset.weighted_priority_sample(df.repartition(7), k=50).collect()
+    assert sorted(r["doc_id"] for r in out) == sorted(r["doc_id"] for r in again)
+
+
+def test_weighted_sample_prefers_heavy_docs(spark):
+    # 150 one-token docs vs 150 hundred-token docs: heavy docs get priorities
+    # ~100× smaller, so they should dominate a k=100 bottom-k draw.
+    rows = [(i, "w", "en") for i in range(150)]
+    rows += [(1000 + i, " ".join(["w"] * 100), "en") for i in range(150)]
+    out = dataset.weighted_priority_sample(_docs(spark, rows), k=100).collect()
+    heavy = sum(1 for r in out if r["doc_id"] >= 1000)
+    assert heavy > 80
