@@ -32,6 +32,8 @@ HEADLINE = [
     "j01_inner_join_agg",
     "j09_salted_skew_join",
     "j10_bloom_semi_join",
+    "j11_scd2_merge",
+    "o05_zorder_key",
     "j03_decorrelated_page",
     "j06_merge_actions",
     "a03_first_row_per_group",

@@ -15,7 +15,61 @@ kill the driver's file listing. High-cardinality co-location belongs to
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def z_value(a: Column, b: Column, bits: int = 16) -> Column:
+    """Morton (Z-order) key: interleave the low ``bits`` bits of two
+    non-negative ints — a.bit i → z.bit 2i, b.bit i → z.bit 2i+1. Rows close
+    in Z are close in BOTH dimensions, so sorting by Z gives parquet
+    row-group min/max stats selectivity on two probe columns at once, where
+    a plain sort only serves its leading column. Pure shift/mask arithmetic:
+    codegen-friendly and SQL-portable (the oracle replays it in DuckDB)."""
+    z = F.lit(0).cast("long")
+    one = F.lit(1).cast("long")
+    for i in range(bits):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(a.cast("long"), i).bitwiseAND(one), 2 * i)
+            + F.shiftleft(F.shiftright(b.cast("long"), i).bitwiseAND(one), 2 * i + 1)
+        )
+    return z
+
+
+def z_value_sql(a: str, b: str, bits: int = 16) -> str:
+    """The identical Morton key as engine-neutral SQL (DuckDB oracle side)."""
+    terms = [
+        f"((({a} >> {i}) & 1) << {2 * i}) + ((({b} >> {i}) & 1) << {2 * i + 1})"
+        for i in range(bits)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    bits: int = 16,
+    num_files: int = 16,
+    max_records_per_file: int = 5_000_000,
+) -> None:
+    """Z-order-clustered parquet write (the OPTIMIZE ZORDER layout):
+    range-partition by the Morton key of (col_a, col_b) — contiguous Z
+    ranges per file — then sort within each file by it. Selective filters
+    on EITHER column then skip most row groups on read-back; a layout
+    sorted only by ``col_a`` can't serve ``col_b`` predicates at all."""
+    z = z_value(F.col(col_a), F.col(col_b), bits).alias("__z")
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(num_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .parquet(path)
+    )
 
 
 def write_partitioned(

@@ -81,6 +81,77 @@ def merge_plan(
     )
 
 
+def scd2_merge(
+    current: DataFrame,
+    history: DataFrame,
+    key: str,
+    payload_cols: list[str],
+    batch_ts: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension merge: snapshot → versioned history.
+
+    The reference's reconciliation (merge_plan above) overwrites state; SCD2
+    is its audit-keeping extension — instead of updating in place, a changed
+    key CLOSES its open row (``valid_to`` = batch_ts) and opens a new one,
+    so every past state stays queryable AS OF any time.
+
+    Per key (open row = ``valid_to IS NULL``):
+      absent from history              → new open row   [insert]
+      open row, any payload col differs→ close old + new open row [change]
+      open row, payload identical      → keep open row untouched
+      open row, key absent from current→ close row      [soft delete]
+    Closed history rows pass through unchanged.
+
+    One full-outer shuffle on the key (open side vs current); each joined
+    row emits ≤2 output rows via an exploded struct array — no second join,
+    no window. Change detection is column-wise null-safe equality (NOT a
+    hash), so it is engine-portable and the DuckDB oracle can replay it.
+    """
+    fro, to = valid_from, valid_to
+    open_rows = history.filter(F.col(to).isNull())
+    closed_rows = history.filter(F.col(to).isNotNull())
+
+    cur = current.select(F.col(key), *[F.col(c).alias(f"__c_{c}") for c in payload_cols])
+    old = open_rows.select(
+        F.col(key),
+        F.col(fro).alias("__o_from"),
+        *[F.col(c).alias(f"__o_{c}") for c in payload_cols],
+    )
+    j = old.withColumn("__in_old", F.lit(True)).join(
+        cur.withColumn("__in_cur", F.lit(True)), on=key, how="full_outer"
+    )
+    in_old = F.coalesce(F.col("__in_old"), F.lit(False))
+    in_cur = F.coalesce(F.col("__in_cur"), F.lit(False))
+    unchanged = F.lit(True)
+    for c in payload_cols:
+        unchanged = unchanged & F.col(f"__o_{c}").eqNullSafe(F.col(f"__c_{c}"))
+
+    def row(src_prefix: str, from_col, to_col) -> F.Column:
+        return F.struct(
+            *[F.col(f"{src_prefix}{c}").alias(c) for c in payload_cols],
+            from_col.alias(fro),
+            to_col.alias(to),
+        )
+
+    ts = F.lit(batch_ts)
+    null_ts = F.lit(None).cast("string")
+    emitted = (
+        F.when(in_old & in_cur & unchanged, F.array(row("__o_", F.col("__o_from"), null_ts)))
+        .when(
+            in_old & in_cur,  # changed: close the old row, open the new one
+            F.array(row("__o_", F.col("__o_from"), ts), row("__c_", ts, null_ts)),
+        )
+        .when(in_old, F.array(row("__o_", F.col("__o_from"), ts)))  # soft delete
+        .otherwise(F.array(row("__c_", ts, null_ts)))  # brand-new key
+    )
+    merged = j.select(F.col(key), F.explode(emitted).alias("__r")).select(
+        key, *[F.col(f"__r.{c}") for c in payload_cols], f"__r.{fro}", f"__r.{to}"
+    )
+    return closed_rows.select(key, *payload_cols, fro, to).unionByName(merged)
+
+
 def anti_join_deletes(existing: DataFrame, current: DataFrame, key: str = "key") -> DataFrame:
     """J5 — site-level patient delete: existing keys absent from the current
     extract (cnics_to_fhir.py:328-337). left_anti keeps the plan broadcast-

@@ -1126,3 +1126,121 @@ def a13_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("col")
     )
+
+
+@query(
+    "j11_scd2_merge",
+    tags="J6 U A5",
+    oracle="""
+        WITH cur AS (
+            SELECT c_custkey, c_name, c_acctbal
+            FROM customer WHERE c_custkey % 10 != 7
+        ),
+        old AS (
+            SELECT c_custkey, c_name,
+                   CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 100
+                        ELSE c_acctbal END AS c_acctbal,
+                   '2024-01-01' AS valid_from
+            FROM customer WHERE c_custkey % 10 < 8
+        ),
+        j AS (
+            SELECT COALESCE(o.c_custkey, c.c_custkey) AS k,
+                   o.c_custkey IS NOT NULL AS in_old,
+                   c.c_custkey IS NOT NULL AS in_cur,
+                   o.c_name AS o_name, o.c_acctbal AS o_bal,
+                   o.valid_from AS o_from,
+                   c.c_name AS n_name, c.c_acctbal AS n_bal,
+                   (o.c_name IS NOT DISTINCT FROM c.c_name)
+                   AND (o.c_acctbal IS NOT DISTINCT FROM c.c_acctbal) AS same
+            FROM old o FULL OUTER JOIN cur c ON o.c_custkey = c.c_custkey
+        )
+        SELECT c_custkey, c_name, c_acctbal - 50 AS c_acctbal,
+               '2023-01-01' AS valid_from, '2024-01-01' AS valid_to
+        FROM customer WHERE c_custkey % 10 = 0
+        UNION ALL
+        SELECT k, o_name, o_bal, o_from, NULL
+        FROM j WHERE in_old AND in_cur AND same
+        UNION ALL
+        SELECT k, o_name, o_bal, o_from, '2025-06-01'
+        FROM j WHERE in_old AND in_cur AND NOT same
+        UNION ALL
+        SELECT k, n_name, n_bal, '2025-06-01', NULL
+        FROM j WHERE in_old AND in_cur AND NOT same
+        UNION ALL
+        SELECT k, o_name, o_bal, o_from, '2025-06-01'
+        FROM j WHERE in_old AND NOT in_cur
+        UNION ALL
+        SELECT k, n_name, n_bal, '2025-06-01', NULL
+        FROM j WHERE NOT in_old AND in_cur
+    """,
+)
+def j11_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD merge (operators/merge.scd2_merge): the reconciliation
+    engine's audit-keeping variant — changed keys close their open history
+    row and open a new one instead of updating in place. Current/history
+    snapshots are derived deterministically from ``customer`` so every
+    branch fires: %10==7 → soft delete, %10∈{8,9} → insert, %3==0 → change
+    (close+open), %10==0 also carries a closed passthrough row."""
+    from cnics_to_fhir_spark.operators.merge import scd2_merge
+
+    cu = table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    current = cu.filter(F.col("c_custkey") % 10 != 7)
+    open_hist = cu.filter(F.col("c_custkey") % 10 < 8).select(
+        "c_custkey",
+        "c_name",
+        F.when(F.col("c_custkey") % 3 == 0, F.col("c_acctbal") + 100)
+        .otherwise(F.col("c_acctbal"))
+        .alias("c_acctbal"),
+        F.lit("2024-01-01").alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+    )
+    closed_hist = cu.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        "c_name",
+        (F.col("c_acctbal") - 50).alias("c_acctbal"),
+        F.lit("2023-01-01").alias("valid_from"),
+        F.lit("2024-01-01").alias("valid_to"),
+    )
+    history = open_hist.unionByName(closed_hist)
+    return scd2_merge(
+        current, history, "c_custkey", ["c_name", "c_acctbal"], "2025-06-01"
+    )
+
+
+@query(
+    "o05_zorder_key",
+    tags="O1 F18",
+    oracle=None,  # set programmatically below — the SQL is generated
+)
+def o05_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) clustering key over two probe columns — the layout
+    key write_zordered sorts by so row-group min/max stats serve filters on
+    BOTH columns (load/parquet_sink.py; pruning effect measured in
+    tests/test_parquet_sink.py). Here the key arithmetic itself is
+    oracle-checked bit for bit."""
+    from cnics_to_fhir_spark.load.parquet_sink import z_value
+
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        z_value(F.col("l_suppkey") % 256, F.col("l_partkey") % 256, bits=8).alias("zkey"),
+    )
+
+
+def _set_o05_oracle() -> None:
+    from cnics_to_fhir_spark.load.parquet_sink import z_value_sql
+    from cnics_to_fhir_spark.plans import registry
+
+    e = registry._REGISTRY["o05_zorder_key"]
+    sql = (
+        "SELECT l_orderkey, l_linenumber, "
+        + z_value_sql("(l_suppkey % 256)", "(l_partkey % 256)", bits=8)
+        + " AS zkey FROM lineitem"
+    )
+    registry._REGISTRY["o05_zorder_key"] = registry.CatalogEntry(
+        name=e.name, tags=e.tags, spark=e.spark, oracle=sql, doc=e.doc
+    )
+
+
+_set_o05_oracle()

@@ -58,3 +58,48 @@ def test_assert_unique_keys(spark):
     df = spark.createDataFrame([("a",), ("a",), ("b",)], ["key"])
     bad = assert_unique_keys(df, "key").collect()
     assert len(bad) == 1 and bad[0]["key"] == "a" and bad[0]["n"] == 2
+
+
+def test_scd2_merge_all_branches(spark):
+    from cnics_to_fhir_spark.operators.merge import scd2_merge
+
+    history = spark.createDataFrame(
+        [
+            # closed row passes through untouched
+            ("keep", "v0", "2023-01-01", "2024-01-01"),
+            # open rows
+            ("keep", "v1", "2024-01-01", None),      # unchanged
+            ("change", "old", "2024-01-01", None),   # payload differs
+            ("gone", "v1", "2024-01-01", None),      # absent from current
+            ("nullsame", None, "2024-01-01", None),  # NULL == NULL is "same"
+        ],
+        "key string, val string, valid_from string, valid_to string",
+    )
+    current = spark.createDataFrame(
+        [("keep", "v1"), ("change", "new"), ("fresh", "v1"), ("nullsame", None)],
+        "key string, val string",
+    )
+    out = scd2_merge(current, history, "key", ["val"], "2025-06-01")
+    rows = {(r["key"], r["val"], r["valid_from"], r["valid_to"]) for r in out.collect()}
+    assert rows == {
+        ("keep", "v0", "2023-01-01", "2024-01-01"),   # closed passthrough
+        ("keep", "v1", "2024-01-01", None),           # unchanged stays open
+        ("change", "old", "2024-01-01", "2025-06-01"),# old version closed
+        ("change", "new", "2025-06-01", None),        # new version opened
+        ("gone", "v1", "2024-01-01", "2025-06-01"),   # soft delete
+        ("fresh", "v1", "2025-06-01", None),          # insert
+        ("nullsame", None, "2024-01-01", None),       # null-safe unchanged
+    }
+
+
+def test_scd2_merge_exactly_one_open_row_per_live_key(spark):
+    from cnics_to_fhir_spark.operators.merge import scd2_merge
+
+    history = spark.createDataFrame(
+        [("a", 1, "2024-01-01", None), ("b", 2, "2024-01-01", None)],
+        "key string, val int, valid_from string, valid_to string",
+    )
+    current = spark.createDataFrame([("a", 9), ("c", 3)], "key string, val int")
+    out = scd2_merge(current, history, "key", ["val"], "2025-06-01").collect()
+    open_keys = sorted(r["key"] for r in out if r["valid_to"] is None)
+    assert open_keys == ["a", "c"]  # live keys = current's keys, exactly once

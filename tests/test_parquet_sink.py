@@ -42,3 +42,48 @@ def test_partitioned_write_one_file_per_partition(spark, tmp_path):
     for d in glob.glob(path + "/shard=*"):
         files = [f for f in glob.glob(d + "/*.parquet")]
         assert len(files) == 1  # repartition-before-write: no small-file spray
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
+    """Z-ordered files must give row-group min/max selectivity on BOTH probe
+    columns; an x-sorted layout serves only x."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from cnics_to_fhir_spark.load.parquet_sink import write_zordered
+
+    n, files = 1 << 14, 16
+    # two independent uniform dimensions in [0, 1024)
+    df = spark.range(n).select(
+        (F.xxhash64("id", F.lit(1)) % 1024 + 1024) .cast("long").alias("x"),
+        (F.xxhash64("id", F.lit(2)) % 1024 + 1024).cast("long").alias("y"),
+    ).select((F.col("x") % 1024).alias("x"), (F.col("y") % 1024).alias("y"))
+
+    zpath = str(tmp_path / "zordered")
+    xpath = str(tmp_path / "xsorted")
+    write_zordered(df, zpath, "x", "y", bits=10, num_files=files)
+    df.repartitionByRange(files, "x").sortWithinPartitions("x").write.mode(
+        "overwrite"
+    ).parquet(xpath)
+
+    def match_fraction(path: str, col: str, lo: int, hi: int) -> float:
+        tot = hit = 0
+        for f in glob.glob(path + "/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            names = md.schema.to_arrow_schema().names
+            ci = names.index(col)
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                tot += 1
+                if st.min <= hi and st.max >= lo:
+                    hit += 1
+        return hit / tot
+
+    # a 64-wide y-range: every x-sorted row group spans all of y → no skip
+    assert match_fraction(xpath, "y", 256, 319) == 1.0
+    # z-order: only row groups in the matching y-block can hit
+    assert match_fraction(zpath, "y", 256, 319) <= 0.5
+    # and x stays prunable too (x-sorted is better at x, z must still skip)
+    assert match_fraction(zpath, "x", 256, 319) <= 0.5
