@@ -47,6 +47,7 @@ HEADLINE = [
     "dd05_embedding_neardup",
     "ann01_cosine_topk",
     "ann03_ivf_topk",
+    "ann05_quantized_rerank",
     "tx01_text_profile",
     "tx03_rolling_fingerprint",
     "tx04_heavy_hitters",
@@ -57,6 +58,7 @@ HEADLINE = [
     "ds03_greedy_packing",
     "ds04_deterministic_shuffle",
     "ds05_weighted_sample",
+    "ds06_sliding_chunks",
     "e2e05_corpus_curation",
     # Iterative ops (dd06, cl01, ann04) are deliberately NOT headline:
     # their wall time at toy SFs is driver-loop job-launch overhead

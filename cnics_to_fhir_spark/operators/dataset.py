@@ -170,6 +170,61 @@ def pack_greedy(
     )
 
 
+def chunk_sliding(
+    df: DataFrame,
+    size: int,
+    overlap: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Overlapping token-window chunking (RAG-style): chunk *i* covers
+    tokens [i·stride, i·stride + size), stride = size − overlap, so
+    consecutive chunks share ``overlap`` tokens and every token is covered.
+
+    Pure per-row explode — no shuffle, no UDF: the token array splits once,
+    the chunk count is exact integer arithmetic ((n − size + stride − 1)
+    div stride + 1, never float ceil, so the SQL oracle agrees on every
+    boundary), and each chunk is an array_join of a slice. An empty
+    document yields one empty chunk. Output amplification is
+    size/stride ≈ 1/(1−overlap/size) — bounded and known up front, which
+    is what lets the downstream packing stage size its shuffle.
+    """
+    if not 0 <= overlap < size:
+        raise ValueError("need 0 <= overlap < size")
+    stride = size - overlap
+    toks = F.split(F.col(text_col), " ")
+    n = token_count(F.col(text_col)).cast("long")
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            toks.alias("__toks"),
+            n.alias("__n"),
+        )
+        .withColumn(
+            "__n_chunks",
+            F.when(F.col("__n") <= size, F.lit(1).cast("long")).otherwise(
+                F.expr(f"(__n - {size} + {stride - 1}) div {stride} + 1")
+            ),
+        )
+        .select(
+            "doc_id",
+            "__toks",
+            F.explode(F.sequence(F.lit(0).cast("long"), F.col("__n_chunks") - 1)).alias("chunk_id"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.slice(F.col("__toks"), (F.col("chunk_id") * stride + 1).cast("int"), size).alias("__c"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.size("__c").cast("long").alias("chunk_tokens"),
+            F.array_join("__c", " ").alias("chunk_text"),
+        )
+    )
+
+
 def weighted_priority_sample(
     df: DataFrame,
     k: int,

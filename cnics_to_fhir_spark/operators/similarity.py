@@ -231,3 +231,101 @@ def lsh_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------------------
+# Int8 scalar quantization + rerank
+# ---------------------------------------------------------------------------
+
+def int8_quantize(vec: Column) -> Column:
+    """Symmetric per-vector int8 quantization: qᵢ = ⌊vᵢ·127/max|v| + 0.5⌋.
+
+    floor(x+0.5) (not round()) so Spark and the SQL oracle agree on every
+    half-way case; an all-zero vector quantizes to zeros instead of NULLs."""
+    mx = F.array_max(F.transform(vec, lambda x: F.abs(x.cast("double"))))
+    return F.when(
+        mx == 0, F.transform(vec, lambda x: F.lit(0))
+    ).otherwise(
+        F.transform(vec, lambda x: F.floor(x.cast("double") * 127.0 / mx + 0.5).cast("int"))
+    )
+
+
+def int_dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ over int arrays in exact long arithmetic — engine-portable
+    ordering (no float rounding can reorder candidates)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("long") * y.cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def quantized_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    shortlist_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage ANN: int8-quantized coarse scoring → exact-cosine rerank.
+
+    Stage 1 scores every (query, corpus) pair on 8-bit integer dot products
+    — 4× less candidate bandwidth than float32 and exact long arithmetic,
+    so the shortlist (top k·shortlist_factor per query by (int_score,
+    neighbor_id)) is deterministic and identical across engines. Stage 2
+    re-attaches the full-precision vectors BY ID (only shortlist rows — the
+    corpus-wide stage never carries vectors past the scan) and reranks by
+    exact cosine. Quantization error costs recall only when a true
+    neighbor falls outside the shortlist; factor 4 makes that rare while
+    keeping rerank cost at O(k·factor) per query.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        int8_quantize(F.col(vec_col)).alias("q_q"),
+    )
+    c = ensure_min_parallelism(corpus, id_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        int8_quantize(F.col(vec_col)).alias("c_q"),
+    )
+    coarse = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id", int_dot(F.col("q_q"), F.col("c_q")).alias("int_score")
+        )
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.col("int_score").desc(), F.col("neighbor_id").asc()
+    )
+    shortlist = (
+        coarse.withColumn("r", F.row_number().over(w1))
+        .filter(F.col("r") <= k * shortlist_factor)
+        .select("query_id", "neighbor_id")
+    )
+    n_full = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("n_vec"),
+        norm(F.col(vec_col)).alias("n_norm"),
+    )
+    q_full = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_norm"),
+    )
+    reranked = (
+        shortlist.join(n_full, on="neighbor_id")
+        .join(F.broadcast(q_full), on="query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            stable_round(
+                cosine_with_norms(F.col("q_vec"), F.col("n_vec"), F.col("q_norm"), F.col("n_norm")),
+                6,
+            ).alias("cosine_sim"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return reranked.withColumn("rank", F.row_number().over(w2)).filter(F.col("rank") <= k)

@@ -176,6 +176,62 @@ def ann03_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
 
 
+@query(
+    "ann05_quantized_rerank",
+    tags="ANN-quant J1 W F18",
+    oracle="""
+        WITH base AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                   list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS mx
+            FROM embeddings
+        ),
+        qz AS (
+            SELECT vec_id, v,
+                   CASE WHEN mx = 0
+                        THEN list_transform(v, x -> CAST(0 AS BIGINT))
+                        ELSE list_transform(v, x -> CAST(FLOOR(x * 127 / mx + 0.5) AS BIGINT))
+                   END AS q
+            FROM base
+        ),
+        coarse AS (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   CAST(list_dot_product(a.q, b.q) AS BIGINT) AS int_score
+            FROM qz a JOIN qz b ON b.vec_id <> a.vec_id
+            WHERE a.vec_id < 8
+        ),
+        short AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY int_score DESC, neighbor_id) AS r
+                FROM coarse
+            ) WHERE r <= 20
+        ),
+        rerank AS (
+            SELECT s.query_id, s.neighbor_id,
+                   FLOOR((list_dot_product(qa.v, qb.v)
+                         / (SQRT(list_dot_product(qa.v, qa.v)) * SQRT(list_dot_product(qb.v, qb.v))))*1e6 + 0.5)/1e6 AS cosine_sim
+            FROM short s
+            JOIN base qa ON qa.vec_id = s.query_id
+            JOIN base qb ON qb.vec_id = s.neighbor_id
+        )
+        SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+            SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cosine_sim DESC, neighbor_id) AS INTEGER) AS rank
+            FROM rerank
+        ) WHERE rank <= 5
+    """,
+)
+def ann05_quantized_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage ANN: int8 scalar-quantized coarse scoring (exact long
+    arithmetic → engine-identical shortlists) then exact-cosine rerank of
+    the top-20 shortlist; vectors rejoin by id so the corpus-wide stage
+    carries 4×-smaller int8 arrays only."""
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.quantized_topk(
+        emb, emb.filter(F.col("vec_id") < 8), k=5, shortlist_factor=4
+    )
+
+
 @query("ann02_lsh_topk", tags="ANN-lsh J1", oracle=None)
 def ann02_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH bucketed approximate top-5 (16 planes, 4 bands) — the scale
@@ -711,6 +767,43 @@ def ds05_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "documents"), k=500
     )
     return sampled.select("doc_id", "lang", "weight", "priority")
+
+
+@query(
+    "ds06_sliding_chunks",
+    tags="DS-chunk F19 F22",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks,
+                   CAST(CASE WHEN length(text) = 0 THEN 0
+                             ELSE len(string_split(text, ' ')) END AS BIGINT) AS n
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, toks, n,
+                   CASE WHEN n <= 32 THEN 1
+                        ELSE (n - 32 + 23) // 24 + 1 END AS n_chunks
+            FROM t
+        ),
+        e AS (
+            SELECT doc_id, toks, CAST(u.chunk_id AS BIGINT) AS chunk_id
+            FROM c, UNNEST(range(0, n_chunks)) AS u(chunk_id)
+        )
+        SELECT doc_id, chunk_id,
+               CAST(len(toks[(chunk_id * 24 + 1):(chunk_id * 24 + 32)]) AS BIGINT) AS chunk_tokens,
+               array_to_string(toks[(chunk_id * 24 + 1):(chunk_id * 24 + 32)], ' ') AS chunk_text
+        FROM e
+    """,
+)
+def ds06_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (size 32, overlap 8 → stride 24):
+    pure per-row explode, no shuffle; chunk counts are exact integer
+    arithmetic so engines agree on every boundary."""
+    from cnics_to_fhir_spark.operators import dataset
+
+    return dataset.chunk_sliding(
+        table(spark, sf_dir, "documents"), size=32, overlap=8
+    )
 
 
 @query(

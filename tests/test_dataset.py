@@ -130,3 +130,35 @@ def test_weighted_sample_prefers_heavy_docs(spark):
     out = dataset.weighted_priority_sample(_docs(spark, rows), k=100).collect()
     heavy = sum(1 for r in out if r["doc_id"] >= 1000)
     assert heavy > 80
+
+
+def test_chunk_sliding_coverage_and_overlap(spark):
+    # 80 tokens, size 32, overlap 8 (stride 24) -> chunks at 0,24,48;
+    # chunk 2 spans tokens [48,80) so the tail is already covered
+    text = " ".join(f"t{i}" for i in range(80))
+    df = _docs(spark, [(1, text, "en")])
+    out = sorted(
+        dataset.chunk_sliding(df, size=32, overlap=8).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    assert [r["chunk_id"] for r in out] == [0, 1, 2]
+    assert [r["chunk_tokens"] for r in out] == [32, 32, 32]
+    # consecutive chunks share exactly `overlap` tokens
+    c0, c1 = out[0]["chunk_text"].split(" "), out[1]["chunk_text"].split(" ")
+    assert c0[-8:] == c1[:8]
+    # every token covered, in order
+    covered = []
+    for r in out:
+        toks = r["chunk_text"].split(" ")
+        covered.extend(toks[8:] if r["chunk_id"] > 0 else toks)
+    assert covered == text.split(" ")
+
+
+def test_chunk_sliding_short_and_exact_docs(spark):
+    df = _docs(spark, [(1, " ".join(["w"] * 10), "en"), (2, " ".join(["w"] * 32), "en")])
+    out = dataset.chunk_sliding(df, size=32, overlap=8).collect()
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(per_doc[1]) == 1 and per_doc[1][0]["chunk_tokens"] == 10
+    assert len(per_doc[2]) == 1 and per_doc[2][0]["chunk_tokens"] == 32
