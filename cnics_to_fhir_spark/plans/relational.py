@@ -1244,3 +1244,49 @@ def _set_o05_oracle() -> None:
 
 
 _set_o05_oracle()
+
+
+@query(
+    "cg01_positional_diff",
+    tags="J6 UDF A3",
+    oracle="""
+        WITH a AS (
+            SELECT o_custkey AS k, o_totalprice AS p,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
+            FROM orders WHERE o_orderkey % 5 != 0
+        ),
+        b AS (
+            SELECT o_custkey AS k,
+                   CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 10
+                        ELSE o_totalprice END AS p,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
+            FROM orders WHERE o_orderkey % 3 != 0
+        )
+        SELECT COALESCE(a.k, b.k) AS key,
+               COALESCE(a.rn, b.rn) AS pos,
+               a.p AS value_a, b.p AS value_b,
+               CASE WHEN b.rn IS NULL THEN 'only_a'
+                    WHEN a.rn IS NULL THEN 'only_b'
+                    WHEN a.p = b.p THEN 'match'
+                    ELSE 'differ' END AS status
+        FROM a FULL OUTER JOIN b ON a.k = b.k AND a.rn = b.rn
+    """,
+)
+def cg01_positional_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided per-key Arrow processing (cogroup().applyInPandas): the
+    i-th order of each customer in snapshot A positionally compared to the
+    i-th in snapshot B — drift classified match/differ/only_a/only_b.
+    Snapshots derive deterministically from ``orders`` (A drops %5 keys,
+    B drops %3 keys and perturbs %7 prices) so all four statuses fire;
+    the oracle replays the pairing as row_number + full-outer join."""
+    from cnics_to_fhir_spark.operators.cogroup import positional_diff
+
+    o = table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderkey") % 5 != 0)
+    b = o.filter(F.col("o_orderkey") % 3 != 0).withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 10).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    return positional_diff(a, b, "o_custkey", "o_orderkey", "o_totalprice")

@@ -162,3 +162,26 @@ def test_chunk_sliding_short_and_exact_docs(spark):
         per_doc.setdefault(r["doc_id"], []).append(r)
     assert len(per_doc[1]) == 1 and per_doc[1][0]["chunk_tokens"] == 10
     assert len(per_doc[2]) == 1 and per_doc[2][0]["chunk_tokens"] == 32
+
+
+def test_chunk_sliding_invariants_grid(spark):
+    """Coverage invariant over a (doc length × geometry) grid: stitching
+    chunk 0 plus the non-overlap tail of every later chunk reproduces the
+    document exactly; chunk count matches the closed form."""
+    lengths = [1, 7, 31, 32, 33, 56, 57, 80, 200]
+    for size, overlap in [(32, 8), (16, 0), (8, 4)]:
+        stride = size - overlap
+        rows = [(n, " ".join(f"t{i}" for i in range(n)), "en") for n in lengths]
+        out = dataset.chunk_sliding(_docs(spark, rows), size=size, overlap=overlap).collect()
+        per_doc: dict[int, list] = {}
+        for r in out:
+            per_doc.setdefault(r["doc_id"], []).append(r)
+        for n in lengths:
+            chunks = sorted(per_doc[n], key=lambda r: r["chunk_id"])
+            expect_chunks = 1 if n <= size else (n - size + stride - 1) // stride + 1
+            assert len(chunks) == expect_chunks, (n, size, overlap)
+            stitched = []
+            for r in chunks:
+                toks = r["chunk_text"].split(" ")
+                stitched.extend(toks if r["chunk_id"] == 0 else toks[overlap:])
+            assert stitched == [f"t{i}" for i in range(n)], (n, size, overlap)
