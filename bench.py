@@ -27,6 +27,12 @@ HEADLINE = [
     "q04_order_priority",
     "q05_local_supplier_volume",
     "q17_small_quantity_revenue",
+    "q10_returned_items",
+    "q14_promo_effect",
+    "q18_large_volume_orders",
+    "q19_disjunctive_revenue",
+    "q21_sole_return_supplier",
+    "q22_dormant_balances",
     "w01_topn_per_group",
     "w02_running_spend",
     "j01_inner_join_agg",

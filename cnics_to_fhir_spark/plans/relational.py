@@ -1290,3 +1290,299 @@ def cg01_positional_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return positional_diff(a, b, "o_custkey", "o_orderkey", "o_totalprice")
+
+
+# --------------------------------------------------------------------------
+# Classic OLAP plan shapes the decorrelated engine must handle: returned-item
+# reporting, conditional-aggregate ratios, HAVING-subquery semi joins,
+# disjunctive join predicates, and EXISTS / NOT EXISTS decorrelation.
+# Slimmed-schema adaptations of TPC-H Q10/Q14/Q18/Q19/Q21/Q22.
+# --------------------------------------------------------------------------
+@query(
+    "q10_returned_items",
+    tags="J1 P3 A5 O1 O2",
+    oracle="""
+        SELECT c.c_custkey, c.c_name,
+               FLOOR((SUM(l.l_extendedprice * (1 - l.l_discount)))*1e2 + 0.5)/1e2 AS revenue,
+               FLOOR((c.c_acctbal)*1e2 + 0.5)/1e2 AS acctbal,
+               n.n_name AS nation
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        WHERE o.o_orderdate >= TIMESTAMP '1997-10-01 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+          AND l.l_returnflag = 'R'
+        GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+        ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 customers by revenue lost to returns in one quarter. Plan:
+    date filter pushed to the orders scan, returnflag to the lineitem scan;
+    nation broadcast; one shuffle keyed on custkey for the aggregate."""
+    from cnics_to_fhir_spark.functions.numeric import stable_round
+
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = table(spark, sf_dir, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            stable_round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            stable_round(F.col("c_acctbal"), 2).alias("acctbal"),
+            F.col("n_name").alias("nation"),
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "q14_promo_effect",
+    tags="J1 A5 F18",
+    oracle="""
+        SELECT FLOOR((100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+                        THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0.0 END)
+                / SUM(l.l_extendedprice * (1 - l.l_discount)))*1e4 + 0.5)/1e4 AS promo_revenue_pct
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+          AND l.l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'
+    """,
+)
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promo revenue share for one month: conditional aggregate over a
+    broadcast fact⋈dim join — part is the small side, lineitem never
+    leaves its scan partitioning (no shuffle before the single-row agg)."""
+    from cnics_to_fhir_spark.functions.numeric import stable_round
+
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    p = table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            stable_round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
+                / F.sum(rev),
+                4,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@query(
+    "q18_large_volume_orders",
+    tags="J7 A5 O1 O2",
+    oracle="""
+        SELECT c.c_name, c.c_custkey, o.o_orderkey,
+               STRFTIME(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+               FLOOR((o.o_totalprice)*1e2 + 0.5)/1e2 AS totalprice,
+               SUM(l.l_quantity) AS sum_qty
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderkey IN (
+            SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+            HAVING SUM(l_quantity) > 250
+        )
+        GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+        ORDER BY totalprice DESC, o_orderkey LIMIT 50
+    """,
+)
+def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders whose total quantity tops 250: the HAVING-subquery becomes an
+    aggregate → left-semi join (ids only cross the shuffle), then the
+    surviving small order set joins customers and re-aggregates."""
+    from cnics_to_fhir_spark.functions.numeric import stable_round
+
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 250)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            stable_round(F.col("o_totalprice"), 2).alias("totalprice"),
+            "sum_qty",
+        )
+        .orderBy(F.desc("totalprice"), "o_orderkey")
+        .limit(50)
+    )
+
+
+@query(
+    "q19_disjunctive_revenue",
+    tags="J1 P6 P7 A5",
+    oracle="""
+        SELECT FLOOR((SUM(l.l_extendedprice * (1 - l.l_discount)))*1e2 + 0.5)/1e2 AS revenue,
+               COUNT(*) AS nrows
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+               AND l.l_quantity BETWEEN 1 AND 11)
+           OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+               AND l.l_quantity BETWEEN 10 AND 20)
+           OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
+               AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunctive mixed-side predicate (OR of brand×size×quantity bands)
+    over a broadcast join. Catalyst can push only the per-side residuals
+    (quantity bands to lineitem, brand/size union to part); the cross-side
+    disjunction stays a post-join filter — the classic Q19 stress shape."""
+    from cnics_to_fhir_spark.functions.numeric import stable_round
+
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15) & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25) & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 35) & q.between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            stable_round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("nrows"),
+        )
+    )
+
+
+@query(
+    "q21_sole_return_supplier",
+    tags="J5 J7 A5 O1 O2",
+    oracle="""
+        SELECT s.s_name, COUNT(*) AS numwait
+        FROM supplier s
+        JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+        JOIN orders o    ON o.o_orderkey = l1.l_orderkey
+        WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_returnflag = 'R')
+        GROUP BY s.s_name
+        ORDER BY numwait DESC, s_name LIMIT 25
+    """,
+)
+def q21_sole_return_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers solely responsible for returns on finished multi-supplier
+    orders — correlated EXISTS / NOT EXISTS decorrelated into per-order
+    aggregates joined once: supp_cnt>1 replays EXISTS(other supplier),
+    ret_supp_cnt=1 replays NOT EXISTS(other supplier with a return).
+    One extra shuffle keyed on orderkey instead of two correlated probes."""
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    # single-shuffle distinct counting: a double count_distinct compiles to
+    # an Expand that doubles the fact rows, and a two-level groupBy costs a
+    # second shuffle. collect_set is partially aggregated map-side and the
+    # per-order set is bounded by suppliers-per-order (single digits), so
+    # one narrow shuffle carries tiny sets, never raw lineitems. The inner
+    # when() leaves non-return rows NULL, which collect_set drops.
+    per_order = li.groupBy("l_orderkey").agg(
+        F.size(F.collect_set("l_suppkey")).alias("supp_cnt"),
+        F.size(
+            F.collect_set(F.when(F.col("l_returnflag") == "R", F.col("l_suppkey")))
+        ).alias("ret_supp_cnt"),
+    )
+    # lineitem granularity: a supplier with several returned lines on one
+    # order is counted once per line, matching the correlated-SQL semantics
+    l1 = li.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey")
+    return (
+        l1.join(o.select("o_orderkey"), l1.l_orderkey == F.col("o_orderkey"), "left_semi")
+        .join(
+            per_order.filter((F.col("supp_cnt") > 1) & (F.col("ret_supp_cnt") == 1)),
+            "l_orderkey",
+            "left_semi",
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(25)
+    )
+
+
+@query(
+    "q22_dormant_balances",
+    tags="J5 A5 O1",
+    oracle="""
+        WITH cutoff AS (
+            SELECT AVG(c_acctbal) AS avg_bal FROM customer WHERE c_acctbal > 0.0
+        )
+        SELECT c.c_nationkey AS nationkey, COUNT(*) AS numcust,
+               FLOOR((SUM(c.c_acctbal))*1e2 + 0.5)/1e2 AS totacctbal
+        FROM customer c, cutoff
+        WHERE c.c_acctbal > cutoff.avg_bal
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+        GROUP BY c.c_nationkey
+        ORDER BY nationkey
+    """,
+)
+def q22_dormant_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High-balance customers with no recent orders, by nation: the scalar
+    subquery (global positive-balance mean) is a one-row broadcast cross
+    join, and NOT EXISTS(recent order) is a left-anti join against the
+    date-pruned orders scan — no correlated per-customer probing."""
+    from cnics_to_fhir_spark.functions.numeric import stable_round
+
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")
+    )
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal").alias("avg_bal"))
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o.select("o_custkey"), c.c_custkey == F.col("o_custkey"), "left_anti")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            stable_round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("nationkey")
+    )
