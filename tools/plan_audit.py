@@ -41,7 +41,12 @@ def audit(name: str, df) -> list[str]:
     bhj = len(re.findall(r"BroadcastHashJoin", plan))
     smj = len(re.findall(r"SortMergeJoin", plan))
     row_udf = len(re.findall(r"BatchEvalPython", plan))
-    arrow = len(re.findall(r"ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas", plan))
+    arrow = len(
+        re.findall(
+            r"ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas|FlatMapCoGroupsInPandas",
+            plan,
+        )
+    )
     warns = []
     if row_udf:
         warns.append(f"{row_udf} row-at-a-time Python UDF node(s)")
