@@ -1182,3 +1182,21 @@ def a11_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("approx_price_pcts"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+@query("a14_hll_rollup", tags="A5 APPROX ROLLUP", oracle=None)
+def a14_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level mergeable distinct-count rollup (operators/sketches.py):
+    one events scan builds per-(day, event_type) HLL sketches, then daily
+    distinct users come from UNIONING those sketches — the persisted-
+    sketch-table pattern that answers every coarser granularity at 100 TB
+    without re-scanning raw data (exact COUNT(DISTINCT) re-shuffles every
+    distinct key per granularity). Rows-only: estimates are
+    engine-specific; pytest pins merge-tree invariance (rollup == direct
+    sketch, register-max union is order-insensitive) and a 5% error bound
+    vs exact."""
+    from cnics_to_fhir_spark.operators.sketches import hll_rollup, hll_sketches
+
+    ev = table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    fine = hll_sketches(ev, ["day", "event_type"], "user_id")
+    return hll_rollup(fine, ["day"]).orderBy("day")

@@ -38,6 +38,7 @@ def test_queries_oracle_consistency(spark):
         "mm02_image_feature_stub",
         "a10_approx_distinct",
         "a11_approx_percentiles",
+        "a14_hll_rollup",
     }
 
 
