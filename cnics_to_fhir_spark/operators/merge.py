@@ -48,13 +48,21 @@ def merge_plan(
 
     Returns: key, action, id (NULL for insert), payload cols (NULL for
     delete). Duplicate keys on either side collapse to one action row,
-    matching the reference's first-match-then-break loop.
+    matching the reference's first-match-then-break loop
+    (cnics_to_fhir.py:552-560). The reference's "first" is MySQL natural
+    order — nondeterministic — so the engine pins an explicit total order
+    instead: the per-key MINIMUM of the payload struct (field-by-field
+    lexicographic). ``F.first`` in a groupBy would be partition-order
+    dependent; min-over-struct is stable under any partitioning, shuffles
+    exactly the same bytes, and DuckDB can replay it
+    (``min(row(...))`` / arg-min window).
     """
     payload_cols = payload_cols or [c for c in current.columns if c != key]
 
     cur = (
         current.groupBy(key)
-        .agg(*[F.first(c, ignorenulls=False).alias(c) for c in payload_cols])
+        .agg(F.min(F.struct(*[F.col(c) for c in payload_cols])).alias("__p"))
+        .select(key, *[F.col(f"__p.{c}").alias(c) for c in payload_cols])
         .withColumn("__in_current", F.lit(True))
     )
     exi = (

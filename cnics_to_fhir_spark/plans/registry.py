@@ -49,8 +49,84 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_table(spark, sf_dir, name)
 
 
+# Curated catalog order. The driver verifies a bounded prefix of the catalog
+# (50 entries in round 1), so the §2-core operators and flagship extensions
+# must come first; rows-only entries (no DuckDB oracle — xxhash64/sketch
+# based, pinned by pytest instead) go last. Entries not named here keep their
+# registration order after the prioritized block.
+_PRIORITY: tuple[str, ...] = (
+    # end-to-end verticals (§3.3 lifecycle, B1-B4, J6, A5)
+    "e2e01_conditions_pipeline",
+    "e2e02_observations_pipeline",
+    "e2e03_medications_pipeline",
+    "e2e04_patients_pipeline",
+    "e2e05_corpus_curation",
+    # §2.8 scalar-function layer, queried directly (F1-F22)
+    "f01_dx_coding_dispatch",
+    "f04_med_status",
+    "f05_dx_category_maps",
+    "f08_demographic_maps",
+    "f11_lab_value_typing",
+    "f12_unit_default_refrange",
+    "f14_string_cleanup",
+    "f17_date_format",
+    "f20_json_roundtrip",
+    # §2.2-2.7 relational core
+    "p04_nullsafe_inequality",
+    "p06_in_list_and_like",
+    "p08_guard_quirk",
+    "j01_inner_join_agg",
+    "j02_join_distinct",
+    "j03_decorrelated_page",
+    "j05_anti_join",
+    "j06_merge_actions",
+    "j06b_merge_dup_keys",
+    "j07_semi_join",
+    "j08_broadcast_membership",
+    "a01_distinct",
+    "a02_collect_set",
+    "a03_first_row_per_group",
+    "a04_last_write_wins",
+    "a05_group_counts",
+    "a06_uniqueness_guard",
+    "o02_order_limit",
+    "o03_deterministic_sample",
+    "w01_topn_per_group",
+    "w02_running_spend",
+    "u01_union_by_name",
+    "b01_resource_assembly",
+    # flagship scale extensions
+    "aj01_asof_join",
+    "rj01_interval_attribution",
+    "ev01_tumbling_window",
+    "ev02_sessionization",
+    "ann01_cosine_topk",
+    "ann03_ivf_topk",
+    "dd01_exact_dedup",
+    "dd02_ngram_jaccard",
+    "dd05_embedding_neardup",
+    "dd06_dup_clusters",
+    # classic OLAP shapes (fill the remaining prefix slots)
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_local_supplier_volume",
+)
+
+
 def catalog() -> dict[str, CatalogEntry]:
     # Import side-effect modules that populate the registry.
     from cnics_to_fhir_spark.plans import e2e, relational, scale_ops, transforms  # noqa: F401
 
-    return dict(_REGISTRY)
+    ordered: dict[str, CatalogEntry] = {}
+    for name in _PRIORITY:
+        if name in _REGISTRY:
+            ordered[name] = _REGISTRY[name]
+    # remaining oracle-bearing entries keep registration order ...
+    for name, entry in _REGISTRY.items():
+        if name not in ordered and entry.oracle is not None:
+            ordered[name] = entry
+    # ... and rows-only entries (pytest-pinned) close the catalog.
+    for name, entry in _REGISTRY.items():
+        if name not in ordered:
+            ordered[name] = entry
+    return ordered

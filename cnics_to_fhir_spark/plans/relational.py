@@ -389,6 +389,63 @@ def j06_merge_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# J6 variant — duplicate business keys on the current side. The reference's
+# loop takes the FIRST key match in MySQL natural order then breaks
+# (cnics_to_fhir.py:552-560) — nondeterministic; merge_plan pins the per-key
+# minimum of the payload struct instead. Feeding raw orders rows (many per
+# o_custkey) through merge_plan makes the oracle catch any regression back
+# to partition-order-dependent first().
+# --------------------------------------------------------------------------
+@query(
+    "j06b_merge_dup_keys",
+    tags="J6 A3 A5",
+    oracle="""
+        WITH cur AS (
+            SELECT key, ord_date, ord_key FROM (
+                SELECT CAST(o_custkey AS VARCHAR) AS key,
+                       STRFTIME(o_orderdate, '%Y-%m-%d') AS ord_date,
+                       o_orderkey AS ord_key,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY STRFTIME(o_orderdate, '%Y-%m-%d'), o_orderkey
+                       ) AS rn
+                FROM orders
+            ) WHERE rn = 1
+        ),
+        exi AS (
+            SELECT CAST(c_custkey AS VARCHAR) AS key,
+                   'srv-' || CAST(c_custkey AS VARCHAR) AS id
+            FROM customer WHERE c_custkey % 2 = 0
+        )
+        SELECT COALESCE(cur.key, exi.key) AS key,
+               CASE WHEN cur.key IS NOT NULL AND exi.key IS NOT NULL THEN 'update'
+                    WHEN cur.key IS NOT NULL THEN 'insert'
+                    ELSE 'delete' END AS action,
+               exi.id AS id,
+               cur.ord_date AS ord_date,
+               cur.ord_key AS ord_key
+        FROM cur FULL OUTER JOIN exi ON cur.key = exi.key
+    """,
+)
+def j06b_merge_dup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """merge_plan over a current side with many rows per key: the collapse
+    must be the deterministic struct-min (earliest ord_date, then smallest
+    ord_key), never a partition-order first()."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    current = o.select(
+        F.col("o_custkey").cast("string").alias("key"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("ord_date"),
+        F.col("o_orderkey").alias("ord_key"),
+    )
+    existing = c.filter(F.col("c_custkey") % 2 == 0).select(
+        F.col("c_custkey").cast("string").alias("key"),
+        F.concat(F.lit("srv-"), F.col("c_custkey").cast("string")).alias("id"),
+    )
+    return merge_plan(current, existing, key="key", existing_id="id", payload_cols=["ord_date", "ord_key"])
+
+
+# --------------------------------------------------------------------------
 # A3/O1 — first-row-per-group window (first demographic row wins,
 # cnics_to_fhir.py:440-525 break at :525; ORDER BY DemographicId :130)
 # --------------------------------------------------------------------------
