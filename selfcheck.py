@@ -53,9 +53,11 @@ def main() -> int:
 
     entries = catalog()
     failures = []
+    n_run = 0
     for name, e in entries.items():
         if only and name not in only:
             continue
+        n_run += 1
         try:
             sdf = e.spark(spark, sf_dir).toPandas()
         except Exception as ex:
@@ -92,7 +94,7 @@ def main() -> int:
             print(f"FAIL  {name}: {'; '.join(problems)}")
         else:
             print(f"OK    {name}: {len(s_n)} rows")
-    print(f"\n{len(entries) - len(failures)}/{len(entries)} passed")
+    print(f"\n{n_run - len(failures)}/{n_run} passed ({len(entries)} in catalog)")
     return 1 if failures else 0
 
 
