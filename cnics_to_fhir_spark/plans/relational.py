@@ -159,20 +159,22 @@ def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM part
         WHERE (p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
                OR p_type LIKE 'PRO%')
-          AND length(p_name) > 15
+          AND length(p_name) > 9
     """,
 )
 def p06_in_list_and_like(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IN-list + LIKE-prefix + string-length predicates ANDed, the
     settings.ini filter-splice shape (the reference's length guard is > 0,
-    cnics_to_fhir.py:122; > 15 here so the predicate demonstrably bites)."""
+    cnics_to_fhir.py:122; > 9 here so the predicate bites while still
+    matching real rows — p_name lengths span 7-12 in the corpus, so the
+    result is non-empty at every SF and the oracle hash is load-bearing)."""
     part = table(spark, sf_dir, "part")
     return part.filter(
         (
             F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
             | F.col("p_type").like("PRO%")
         )
-        & (F.length("p_name") > 15)
+        & (F.length("p_name") > 9)
     ).select("p_partkey", "p_name", "p_brand", "p_type")
 
 
