@@ -7,9 +7,11 @@ The reference opens raw mysql.connector connections with per-site routing
 to MySQL, minus the string splicing), plus ``partitionColumn`` so a 100 TB
 extract parallelizes across executors instead of one cursor.
 
-This container has no MySQL driver jar or server — the builders construct
-and validate reader configs; `.load()` happens only in a real deployment.
-Tests exercise parquet-backed tables through the same downstream pipeline.
+This container has no MySQL driver jar or server, but Spark bundles the
+embedded Derby driver, so the full ``.load()`` path — dialect resolution,
+predicate pushdown, partitioned parallel scan — is integration-tested
+against a real database (tests/test_jdbc.py) through the same reader the
+MySQL deployment uses; only the URL/driver pair differs.
 """
 
 from __future__ import annotations
@@ -24,17 +26,24 @@ class JdbcSource:
     """Connection profile for one database (cnics_to_fhir.py:70-104).
 
     site routing: the reference picks user/port/db by site for the PRO DB
-    (:88-96); model that as one JdbcSource per (site, db)."""
+    (:88-96); model that as one JdbcSource per (site, db).
 
-    host: str
-    port: int
-    database: str
-    user: str
+    ``jdbc_url``/``driver`` override the MySQL defaults for other engines
+    (the integration tests point them at Spark's bundled embedded Derby)."""
+
+    host: str = ""
+    port: int = 0
+    database: str = ""
+    user: str = ""
     password_env: str = "CNICS_DB_PASSWORD"  # never a literal secret
     fetch_size: int = 10_000
+    jdbc_url: str | None = None
+    driver: str | None = None
 
     @property
     def url(self) -> str:
+        if self.jdbc_url:
+            return self.jdbc_url
         return f"jdbc:mysql://{self.host}:{self.port}/{self.database}"
 
     def reader(
@@ -52,12 +61,16 @@ class JdbcSource:
             spark.read.format("jdbc")
             .option("url", self.url)
             .option("dbtable", table)
-            .option("user", self.user)
-            .option("password", os.environ.get(self.password_env, ""))
             .option("fetchsize", str(self.fetch_size))
             .option("pushDownPredicate", "true")
             .option("pushDownLimit", "true")
         )
+        if self.user:
+            r = r.option("user", self.user).option(
+                "password", os.environ.get(self.password_env, "")
+            )
+        if self.driver:
+            r = r.option("driver", self.driver)
         if partition_column:
             r = (
                 r.option("partitionColumn", partition_column)
