@@ -89,6 +89,26 @@ def snapshot_from_bundles(bundles: DataFrame, json_col: str = "bundle_json") -> 
     )
 
 
+def lastupdated_shards(boundaries: list[str]) -> list[str]:
+    """Half-open ``_lastUpdated`` range shards from sorted date boundaries.
+
+    ``["2020-01-01", "2021-01-01", "2022-01-01"]`` → two shards covering
+    [2020, 2021) and [2021, 2022), plus open-ended head/tail shards so the
+    union is exactly the full corpus regardless of data outside the range.
+    """
+    shards = [f"_lastUpdated=lt{boundaries[0]}"]
+    for lo, hi in zip(boundaries, boundaries[1:]):
+        shards.append(f"_lastUpdated=ge{lo}&_lastUpdated=lt{hi}")
+    shards.append(f"_lastUpdated=ge{boundaries[-1]}")
+    return shards
+
+
+def site_shards(sites: list[str], system: str) -> list[str]:
+    """One identifier-system shard per site — the reference's per-site
+    databases (cnics_to_fhir.py:85-104) become disjoint search shards."""
+    return [f"identifier={system}%7C{site}*" for site in sites]
+
+
 def snapshot_via_http(
     spark: SparkSession,
     base_url: str,
@@ -96,12 +116,24 @@ def snapshot_via_http(
     page_size: int = 1000,
     headers: dict[str, str] | None = None,
     max_pages: int = 10_000,
+    shards: list[str] | None = None,
 ) -> DataFrame:
     """Partition-parallel paged GET → FHIR_SNAPSHOT. Requires ``requests``
     at runtime on executors; import is deferred so environments without it
-    can still use the bundle path."""
-    url0 = f"{base_url}/{resource_type}?_format=json&_count={page_size}"
-    seed = spark.createDataFrame([(url0,)], "url string")
+    can still use the bundle path.
+
+    ``shards`` is a list of FHIR search-fragment strings whose result sets
+    partition the corpus (build with :func:`lastupdated_shards` /
+    :func:`site_shards`). Each shard seeds its own task, which walks its own
+    ``next``-link chain — so a 1000-executor cluster fetches 1000 page
+    chains concurrently instead of the reference's one serial cursor
+    (the ``_count=50000`` no-pagination hack, cnics_to_fhir.py:215-217).
+    Without shards, one seed → one chain (correct but driver-shaped; fine
+    for small stores only)."""
+    base = f"{base_url}/{resource_type}?_format=json&_count={page_size}"
+    urls = [(f"{base}&{s}",) for s in shards] if shards else [(base,)]
+    # one task per shard: each walks its own next-chain in parallel
+    seed = spark.createDataFrame(urls, "url string").repartition(len(urls))
 
     def fetch(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -114,9 +146,16 @@ def snapshot_via_http(
                 "use snapshot_from_bundles over an exported bundle instead"
             ) from e
 
+        from pyspark import TaskContext
+
         session = requests.Session()
         if headers:
             session.headers.update(headers)
+        # trace which task fetched each chain (also lets the test suite
+        # prove shard-parallelism without guessing at server threads)
+        tc = TaskContext.get()
+        if tc is not None:
+            session.headers["X-Task-Partition"] = str(tc.partitionId())
         for pdf in batches:
             out = []
             for url in pdf["url"]:
