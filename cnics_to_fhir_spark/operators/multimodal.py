@@ -2,11 +2,12 @@
 
 Images/audio/video ride as ``binary`` columns with a metadata struct; the
 Spark-side plumbing (schema, partition sizing, Arrow batch shape, UDF
-signatures) is real and tested. The actual codec work is stubbed — this
-container has no image/audio libraries — behind ``decode_image_stub``:
-deterministic fake features with the exact mapInPandas contract a real
-decoder (PIL/torchvision/ffmpeg) would use, and a clearly marked
-``NotImplementedError`` path for real decoding.
+signatures) is real and tested. Decoding is real too:
+``real_decode=True`` routes through functions/mediacodec.py — PIL when
+importable, a pure-stdlib PNG codec otherwise — so PNG images decode,
+resize, and re-encode in every environment; non-PNG formats without PIL
+raise a clear error naming the optional dependency. The default fake path
+remains for deterministic oracle-compared features over arbitrary bytes.
 
 Scale notes: binary payloads dominate row size, so the operators (a) never
 shuffle payload bytes — features are extracted in a narrow mapInPandas pass
@@ -57,7 +58,9 @@ def decode_image_stub(
     deterministic pseudo-features from byte content (length + 8-byte strides)
     so downstream similarity/dedup pipelines are exercisable end-to-end.
 
-    ``real_decode=True`` marks where PIL/libvips decoding would go.
+    ``real_decode=True`` actually decodes (functions/mediacodec.py: PIL if
+    importable, stdlib PNG codec otherwise) and emits image-content
+    features: [width, height, channels, mean, std, min, max, aspect].
     """
     out_schema = T.StructType(
         [
@@ -72,18 +75,32 @@ def decode_image_stub(
         import pandas as pd
 
         if real_decode:
-            raise NotImplementedError(
-                "real image decode requires PIL/torchvision — not in this "
-                "container; the stub path exercises the full Spark plumbing"
-            )
+            from cnics_to_fhir_spark.functions.mediacodec import decode_image
         for pdf in batches:
             feats, sizes = [], []
             for raw in pdf[payload_col]:
-                b = np.frombuffer(raw or b"", dtype=np.uint8)
-                sizes.append(len(b))
-                if len(b) == 0:
+                raw = raw or b""
+                sizes.append(len(raw))
+                if len(raw) == 0:
                     feats.append([0.0] * FEATURE_DIM)
                     continue
+                if real_decode:
+                    w, h, ch, px = decode_image(bytes(raw))
+                    a = np.frombuffer(px, dtype=np.uint8)
+                    feats.append(
+                        [
+                            float(w),
+                            float(h),
+                            float(ch),
+                            float(a.mean()),
+                            float(a.std()),
+                            float(a.min()),
+                            float(a.max()),
+                            float(w) / float(h),
+                        ]
+                    )
+                    continue
+                b = np.frombuffer(raw, dtype=np.uint8)
                 # deterministic fake features: mean byte value per stride
                 chunks = np.array_split(b, FEATURE_DIM)
                 feats.append([float(c.mean()) if len(c) else 0.0 for c in chunks])
@@ -103,10 +120,11 @@ def resize_image_stub(
     real_decode: bool = False,
 ) -> DataFrame:
     """Binary-in → binary-out resize contract: output rows carry a NEW
-    payload plus its dimensions — the geometry of a real thumbnailer. The
-    stub 'resizes' by deterministic byte subsampling to w*h bytes (pad with
-    zeros when shorter); a real implementation decodes, resizes, re-encodes
-    inside the same batch loop."""
+    payload plus its dimensions — the geometry of a real thumbnailer.
+
+    ``real_decode=True``: decode (PIL or stdlib PNG) → nearest-neighbor
+    resample → re-encode PNG, inside the same Arrow batch loop. The fake
+    path 'resizes' by deterministic byte subsampling to w*h bytes."""
     out_schema = T.StructType(
         [
             T.StructField("id", T.LongType()),
@@ -122,13 +140,21 @@ def resize_image_stub(
         import pandas as pd
 
         if real_decode:
-            raise NotImplementedError(
-                "real resize requires an image codec — not in this container"
+            from cnics_to_fhir_spark.functions.mediacodec import (
+                decode_image,
+                encode_png,
+                resize_nearest,
             )
         for pdf in batches:
             outs = []
             for raw in pdf[payload_col]:
-                b = np.frombuffer(raw or b"", dtype=np.uint8)
+                raw = bytes(raw or b"")
+                if real_decode:
+                    w, h, ch, px = decode_image(raw)
+                    small = resize_nearest(px, w, h, ch, target_w, target_h)
+                    outs.append(encode_png(small, target_w, target_h, ch))
+                    continue
+                b = np.frombuffer(raw, dtype=np.uint8)
                 if len(b) >= n_out:
                     idx = np.linspace(0, len(b) - 1, n_out).astype(np.int64)
                     outs.append(b[idx].tobytes())
@@ -177,3 +203,64 @@ def frame_sample_stub(
             yield pd.DataFrame({"id": ids, "sample_index": idxs, "sample_value": vals})
 
     return df.select(id_col, payload_col).mapInPandas(sample, schema=out_schema)
+
+
+def audio_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Real WAV decode (stdlib ``wave`` — no optional deps): one row per
+    clip with (sample_rate, n_channels, n_frames, duration_ms, rms).
+    Same narrow-scan/drop-payload-before-shuffle posture as the image ops."""
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("n_channels", T.IntegerType()),
+            T.StructField("n_frames", T.LongType()),
+            T.StructField("duration_ms", T.LongType()),
+            T.StructField("rms", T.DoubleType()),
+        ]
+    )
+
+    def extract(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from cnics_to_fhir_spark.functions.mediacodec import decode_wav
+
+        for pdf in batches:
+            rows = []
+            for rid, raw in zip(pdf[id_col], pdf[payload_col]):
+                rate, nch, width, nframes, pcm = decode_wav(bytes(raw))
+                dtype = {1: np.uint8, 2: np.int16, 4: np.int32}.get(width)
+                if dtype is None:
+                    raise ValueError(f"unsupported WAV sample width {width}")
+                samples = np.frombuffer(pcm, dtype=dtype).astype(np.float64)
+                if width == 1:  # 8-bit WAV is unsigned, centre it
+                    samples -= 128.0
+                rms = float(np.sqrt((samples**2).mean())) if len(samples) else 0.0
+                rows.append(
+                    (
+                        int(rid),
+                        rate,
+                        nch,
+                        nframes,
+                        (nframes * 1000) // rate if rate else 0,
+                        rms,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id",
+                    "sample_rate",
+                    "n_channels",
+                    "n_frames",
+                    "duration_ms",
+                    "rms",
+                ],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(extract, schema=out_schema)

@@ -29,10 +29,17 @@ def test_decode_stub_deterministic(spark):
     assert sorted(map(str, a)) == sorted(map(str, b))
 
 
-def test_real_decode_marked_unimplemented(spark):
+def test_real_decode_rejects_undecodable_bytes(spark):
+    # real_decode=True now actually decodes (PNG via stdlib, more via PIL);
+    # non-image bytes must fail loudly, naming the optional dependency,
+    # rather than emitting fake features. Real-decode success paths are
+    # covered in tests/test_mediacodec.py.
     with pytest.raises(Exception) as ei:
         mm.decode_image_stub(_media(spark), real_decode=True).collect()
-    assert "NotImplementedError" in str(ei.value) or isinstance(ei.value, NotImplementedError)
+    msg = str(ei.value)
+    assert "NotImplementedError" in msg or "Pillow" in msg or isinstance(
+        ei.value, NotImplementedError
+    )
 
 
 def test_frame_sample_explode_shape(spark):
