@@ -53,16 +53,30 @@ def merge_plan(
     order — nondeterministic — so the engine pins an explicit total order
     instead: the per-key MINIMUM of the payload struct (field-by-field
     lexicographic). ``F.first`` in a groupBy would be partition-order
-    dependent; min-over-struct is stable under any partitioning, shuffles
-    exactly the same bytes, and DuckDB can replay it
-    (``min(row(...))`` / arg-min window).
+    dependent; min-over-struct is stable under any partitioning and
+    shuffles exactly the same bytes.
+
+    NULL handling: Spark's struct comparison sorts NULL fields FIRST while
+    DuckDB's ``min(row(...))``/ORDER BY defaults put them last, so a bare
+    struct-min would not be oracle-replayable for nullable payloads. Each
+    payload field is therefore preceded by an ``isnull`` flag in the
+    comparison struct (false < true), which pins NULLS-LAST per field on
+    both engines — replay with ``min(row(...))`` over the same
+    (c IS NULL, c) interleaving, or arg-min with ``ORDER BY c NULLS LAST``.
     """
     payload_cols = payload_cols or [c for c in current.columns if c != key]
 
+    cmp_fields = []
+    for i, c in enumerate(payload_cols):
+        cmp_fields.append(F.col(c).isNull().alias(f"n{i}"))
+        cmp_fields.append(F.col(c).alias(f"v{i}"))
     cur = (
         current.groupBy(key)
-        .agg(F.min(F.struct(*[F.col(c) for c in payload_cols])).alias("__p"))
-        .select(key, *[F.col(f"__p.{c}").alias(c) for c in payload_cols])
+        .agg(F.min(F.struct(*cmp_fields)).alias("__p"))
+        .select(
+            key,
+            *[F.col(f"__p.v{i}").alias(c) for i, c in enumerate(payload_cols)],
+        )
         .withColumn("__in_current", F.lit(True))
     )
     exi = (

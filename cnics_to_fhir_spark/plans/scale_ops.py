@@ -424,6 +424,130 @@ def mm02_image_feature_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.decode_image_stub(d, payload_col="payload", id_col="doc_id")
 
 
+@query(
+    "mm04_real_png_decode",
+    tags="MM UDF",
+    oracle="""
+        WITH px AS (
+            SELECT d.doc_id, (x*17 + y*29 + c*41 + d.doc_id) % 256 AS v
+            FROM documents d,
+                 UNNEST(range(0, 16)) AS tx(x),
+                 UNNEST(range(0, 12)) AS ty(y),
+                 UNNEST(range(0, 3)) AS tc(c)
+        )
+        SELECT doc_id,
+               16 AS width, 12 AS height, 3 AS channels,
+               FLOOR(AVG(v)*1e3 + 0.5)/1e3 AS mean_px
+        FROM px GROUP BY doc_id
+    """,
+)
+def mm04_real_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode in the verified loop: synthesize a deterministic
+    16x12 RGB image per document (pixel = (x*17+y*29+c*41+doc_id) mod 256),
+    encode with the stdlib PNG writer, decode with the real decoder
+    (functions/mediacodec.py — PIL if importable, stdlib codec otherwise),
+    and emit decoded geometry + pixel mean FROM THE DECODED BYTES. The
+    oracle recomputes the pixel math relationally, so any codec defect
+    (wrong unfilter, stride, channel order) breaks the value hash.
+
+    Scale: payload bytes are born and die inside one narrow mapInPandas
+    pass — nothing binary is ever shuffled."""
+    from collections.abc import Iterator
+
+    W, H, C = 16, 12, 3
+
+    def gen_decode(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from cnics_to_fhir_spark.functions.mediacodec import decode_image, encode_png
+
+        x = np.arange(W) * 17
+        y = np.arange(H) * 29
+        c = np.arange(C) * 41
+        base = (y[:, None, None] + x[None, :, None] + c[None, None, :])
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                pixels = ((base + int(did)) % 256).astype(np.uint8)
+                png = encode_png(pixels.tobytes(), W, H, C)
+                w, h, ch, decoded = decode_image(png)
+                a = np.frombuffer(decoded, dtype=np.uint8)
+                mean_px = np.floor(a.mean() * 1e3 + 0.5) / 1e3
+                rows.append((int(did), w, h, ch, float(mean_px)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "channels", "mean_px"]
+            )
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(
+        gen_decode,
+        schema="doc_id long, width int, height int, channels int, mean_px double",
+    )
+
+
+@query(
+    "mm05_audio_features",
+    tags="MM UDF",
+    oracle="""
+        SELECT doc_id,
+               8000 AS sample_rate,
+               1 AS n_channels,
+               CAST(400 + (doc_id % 50) * 16 AS BIGINT) AS n_frames,
+               CAST((400 + (doc_id % 50) * 16) * 1000 / 8000 AS BIGINT)
+                   AS duration_ms,
+               CAST((doc_id % 100 + 1) * 100 AS DOUBLE) AS rms
+        FROM documents
+    """,
+)
+def mm05_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode in the verified loop: synthesize a square-wave WAV
+    per document (amplitude (doc_id%100+1)*100, 400+(doc_id%50)*16 frames
+    at 8 kHz — rms of a square wave == its amplitude, exactly), then run
+    operators/multimodal.audio_features (stdlib ``wave`` parse) over the
+    binary payloads. The oracle states the expected header fields and rms
+    in closed form, so header mis-parse or PCM misread breaks the hash."""
+    from collections.abc import Iterator
+
+    def gen_wav(batches: Iterator) -> Iterator:
+        import io
+        import wave as wave_mod
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 400 + (did % 50) * 16
+                amp = (did % 100 + 1) * 100
+                samples = np.where(np.arange(n) % 2 == 0, amp, -amp).astype(np.int16)
+                buf = io.BytesIO()
+                with wave_mod.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(8000)
+                    w.writeframes(samples.tobytes())
+                ids.append(did)
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    from cnics_to_fhir_spark.operators import multimodal as mm
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    wavs = d.mapInPandas(gen_wav, schema="doc_id long, payload binary")
+    out = mm.audio_features(wavs, payload_col="payload", id_col="doc_id")
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "sample_rate",
+        "n_channels",
+        "n_frames",
+        "duration_ms",
+        "rms",
+    )
+
+
 # ---------------------------------------------------------------------------
 # As-of join (custom operator — union + last-carry-forward, operators/asof.py)
 # ---------------------------------------------------------------------------

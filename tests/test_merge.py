@@ -38,6 +38,28 @@ def test_merge_plan_collapses_duplicate_existing_keys(spark):
     assert rows[0]["id"] == "srv-1"  # deterministic min, not arrival order
 
 
+def test_merge_plan_dup_keys_with_null_payload_collapse_nulls_last(spark):
+    # Spark's bare struct-min would pick the NULL-field row (NULLs sort
+    # first in struct comparison); DuckDB's min(row(...)) puts NULLs last.
+    # merge_plan interleaves isnull flags so both engines agree: the
+    # non-null payload wins, and among non-nulls the lexicographic min.
+    current = spark.createDataFrame(
+        [("k1", None), ("k1", "zeta"), ("k1", "alpha")],
+        "key string, body string",
+    )
+    existing = spark.createDataFrame([], "key string, id string")
+    rows = merge_plan(current, existing).collect()
+    assert len(rows) == 1
+    assert rows[0]["body"] == "alpha"  # NULLS LAST, then value min
+
+    # all-null payload group still collapses (flags tie, values tie)
+    only_null = spark.createDataFrame(
+        [("k2", None), ("k2", None)], "key string, body string"
+    )
+    rows = merge_plan(only_null, existing).collect()
+    assert len(rows) == 1 and rows[0]["body"] is None
+
+
 def test_anti_join_deletes(spark):
     # site-level patient delete (cnics_to_fhir.py:328-337)
     existing = spark.createDataFrame([("a", 1), ("b", 2), ("c", 3)], ["key", "x"])
