@@ -1645,3 +1645,444 @@ def q22_dormant_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nationkey")
     )
+
+
+# --------------------------------------------------------------------------
+# Extended OLAP shapes, round 3: outer-join aggregation, decorrelated scalar
+# subqueries, count-distinct, rollup/grouping sets, percentiles, pivot.
+# Same settings.ini-splice lineage as the q-series above — each shape maps
+# to a reference query form (SURVEY.md §2.2-2.6) at 100 TB posture: dims
+# broadcast, one shuffle per agg level, no correlated per-row probing.
+# --------------------------------------------------------------------------
+@query(
+    "q07_volume_shipping",
+    tags="J1 A5 F18",
+    oracle="""
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(EXTRACT(year FROM l.l_shipdate) AS INTEGER) AS l_year,
+               FLOOR((SUM(l.l_extendedprice * (1 - l.l_discount)))*1e2 + 0.5)/1e2
+                   AS revenue
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+        JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q07_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bilateral trade volume: the nation dim joins twice under different
+    roles (supplier side / customer side) with a disjunctive cross-pair
+    predicate — both broadcast, so the only shuffles are lineitem⋈orders
+    and the final 3-key agg."""
+    from cnics_to_fhir_spark.functions.numeric import stable_round
+
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            stable_round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "q08_market_share",
+    tags="J1 A5 F18",
+    oracle="""
+        WITH vol AS (
+            SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER) AS o_year,
+                   l.l_extendedprice * (1 - l.l_discount) AS volume,
+                   n1.n_name AS supp_nation
+            FROM lineitem l
+            JOIN orders o   ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+            JOIN region r   ON n2.n_regionkey = r.r_regionkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+            WHERE r.r_name = 'ASIA'
+        )
+        SELECT o_year,
+               FLOOR((SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
+                      / SUM(volume))*1e6 + 0.5)/1e6 AS mkt_share
+        FROM vol GROUP BY o_year
+    """,
+)
+def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """National market share inside one region: conditional-sum ratio over
+    a 6-table snowflake; all dims broadcast, one agg shuffle on year."""
+    from cnics_to_fhir_spark.functions.numeric import stable_round
+
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n1 = n.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("n2_key"), F.col("n_regionkey").alias("n2_region"))
+    vol = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .join(F.broadcast(r), F.col("n2_region") == F.col("r_regionkey"))
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+            F.col("supp_nation"),
+        )
+    )
+    share = F.sum(
+        F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(0.0)
+    ) / F.sum("volume")
+    return vol.groupBy("o_year").agg(stable_round(share, 6).alias("mkt_share"))
+
+
+@query(
+    "q09_product_profit",
+    tags="J1 A5 F18",
+    oracle="""
+        SELECT n.n_name AS nation,
+               CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER) AS o_year,
+               FLOOR((SUM(l.l_extendedprice * (1 - l.l_discount)
+                          - 0.4 * p.p_retailprice * l.l_quantity))*1e2 + 0.5)/1e2
+                   AS sum_profit
+        FROM lineitem l
+        JOIN part p     ON l.l_partkey = p.p_partkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        WHERE p.p_type = 'PROMO'
+        GROUP BY nation, o_year
+    """,
+)
+def q09_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profit by supplier nation and year for one product line; the 40%
+    retail-cost proxy replaces partsupp.ps_supplycost (table absent from
+    the slimmed star). part/supplier/nation broadcast; lineitem⋈orders is
+    the one big shuffle."""
+    from cnics_to_fhir_spark.functions.numeric import stable_round
+
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    o = table(spark, sf_dir, "orders")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.4 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+        )
+        .agg(stable_round(F.sum(profit), 2).alias("sum_profit"))
+    )
+
+
+@query(
+    "q12_late_shipments",
+    tags="J1 A5 F17 F18",
+    oracle="""
+        SELECT l.l_returnflag,
+               CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+        GROUP BY l.l_returnflag
+    """,
+)
+def q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-shipment priority split (shipmode column absent → returnflag
+    carries the group): join-side date arithmetic + two conditional counts
+    in one agg pass."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q13_customer_distribution",
+    tags="J1 A5 U",
+    oracle="""
+        WITH c_orders AS (
+            SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+            FROM customer c
+            LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                              AND o.o_orderpriority <> '5-LOW'
+            GROUP BY c.c_custkey
+        )
+        SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+        FROM c_orders GROUP BY c_count
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of orders-per-customer: LEFT OUTER join with an ON-clause
+    filter (not a WHERE — zero-order customers must survive), then two
+    stacked aggregations."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "5-LOW")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "q15_top_supplier",
+    tags="J1 A5 O1",
+    oracle="""
+        WITH revenue AS (
+            SELECT l_suppkey AS supplier_no,
+                   FLOOR((SUM(l_extendedprice * (1 - l_discount)))*1e2 + 0.5)/1e2
+                       AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+            GROUP BY l_suppkey
+        )
+        SELECT s.s_suppkey, s.s_name, r.total_revenue
+        FROM supplier s
+        JOIN revenue r ON s.s_suppkey = r.supplier_no
+        WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top supplier by quarterly revenue: the scalar MAX subquery becomes a
+    one-row broadcast cross join against the same aggregated view — the
+    revenue agg computes once, never per-row."""
+    from cnics_to_fhir_spark.functions.numeric import stable_round
+
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        stable_round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "total_revenue"
+        )
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("max_rev"))
+    s = table(spark, sf_dir, "supplier")
+    return (
+        s.join(revenue, s.s_suppkey == F.col("supplier_no"))
+        .join(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("max_rev"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "q16_supplier_count",
+    tags="J5 A1 A5",
+    oracle="""
+        WITH partsupp AS (
+            SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+        )
+        SELECT p.p_brand, p.p_type, p.p_size,
+               CAST(COUNT(DISTINCT ps.l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM partsupp ps
+        JOIN part p ON p.p_partkey = ps.l_partkey
+        WHERE p.p_brand <> 'Brand#1'
+          AND p.p_type NOT LIKE 'PRO%'
+          AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+          AND ps.l_suppkey NOT IN (
+              SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+          )
+        GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct supplier counts per part group: pseudo-partsupp derived as
+    DISTINCT (l_partkey, l_suppkey) (partsupp absent from the slimmed
+    star), negative-balance suppliers excluded by broadcast anti-join
+    (the reference's complaint-supplier NOT IN)."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & ~F.col("p_type").like("PRO%")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    )
+    bad = table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    return (
+        ps.join(F.broadcast(bad), ps.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q20_part_promotion",
+    tags="J7 J1 A5 P7",
+    oracle="""
+        WITH eligible AS (
+            SELECT l.l_suppkey
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE p.p_type = 'ECONOMY'
+              AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+            GROUP BY l.l_suppkey, l.l_partkey
+            HAVING SUM(l.l_quantity) > 50
+        )
+        SELECT s.s_name, s.s_acctbal
+        FROM supplier s
+        WHERE s.s_suppkey IN (SELECT l_suppkey FROM eligible)
+        ORDER BY s.s_name
+    """,
+)
+def q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers moving serious volume of one product line in one year:
+    filter→agg→HAVING feeding a semi-join — the nested-IN chain
+    decorrelated into one pass over the pruned lineitem scan."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    p = table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    eligible = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 50)
+        .select("l_suppkey")
+    )
+    s = table(spark, sf_dir, "supplier")
+    return (
+        s.join(eligible, s.s_suppkey == eligible.l_suppkey, "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+@query(
+    "a07_rollup_subtotals",
+    tags="A5 W",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               GROUPING(l_returnflag, l_linestatus) AS gid,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def a07_rollup_subtotals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals in ONE pass (ROLLUP): Spark expands grouping
+    sets map-side — no second scan, no union of three aggs; gid
+    disambiguates subtotal rows from genuine NULL groups."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.withColumn("q", F.col("l_quantity").cast("long"))
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.sum("q").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "sum_qty", "n")
+    )
+
+
+@query(
+    "a08_percentiles",
+    tags="A5 W O1",
+    oracle="""
+        SELECT l_returnflag,
+               FLOOR((quantile_cont(l_extendedprice, 0.25))*1e6 + 0.5)/1e6 AS p25,
+               FLOOR((quantile_cont(l_extendedprice, 0.50))*1e6 + 0.5)/1e6 AS p50,
+               FLOOR((quantile_cont(l_extendedprice, 0.75))*1e6 + 0.5)/1e6 AS p75
+        FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a08_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles per group (both engines use
+    the same estimator). At 100 TB the exact sort-based form gives way to
+    approx_percentile (t-digest, mergeable map-side) — same API shape,
+    documented trade; the oracle pins the exact baseline."""
+    from cnics_to_fhir_spark.functions.numeric import stable_round
+
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        stable_round(F.expr("percentile(l_extendedprice, 0.25)"), 6).alias("p25"),
+        stable_round(F.expr("percentile(l_extendedprice, 0.50)"), 6).alias("p50"),
+        stable_round(F.expr("percentile(l_extendedprice, 0.75)"), 6).alias("p75"),
+    )
+
+
+@query(
+    "p09_pivot_priority",
+    tags="A5 P6 U",
+    oracle="""
+        SELECT o_orderstatus,
+               CAST(COUNT(*) FILTER (o_orderpriority = '1-URGENT') AS BIGINT)
+                   AS urgent,
+               CAST(COUNT(*) FILTER (o_orderpriority = '2-HIGH') AS BIGINT)
+                   AS high,
+               CAST(COUNT(*) FILTER (o_orderpriority = '3-MEDIUM') AS BIGINT)
+                   AS medium,
+               CAST(COUNT(*) FILTER (o_orderpriority IN
+                    ('4-NOT SPECIFIED', '5-LOW')) AS BIGINT) AS other
+        FROM orders GROUP BY o_orderstatus
+    """,
+)
+def p09_pivot_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an EXPLICIT value list — Spark skips the extra
+    distinct-values job and plans a single agg (one shuffle); unlisted
+    priorities fold into 'other' via pre-bucketing."""
+    o = table(spark, sf_dir, "orders").withColumn(
+        "prio",
+        F.when(F.col("o_orderpriority") == "1-URGENT", "urgent")
+        .when(F.col("o_orderpriority") == "2-HIGH", "high")
+        .when(F.col("o_orderpriority") == "3-MEDIUM", "medium")
+        .otherwise("other"),
+    )
+    return (
+        o.groupBy("o_orderstatus")
+        .pivot("prio", ["urgent", "high", "medium", "other"])
+        .count()
+        .na.fill(0, ["urgent", "high", "medium", "other"])
+    )
