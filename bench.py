@@ -66,6 +66,21 @@ HEADLINE = [
     "ds05_weighted_sample",
     "ds06_sliding_chunks",
     "e2e05_corpus_curation",
+    # round-3 additions (totals across rounds therefore aren't directly
+    # comparable — compare per-query)
+    "q07_volume_shipping",
+    "q08_market_share",
+    "q09_product_profit",
+    "q12_late_shipments",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_supplier_count",
+    "q20_part_promotion",
+    "a07_rollup_subtotals",
+    "a08_percentiles",
+    "p09_pivot_priority",
+    "mm04_real_png_decode",
+    "mm05_audio_features",
     # Iterative ops (dd06, cl01, ann04) are deliberately NOT headline:
     # their wall time at toy SFs is driver-loop job-launch overhead
     # (~1.2 s/iteration), not data-path throughput; correctness is gated

@@ -1945,7 +1945,12 @@ def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     bad = table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
         "s_suppkey"
     )
-    ps = li.select("l_partkey", "l_suppkey").distinct()
+    # No materialized DISTINCT pair set: that would shuffle ALL of lineitem
+    # before the selective part predicate prunes it. Broadcast-join the
+    # filtered part dim (and the anti list) against the narrow scan first,
+    # then let count_distinct's partial aggregation dedup (group, suppkey)
+    # map-side — one shuffle, carrying only surviving distinct pairs.
+    ps = li.select("l_partkey", "l_suppkey")
     return (
         ps.join(F.broadcast(bad), ps.l_suppkey == bad.s_suppkey, "left_anti")
         .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
@@ -1991,8 +1996,10 @@ def q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_suppkey")
     )
     s = table(spark, sf_dir, "supplier")
+    # post-HAVING eligible set is tiny (suppliers above threshold) —
+    # broadcast it so the semi-join never shuffles the supplier side
     return (
-        s.join(eligible, s.s_suppkey == eligible.l_suppkey, "left_semi")
+        s.join(F.broadcast(eligible), s.s_suppkey == eligible.l_suppkey, "left_semi")
         .select("s_name", "s_acctbal")
         .orderBy("s_name")
     )
