@@ -128,18 +128,36 @@ def _verify_jaccard(pairs: DataFrame, shingled: DataFrame, threshold: float) -> 
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
+def portable_hash(col: Column, seed: int | None = None) -> Column:
+    """60-bit integer hash BOTH engines compute identically: the first 15
+    hex chars of md5((seed ':')? value) read as an integer. DuckDB mirror:
+    ``CAST(('0x' || substring(md5(...), 1, 15)) AS UBIGINT)``. Slower than
+    xxhash64 (the production path) but engine-portable — the ``portable``
+    LSH variant uses it so the whole pipeline replays under the oracle."""
+    s = col if seed is None else F.concat(F.lit(f"{seed}:"), col)
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
 def minhash_signature(text: Column, num_hashes: int = 32, k: int = 3) -> Column:
     """array<long> MinHash signature: sig[j] = min over shingles of
     xxhash64(j, shingle). Pure codegen — no UDF, no shuffle."""
     return minhash_from_shingles(F.array_distinct(word_shingles(text, k)), num_hashes)
 
 
-def minhash_from_shingles(shingles: Column, num_hashes: int = 32) -> Column:
+def minhash_from_shingles(
+    shingles: Column, num_hashes: int = 32, portable: bool = False
+) -> Column:
     """MinHash signature from a pre-computed (distinct) shingle array."""
-    mins = [
-        F.array_min(F.transform(shingles, lambda s, j=j: F.xxhash64(F.lit(j), s)))
-        for j in range(num_hashes)
-    ]
+    if portable:
+        mins = [
+            F.array_min(F.transform(shingles, lambda s, j=j: portable_hash(s, seed=j)))
+            for j in range(num_hashes)
+        ]
+    else:
+        mins = [
+            F.array_min(F.transform(shingles, lambda s, j=j: F.xxhash64(F.lit(j), s)))
+            for j in range(num_hashes)
+        ]
     return F.array(*mins)
 
 
@@ -152,10 +170,14 @@ def minhash_lsh_pairs(
     k: int = 3,
     threshold: float = 0.5,
     persist_shingles: bool = True,
+    portable: bool = False,
 ) -> DataFrame:
     """MinHash → band buckets → equi-join candidates → exact-Jaccard verify.
 
     bands × rows = num_hashes; collision prob ≈ 1-(1-s^rows)^bands.
+    ``portable=True`` swaps xxhash64 for the md5-derived portable hash so
+    an external engine can replay the full pipeline (see
+    dd03b_minhash_lsh_portable); same plan shape, same shuffles.
     """
     rows = num_hashes // bands
     # The band join + pair dedup run over (id, band_id, band_hash) rows only
@@ -173,8 +195,18 @@ def minhash_lsh_pairs(
         from pyspark import StorageLevel
 
         shingled = shingled.persist(StorageLevel.MEMORY_AND_DISK)
+    if portable:
+        def band_hash(b: int) -> Column:
+            joined = F.concat_ws(
+                "|", *[F.col("sig")[b * rows + r].cast("string") for r in range(rows)]
+            )
+            return portable_hash(joined)
+    else:
+        def band_hash(b: int) -> Column:
+            return F.xxhash64(*[F.col("sig")[b * rows + r] for r in range(rows)])
+
     banded = shingled.select(
-        "id", minhash_from_shingles(F.col("shingles"), num_hashes).alias("sig")
+        "id", minhash_from_shingles(F.col("shingles"), num_hashes, portable).alias("sig")
     ).select(
         "id",
         F.explode(
@@ -182,7 +214,7 @@ def minhash_lsh_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band_id"),
-                        F.xxhash64(*[F.col("sig")[b * rows + r] for r in range(rows)]).alias("band_hash"),
+                        band_hash(b).alias("band_hash"),
                     )
                     for b in range(bands)
                 ]
@@ -204,13 +236,22 @@ def minhash_lsh_pairs(
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+    portable: bool = False,
+) -> DataFrame:
     """64-bit SimHash per doc: explode tokens → xxhash64 → per-bit vote →
-    reassemble. One shuffle (groupBy id), all-native aggregation."""
+    reassemble. One shuffle (groupBy id), all-native aggregation.
+    ``portable=True`` uses the md5-derived 60-bit portable hash (pass
+    bits=60) so DuckDB can replay the construction bit-for-bit."""
     df = ensure_min_parallelism(df, id_col)
+    token_hash = portable_hash(F.col("tok")) if portable else F.xxhash64("tok")
     tok = df.select(
         F.col(id_col).alias("id"), F.explode(F.split(F.col(text_col), " ")).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn("h", token_hash)
     votes = tok.groupBy("id").agg(
         *[
             F.sum(
@@ -226,12 +267,20 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
 
 
 def simhash_near_dup_pairs(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
-    """Candidate pairs by equal 16-bit SimHash band (4 bands ⇒ any pair with
+    """Candidate pairs by equal SimHash band (4 bands ⇒ any pair with
     hamming ≤ 3 shares at least one band — pigeonhole), verified by exact
-    hamming distance."""
-    sh = simhash(df, text_col, id_col)
+    hamming distance. 16-bit bands over 64-bit xxhash64 signatures, or
+    15-bit bands over 60-bit portable signatures (portable=True)."""
+    bits = 60 if portable else 64
+    band_w = bits // 4
+    mask = (1 << band_w) - 1
+    sh = simhash(df, text_col, id_col, bits=bits, portable=portable)
     banded = sh.select(
         "id",
         "simhash",
@@ -240,7 +289,7 @@ def simhash_near_dup_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band_id"),
-                        F.shiftrightunsigned(F.col("simhash"), 16 * b).bitwiseAND(F.lit(0xFFFF)).alias("band_val"),
+                        F.shiftrightunsigned(F.col("simhash"), band_w * b).bitwiseAND(F.lit(mask)).alias("band_val"),
                     )
                     for b in range(4)
                 ]

@@ -79,10 +79,128 @@ def dd03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dd03b_minhash_lsh_portable",
+    tags="DD-minhash J1",
+    oracle="""
+        WITH sh AS (
+            SELECT doc_id AS id,
+                   list_distinct(
+                       CASE WHEN len(string_split(text, ' ')) >= 3
+                            THEN [array_to_string(
+                                      list_slice(string_split(text, ' '), i, i + 2),
+                                      ' ')
+                                  FOR i IN range(1, len(string_split(text, ' ')) - 1)]
+                            ELSE [array_to_string(string_split(text, ' '), ' ')]
+                       END
+                   ) AS shingles
+            FROM documents
+        ),
+        hashes AS (
+            SELECT id, j,
+                   MIN(CAST(CAST(('0x' || substring(
+                       md5(CAST(j AS VARCHAR) || ':' || s), 1, 15)) AS UBIGINT)
+                       AS BIGINT)) AS m
+            FROM sh, UNNEST(shingles) AS t(s), UNNEST(range(0, 8)) AS r(j)
+            GROUP BY id, j
+        ),
+        sig AS (
+            SELECT id, list(m ORDER BY j) AS sig FROM hashes GROUP BY id
+        ),
+        banded AS (
+            SELECT id, b,
+                   CAST(CAST(('0x' || substring(
+                       md5(CAST(sig[b*2+1] AS VARCHAR) || '|'
+                           || CAST(sig[b*2+2] AS VARCHAR)), 1, 15)) AS UBIGINT)
+                       AS BIGINT) AS band_hash
+            FROM sig, UNNEST(range(0, 4)) AS rb(b)
+        ),
+        cand AS (
+            SELECT DISTINCT a.id AS id_a, b2.id AS id_b
+            FROM banded a
+            JOIN banded b2 ON a.b = b2.b AND a.band_hash = b2.band_hash
+            WHERE a.id < b2.id
+        )
+        SELECT c.id_a, c.id_b,
+               FLOOR((CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                      / len(list_distinct(list_concat(sa.shingles, sb.shingles))))
+                     *1e6 + 0.5)/1e6 AS jaccard_sim
+        FROM cand c
+        JOIN sh sa ON sa.id = c.id_a
+        JOIN sh sb ON sb.id = c.id_b
+        WHERE (CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+               / len(list_distinct(list_concat(sa.shingles, sb.shingles)))) >= 0.5
+    """,
+)
+def dd03b_minhash_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL MinHash+LSH pipeline under the oracle: shingling → 8
+    portable-hash signatures → 4-band bucketing → candidate equi-join →
+    exact-Jaccard verify, replayed end-to-end in DuckDB SQL via the
+    md5-derived portable hash (operators/dedup.portable_hash). Production
+    dd03 keeps xxhash64 (faster, rows-only); this entry proves the plan's
+    semantics engine-independently — same shuffles, same shape."""
+    return dedup.minhash_lsh_pairs(
+        table(spark, sf_dir, "documents"),
+        num_hashes=8,
+        bands=4,
+        k=3,
+        threshold=0.5,
+        portable=True,
+    )
+
+
 @query("dd04_simhash_near_dup", tags="DD-simhash", oracle=None)
 def dd04_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-64 near-dup pairs (hamming ≤ 3, 16-bit-band candidates)."""
     return dedup.simhash_near_dup_pairs(table(spark, sf_dir, "documents"), max_hamming=3)
+
+
+@query(
+    "dd04b_simhash_portable",
+    tags="DD-simhash",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id AS id,
+                   CAST(CAST(('0x' || substring(md5(t.tok), 1, 15)) AS UBIGINT)
+                        AS BIGINT) AS h
+            FROM documents, UNNEST(string_split(text, ' ')) AS t(tok)
+        ),
+        votes AS (
+            SELECT id, b,
+                   SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+            FROM tok, UNNEST(range(0, 60)) AS r(b)
+            GROUP BY id, b
+        ),
+        sh AS (
+            SELECT id,
+                   CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b)
+                                 ELSE 0 END) AS BIGINT) AS simhash
+            FROM votes GROUP BY id
+        ),
+        banded AS (
+            SELECT id, simhash, b, (simhash >> (15 * b)) & 32767 AS band_val
+            FROM sh, UNNEST(range(0, 4)) AS rb(b)
+        ),
+        pairs AS (
+            SELECT DISTINCT a.id AS id_a, b2.id AS id_b,
+                   a.simhash AS sh_a, b2.simhash AS sh_b
+            FROM banded a
+            JOIN banded b2 ON a.b = b2.b AND a.band_val = b2.band_val
+            WHERE a.id < b2.id
+        )
+        SELECT id_a, id_b,
+               CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
+        FROM pairs WHERE bit_count(xor(sh_a, sh_b)) <= 3
+    """,
+)
+def dd04b_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash with the md5-derived 60-bit portable hash (15-bit bands, same
+    pigeonhole guarantee) so DuckDB replays the ENTIRE construction —
+    per-bit voting, signature assembly, banding, hamming verify. Production
+    dd04 keeps xxhash64; this proves the plan engine-independently."""
+    return dedup.simhash_near_dup_pairs(
+        table(spark, sf_dir, "documents"), max_hamming=3, portable=True
+    )
 
 
 @query(
