@@ -141,26 +141,33 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
-def _plane_weight(plane: int, dim_index: Column) -> Column:
+def _plane_weight(plane: int, dim_index: Column, portable: bool = False) -> Column:
     """Deterministic pseudo-random hyperplane weight in [-1, 1):
-    xxhash64(plane, dim) scaled. Uniform enough for sign-LSH."""
+    xxhash64(plane, dim) scaled; or, when ``portable``, the md5-derived
+    60-bit portable hash (operators/dedup.portable_hash) scaled — DuckDB
+    mirror: CAST(hash AS DOUBLE)/2^59 - 1. Uniform enough for sign-LSH."""
+    if portable:
+        from cnics_to_fhir_spark.operators.dedup import portable_hash
+
+        h = portable_hash(dim_index.cast("string"), seed=plane)
+        return h.cast("double") / F.lit(float(2**59)) - 1.0
     h = F.xxhash64(F.lit(plane), dim_index)
     return h.cast("double") / F.lit(float(2**63))
 
 
-def _projection(vec: Column, plane: int) -> Column:
+def _projection(vec: Column, plane: int, portable: bool = False) -> Column:
     def weighted(v: Column, i: Column) -> Column:
-        return v.cast("double") * _plane_weight(plane, i)
+        return v.cast("double") * _plane_weight(plane, i, portable)
 
     return F.aggregate(F.transform(vec, weighted), F.lit(0.0), lambda acc, v: acc + v)
 
 
-def sign_sketch(vec: Column, n_planes: int = 16) -> Column:
+def sign_sketch(vec: Column, n_planes: int = 16, portable: bool = False) -> Column:
     """n-bit sign sketch: bit p = [Σᵢ wᵢ(p)·vᵢ > 0]."""
     bits = F.lit(0).cast("long")
     for p in range(n_planes):
         bits = bits + F.when(
-            _projection(vec, p) > 0, F.shiftleft(F.lit(1).cast("long"), p)
+            _projection(vec, p, portable) > 0, F.shiftleft(F.lit(1).cast("long"), p)
         ).otherwise(F.lit(0).cast("long"))
     return bits
 
@@ -173,9 +180,12 @@ def lsh_topk(
     vec_col: str = "embedding",
     n_planes: int = 16,
     bands: int = 8,
+    portable: bool = False,
 ) -> DataFrame:
     """Approximate top-k: sign-LSH bands prune the corpus, exact cosine
-    re-ranks survivors. Recall < 1 by construction; rows-only oracle.
+    re-ranks survivors. Recall < 1 by construction; rows-only oracle for
+    the xxhash64 path, full SQL oracle for ``portable=True``
+    (ann02b_lsh_topk_portable).
 
     Defaults (16 planes, 8 two-bit bands) give ≥0.9 recall even on weakly
     clustered gaussian vectors; widen ``rows`` per band (fewer bands) when
@@ -183,7 +193,7 @@ def lsh_topk(
     rows = n_planes // bands
 
     def with_bands(df: DataFrame, prefix: str) -> DataFrame:
-        sk = sign_sketch(F.col(vec_col), n_planes)
+        sk = sign_sketch(F.col(vec_col), n_planes, portable)
         return (
             df.select(
                 F.col(id_col).alias(f"{prefix}_id"),

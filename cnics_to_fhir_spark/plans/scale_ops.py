@@ -358,6 +358,71 @@ def ann02_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
 
 
+@query(
+    "ann02b_lsh_topk_portable",
+    tags="ANN-lsh J1 W",
+    oracle="""
+        WITH w AS (
+            SELECT p, i,
+                   CAST(CAST(('0x' || substring(
+                       md5(CAST(p AS VARCHAR) || ':' || CAST(i AS VARCHAR)),
+                       1, 15)) AS UBIGINT) AS DOUBLE)
+                       / 576460752303423488.0 - 1.0 AS wt
+            FROM UNNEST(range(0, 16)) AS tp(p), UNNEST(range(0, 64)) AS ti(i)
+        ),
+        e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        proj AS (
+            SELECT e.vec_id, w.p, SUM(e.v[w.i + 1] * w.wt) AS s
+            FROM e, w GROUP BY e.vec_id, w.p
+        ),
+        sk AS (
+            SELECT vec_id,
+                   CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << p)
+                                 ELSE 0 END) AS BIGINT) AS sketch
+            FROM proj GROUP BY vec_id
+        ),
+        banded AS (
+            SELECT vec_id, b, (sketch >> (2 * b)) & 3 AS band_val
+            FROM sk, UNNEST(range(0, 8)) AS tb(b)
+        ),
+        cand AS (
+            SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+            FROM banded q
+            JOIN banded c ON q.b = c.b AND q.band_val = c.band_val
+            WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id
+        ),
+        scored AS (
+            SELECT cand.query_id, cand.neighbor_id,
+                   FLOOR((list_dot_product(eq.v, ec.v)
+                          / (SQRT(list_dot_product(eq.v, eq.v))
+                             * SQRT(list_dot_product(ec.v, ec.v))))*1e6 + 0.5)/1e6
+                       AS cosine_sim
+            FROM cand
+            JOIN e eq ON eq.vec_id = cand.query_id
+            JOIN e ec ON ec.vec_id = cand.neighbor_id
+        )
+        SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+            SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY cosine_sim DESC, neighbor_id) AS INTEGER)
+                       AS rank
+            FROM scored
+        ) WHERE rank <= 5
+    """,
+)
+def ann02b_lsh_topk_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH with engine-portable hyperplanes: weights derive from the
+    md5 portable hash, so DuckDB replays projection signs, band bucketing,
+    candidate pruning, and the exact-cosine rerank end-to-end — the third
+    rows-only sketch op promoted to a full oracle (with dd03b/dd04b).
+    Production ann02 keeps xxhash64 hyperplanes; same plan, same shuffles."""
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.lsh_topk(
+        emb, emb.filter(F.col("vec_id") < 8), k=5, portable=True
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
