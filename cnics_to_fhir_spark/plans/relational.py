@@ -2093,3 +2093,147 @@ def p09_pivot_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .count()
         .na.fill(0, ["urgent", "high", "medium", "other"])
     )
+
+
+@query(
+    "u02_except_intersect",
+    tags="U A1",
+    oracle="""
+        SELECT 'only_recent' AS side, c_custkey FROM (
+            SELECT o_custkey AS c_custkey FROM orders
+            WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+            EXCEPT
+            SELECT o_custkey FROM orders
+            WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+        )
+        UNION ALL
+        SELECT 'both_eras' AS side, c_custkey FROM (
+            SELECT o_custkey AS c_custkey FROM orders
+            WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+            INTERSECT
+            SELECT o_custkey FROM orders
+            WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+        )
+    """,
+)
+def u02_except_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT / INTERSECT set semantics (distinct forms): customers active
+    only recently vs in both eras. Spark plans both as hash aggregations +
+    joins — no sort needed; each side prunes on o_orderdate at the scan."""
+    o = table(spark, sf_dir, "orders")
+    recent = o.filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")
+    ).select(F.col("o_custkey").alias("c_custkey"))
+    early = o.filter(
+        F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp")
+    ).select(F.col("o_custkey").alias("c_custkey"))
+    # subtract = EXCEPT DISTINCT (exceptAll is the multiset form — a key
+    # occurring oftener recently than early would wrongly survive it)
+    only_recent = recent.subtract(early)
+    both = recent.intersect(early)
+    return only_recent.select(F.lit("only_recent").alias("side"), "c_custkey").unionByName(
+        both.select(F.lit("both_eras").alias("side"), "c_custkey")
+    )
+
+
+@query(
+    "p10_not_in_null_semantics",
+    tags="P4 J5",
+    oracle="""
+        SELECT 'with_null' AS variant, CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders
+        WHERE o_custkey NOT IN (
+            SELECT CASE WHEN c_acctbal < -950 THEN NULL ELSE c_custkey END
+            FROM customer WHERE c_acctbal < -900
+        )
+        UNION ALL
+        SELECT 'without_null' AS variant, CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders
+        WHERE o_custkey NOT IN (
+            SELECT c_custkey FROM customer WHERE c_acctbal < -900
+        )
+    """,
+)
+def p10_not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN with a nullable subquery — the classic 3VL trap: one NULL in
+    the list makes NOT IN never-true for unmatched rows. Two variants
+    counted side by side so the output is always non-empty: the nullable
+    list (customers below -950 project NULL — 6 such rows at sf0.01, so
+    with_null counts 0) vs the non-null list (plain anti-join count).
+    A left-anti rewrite would wrongly equate them; Spark plans NOT IN as a
+    null-aware anti join and the oracle proves the parity on live data.
+    (NOT IN in a *projection* silently loses the UNKNOWN case in Spark —
+    only the WHERE form carries these semantics.)"""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    o.createOrReplaceTempView("__p10_orders")
+    c.createOrReplaceTempView("__p10_customer")
+    return spark.sql(
+        """
+        SELECT 'with_null' AS variant, COUNT(*) AS n
+        FROM __p10_orders
+        WHERE o_custkey NOT IN (
+            SELECT CASE WHEN c_acctbal < -950 THEN NULL ELSE c_custkey END
+            FROM __p10_customer WHERE c_acctbal < -900
+        )
+        UNION ALL
+        SELECT 'without_null' AS variant, COUNT(*) AS n
+        FROM __p10_orders
+        WHERE o_custkey NOT IN (
+            SELECT c_custkey FROM __p10_customer WHERE c_acctbal < -900
+        )
+        """
+    )
+
+
+@query(
+    "a15_string_agg",
+    tags="A2 O1",
+    oracle="""
+        SELECT n_regionkey,
+               string_agg(n_name, ',' ORDER BY n_name) AS nations
+        FROM nation GROUP BY n_regionkey
+    """,
+)
+def a15_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation: collect_list is partition-order-
+    nondeterministic, so the engine sorts the collected array before
+    joining — the only deterministic (and oracle-replayable) form."""
+    n = table(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("nations")
+    )
+
+
+@query(
+    "f23_higher_order_funcs",
+    tags="F18 F22 UDF",
+    oracle="""
+        SELECT vec_id,
+               CAST(len(list_filter(CAST(embedding AS DOUBLE[]), x -> x > 0))
+                    AS INTEGER) AS n_pos,
+               FLOOR((list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                              x -> x * x)))*1e6 + 0.5)/1e6
+                   AS sq_norm,
+               FLOOR((list_max(CAST(embedding AS DOUBLE[])))*1e6 + 0.5)/1e6
+                   AS max_v
+        FROM embeddings
+    """,
+)
+def f23_higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions stay JVM-side (no Python): filter /
+    transform / aggregate over the embedding column — the idiom every
+    vector op in operators/similarity.py builds on. DuckDB's list lambdas
+    replay them exactly."""
+    from cnics_to_fhir_spark.functions.numeric import stable_round
+
+    e = table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.size(F.filter(v, lambda x: x > 0)).alias("n_pos"),
+        stable_round(
+            F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x), 6
+        ).alias("sq_norm"),
+        stable_round(F.array_max(v), 6).alias("max_v"),
+    )
