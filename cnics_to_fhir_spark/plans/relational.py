@@ -2237,3 +2237,78 @@ def f23_higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sq_norm"),
         stable_round(F.array_max(v), 6).alias("max_v"),
     )
+
+
+@query(
+    "w03_time_range_window",
+    tags="W EV F18",
+    oracle="""
+        SELECT user_id, event_id,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n_events_1h,
+               FLOOR((SUM(value) OVER w)*1e2 + 0.5)/1e2 AS value_1h
+        FROM events
+        WINDOW w AS (
+            PARTITION BY user_id
+            ORDER BY CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+            RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+        )
+    """,
+)
+def w03_time_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing one-hour RANGE frame per user — a VALUE-range frame, not a
+    row count: every event aggregates all events within the preceding 3600
+    seconds regardless of how many rows that is. One shuffle on user_id;
+    Spark's rangeBetween needs a numeric ordering key, so ts drops to
+    epoch seconds (ties aggregate together on both engines — the frame is
+    value-based, which is exactly what makes it deterministic)."""
+    from cnics_to_fhir_spark.functions.numeric import stable_round
+
+    e = table(spark, sf_dir, "events").withColumn(
+        "es", F.unix_timestamp("ts")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("es")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("n_events_1h"),
+        stable_round(F.sum("value").over(w), 2).alias("value_1h"),
+    )
+
+
+@query(
+    "w04_rank_family",
+    tags="W O1",
+    oracle="""
+        SELECT c_custkey, c_mktsegment,
+               CAST(RANK() OVER w AS INTEGER) AS rnk,
+               CAST(DENSE_RANK() OVER w AS INTEGER) AS drnk,
+               CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
+               FLOOR((PERCENT_RANK() OVER w)*1e6 + 0.5)/1e6 AS pct_rank,
+               FLOOR((CUME_DIST() OVER w)*1e6 + 0.5)/1e6 AS cume
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def w04_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking family in one Window node (same partition/order →
+    one sort): rank, dense_rank, ntile, percent_rank, cume_dist. Ordering
+    includes the key so every function is total-order deterministic."""
+    from cnics_to_fhir_spark.functions.numeric import stable_round
+
+    c = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        stable_round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        stable_round(F.cume_dist().over(w), 6).alias("cume"),
+    )
