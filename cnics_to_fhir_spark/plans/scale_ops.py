@@ -228,6 +228,43 @@ def dd05_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dd05b_neardup_refined_cells",
+    tags="DD-cosine J1",
+    oracle="""
+        WITH e AS (
+            SELECT vec_id,
+                   CAST(label AS BIGINT) * 8
+                   + (CASE WHEN embedding[1] > 0 THEN 4 ELSE 0 END)
+                   + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+                   + (CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END) AS cell,
+                   CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               FLOOR((list_dot_product(a.v, b.v)
+                     / (SQRT(list_dot_product(a.v, a.v))
+                        * SQRT(list_dot_product(b.v, b.v))))*1e6 + 0.5)/1e6
+                   AS cosine_sim
+        FROM e a JOIN e b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE FLOOR((list_dot_product(a.v, b.v)
+              / (SQRT(list_dot_product(a.v, a.v))
+                 * SQRT(list_dot_product(b.v, b.v))))*1e6 + 0.5)/1e6 >= 0.35
+    """,
+)
+def dd05b_neardup_refined_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dd05 with sign-bit cell refinement (dedup.refine_blocks): 8× more
+    cells at zero training cost, keeping Σ|cell|² bounded as the corpus
+    grows — the lever the sf1 probe showed cutting the blocked self-join
+    5× at 10× data (PLANS.md). The refinement is pure sign arithmetic, so
+    the oracle replays the refined blocking exactly; recall cost = pairs
+    whose members split across sub-cells, the standard IVF trade."""
+    refined = dedup.refine_blocks(
+        table(spark, sf_dir, "embeddings"), bits=3, out_col="cell"
+    )
+    return dedup.embedding_near_dup_pairs(refined, block_col="cell", threshold=0.35)
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------

@@ -142,3 +142,25 @@ def test_int8_quantize_bounds_and_zero_vector(spark):
     ).collect()}
     assert rows[0] == [64, -127, 32]   # floor(x*127/max|v| + 0.5)
     assert rows[1] == [0, 0, 0]        # all-zero vector stays zeros, not NULL
+
+
+def test_refine_blocks_formula_and_neardup_retention(spark):
+    from cnics_to_fhir_spark.operators.dedup import embedding_near_dup_pairs, refine_blocks
+
+    rows = [
+        (1, 0, [0.5, -0.2, 0.1, 0.9]),
+        (2, 0, [0.5, -0.2, 0.1, 0.89]),   # near-identical to 1: same signs
+        (3, 0, [-0.5, 0.2, -0.1, 0.9]),   # opposite signs, same coarse label
+        (4, 1, [0.5, -0.2, 0.1, 0.9]),    # same signs, different label
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<double>")
+    out = {r["vec_id"]: r["block_fine"] for r in refine_blocks(df, bits=3).collect()}
+    # cell = label*8 + 4*(v1>0) + 2*(v2>0) + 1*(v3>0)
+    assert out[1] == 0 * 8 + 4 + 0 + 1 == 5
+    assert out[2] == 5
+    assert out[3] == 0 * 8 + 0 + 2 + 0 == 2
+    assert out[4] == 1 * 8 + 5 == 13
+    # true near-dups (cosine ~1) share signs, so refinement keeps the pair
+    refined = refine_blocks(df, bits=3, out_col="cell")
+    pairs = embedding_near_dup_pairs(refined, block_col="cell", threshold=0.95).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
