@@ -81,6 +81,14 @@ HEADLINE = [
     "p09_pivot_priority",
     "mm04_real_png_decode",
     "mm05_audio_features",
+    "u02_except_intersect",
+    "p10_not_in_null_semantics",
+    "a15_string_agg",
+    "f23_higher_order_funcs",
+    "w03_time_range_window",
+    "w04_rank_family",
+    "dd05b_neardup_refined_cells",
+    "dd07_fuzzy_name_match",
     # Iterative ops (dd06, cl01, ann04) are deliberately NOT headline:
     # their wall time at toy SFs is driver-loop job-launch overhead
     # (~1.2 s/iteration), not data-path throughput; correctness is gated

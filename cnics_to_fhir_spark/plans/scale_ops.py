@@ -1544,3 +1544,54 @@ def a14_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
     fine = hll_sketches(ev, ["day", "event_type"], "user_id")
     return hll_rollup(fine, ["day"]).orderBy("day")
+
+
+@query(
+    "dd07_fuzzy_name_match",
+    tags="DD-fuzzy J1 F22 A5",
+    oracle="""
+        WITH names AS (
+            SELECT p_name, CAST(COUNT(*) AS BIGINT) AS n_parts
+            FROM part GROUP BY p_name
+        )
+        SELECT a.p_name AS name_a, b.p_name AS name_b,
+               CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS edit_dist,
+               a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
+        FROM names a
+        JOIN names b ON substring(a.p_name, 1, 3) = substring(b.p_name, 1, 3)
+                    AND a.p_name < b.p_name
+        WHERE levenshtein(a.p_name, b.p_name) <= 4
+    """,
+)
+def dd07_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity matching by edit distance, dedupe-first: entity names
+    are massively duplicated (a few hundred distinct over 10^4..10^7
+    rows), so the plan aggregates to DISTINCT names + counts BEFORE any
+    pairing — the candidate block join and levenshtein verify then run on
+    the tiny name dimension, never the fact table (a naive id-level block
+    join at sf0.1 costs ~20M distance evaluations and 19s; this form is
+    ~200 names and milliseconds — the Σ|block|² term must be over
+    DISTINCT keys at any scale). Prefix blocking misses pairs whose edits
+    touch the first three chars — the standard recall trade."""
+    names = (
+        table(spark, sf_dir, "part")
+        .groupBy("p_name")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )
+    a = names.select(
+        F.col("p_name").alias("name_a"),
+        F.col("n_parts").alias("n_parts_a"),
+        F.substring("p_name", 1, 3).alias("blk"),
+    )
+    b = names.select(
+        F.col("p_name").alias("name_b"),
+        F.col("n_parts").alias("n_parts_b"),
+        F.substring("p_name", 1, 3).alias("blk"),
+    )
+    return (
+        a.join(b, on="blk")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("edit_dist") <= 4)
+        .select("name_a", "name_b", "edit_dist", "n_parts_a", "n_parts_b")
+    )
