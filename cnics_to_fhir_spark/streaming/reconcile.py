@@ -29,12 +29,25 @@ def reconcile_stream(
     key: str = "key",
     checkpoint_dir: str | None = None,
     payload_cols: list[str] | None = None,
+    full_state: bool = True,
 ):
     """Wire a streaming DataFrame of current-state rows into per-batch
     MERGE plans. Returns the StreamingQuery (caller stops it).
 
     ``snapshot_provider`` is called per batch so it can read the writer's
     own previous output (the read-your-writes requirement of SURVEY §7.4).
+
+    ``full_state`` declares what a micro-batch MEANS, which decides
+    whether absence implies deletion:
+
+    - True (the reference's semantics — each run re-extracts the whole
+      current state, cnics_to_fhir.py:249-928): a snapshot key missing
+      from the batch was removed upstream → emit delete.
+    - False (changed-rows / CDC batches — e.g. downstream of
+      dedup-on-ingest or any incremental source): a key absent from the
+      batch is merely UNCHANGED; deriving deletes from absence would
+      tear down the whole store one micro-batch at a time. Deletes must
+      come from explicit tombstones or a periodic full-state pass.
     """
 
     def for_each_batch(batch_df: DataFrame, epoch_id: int) -> None:
@@ -43,6 +56,8 @@ def reconcile_stream(
         plan = merge_plan(
             batch_df, snapshot_provider(), key=key, payload_cols=payload_cols
         )
+        if not full_state:
+            plan = plan.filter(plan["action"] != "delete")
         sink(plan, epoch_id)
 
     writer = current_stream.writeStream.foreachBatch(for_each_batch).outputMode("update")
