@@ -89,6 +89,8 @@ HEADLINE = [
     "w04_rank_family",
     "dd05b_neardup_refined_cells",
     "dd07_fuzzy_name_match",
+    "ev06_cohort_retention",
+    "ev07_funnel",
     # Iterative ops (dd06, cl01, ann04) are deliberately NOT headline:
     # their wall time at toy SFs is driver-loop job-launch overhead
     # (~1.2 s/iteration), not data-path throughput; correctness is gated

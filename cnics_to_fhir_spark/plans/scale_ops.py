@@ -1595,3 +1595,161 @@ def dd07_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("edit_dist") <= 4)
         .select("name_a", "name_b", "edit_dist", "n_parts_a", "n_parts_b")
     )
+
+
+@query(
+    "e2e06_entity_resolution",
+    tags="DD-fuzzy DD-clusters J1 A5",
+    oracle="""
+        WITH RECURSIVE names AS (
+            SELECT DISTINCT p_name FROM part
+        ),
+        pairs AS (
+            SELECT a.p_name AS id_a, b.p_name AS id_b
+            FROM names a
+            JOIN names b ON substring(a.p_name, 1, 3) = substring(b.p_name, 1, 3)
+                        AND a.p_name < b.p_name
+            WHERE levenshtein(a.p_name, b.p_name) <= 4
+        ),
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION ALL
+            SELECT id_b AS src, id_a AS dst FROM pairs
+        ),
+        reach AS (
+            SELECT DISTINCT src AS id, src AS r FROM edges
+            UNION
+            SELECT e.dst AS id, reach.r FROM reach JOIN edges e ON e.src = reach.id
+        )
+        SELECT id AS name, MIN(r) AS canonical_name FROM reach GROUP BY id
+    """,
+)
+def e2e06_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution vertical, composed from verified parts: dedupe-first
+    fuzzy pairs (dd07's plan) → connected components (dd06's min-label
+    propagation, generic over string ids) → canonical-name mapping. The
+    oracle replays blocking, levenshtein, and the transitive closure with a
+    recursive CTE. Scale: everything after the name-level dedup runs on the
+    tiny entity dimension; the fact table is only touched by the final
+    (not materialized here) canonical join-back."""
+    names = table(spark, sf_dir, "part").select("p_name").distinct()
+    a = names.select(F.col("p_name").alias("id_a"), F.substring("p_name", 1, 3).alias("blk"))
+    b = names.select(F.col("p_name").alias("id_b"), F.substring("p_name", 1, 3).alias("blk"))
+    pairs = (
+        a.join(b, on="blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.levenshtein("id_a", "id_b") <= 4)
+        .select("id_a", "id_b")
+    )
+    return dedup.duplicate_clusters(pairs).select(
+        F.col("doc_id").alias("name"), F.col("cluster_rep").alias("canonical_name")
+    )
+
+
+@query(
+    "ev06_cohort_retention",
+    tags="EV A5 J1 F17",
+    oracle="""
+        WITH firsts AS (
+            SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+            FROM events GROUP BY user_id
+        ),
+        activity AS (
+            SELECT DISTINCT user_id, date_trunc('week', ts) AS activity_week
+            FROM events
+        )
+        SELECT STRFTIME(f.cohort_week, '%Y-%m-%d') AS cohort_week,
+               CAST(DATEDIFF('week', f.cohort_week, a.activity_week) AS INTEGER)
+                   AS weeks_since,
+               CAST(COUNT(*) AS BIGINT) AS active_users
+        FROM firsts f
+        JOIN activity a ON a.user_id = f.user_id
+        GROUP BY 1, 2
+    """,
+)
+def ev06_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen week, counted
+    in each subsequent activity week. Two aggregations and a join, all
+    partitioned by user_id — Spark reuses the exchange; the matrix output
+    is O(weeks²) regardless of event volume."""
+    e = table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("activity_week")
+    ).distinct()
+    return (
+        firsts.join(activity, on="user_id")
+        .groupBy(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            (
+                F.datediff(F.col("activity_week"), F.col("cohort_week")) / 7
+            ).cast("int").alias("weeks_since"),
+        )
+        .agg(F.count(F.lit(1)).alias("active_users"))
+    )
+
+
+@query(
+    "ev07_funnel",
+    tags="EV A5 J1 W",
+    oracle="""
+        WITH s1 AS (
+            SELECT user_id, MIN(ts) AS t1 FROM events
+            WHERE event_type = 'signup' GROUP BY user_id
+        ),
+        s2 AS (
+            SELECT e.user_id, MIN(e.ts) AS t2
+            FROM events e JOIN s1 ON e.user_id = s1.user_id
+            WHERE e.event_type = 'click' AND e.ts > s1.t1
+            GROUP BY e.user_id
+        ),
+        s3 AS (
+            SELECT e.user_id, MIN(e.ts) AS t3
+            FROM events e JOIN s2 ON e.user_id = s2.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+            GROUP BY e.user_id
+        )
+        SELECT stage, CAST(users AS BIGINT) AS users FROM (
+            SELECT '1_signup' AS stage, COUNT(*) AS users FROM s1
+            UNION ALL
+            SELECT '2_click', COUNT(*) FROM s2
+            UNION ALL
+            SELECT '3_purchase', COUNT(*) FROM s3
+        )
+    """,
+)
+def ev07_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel (signup → later click → later purchase):
+    each stage is a conditional MIN over the previous stage's timestamp,
+    joined back per user. Every join and agg keys on user_id, so one
+    exchange feeds the whole chain; counts are O(users), never O(events),
+    past the first stage."""
+    e = table(spark, sf_dir, "events")
+    s1 = e.filter(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min("ts").alias("t1")
+    )
+    s2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(s1, on="user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s2, on="user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    rows = [
+        s1.agg(F.count(F.lit(1)).alias("users")).select(F.lit("1_signup").alias("stage"), "users"),
+        s2.agg(F.count(F.lit(1)).alias("users")).select(F.lit("2_click").alias("stage"), "users"),
+        s3.agg(F.count(F.lit(1)).alias("users")).select(F.lit("3_purchase").alias("stage"), "users"),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
