@@ -91,6 +91,9 @@ HEADLINE = [
     "dd07_fuzzy_name_match",
     "ev06_cohort_retention",
     "ev07_funnel",
+    "q02_min_cost_supplier",
+    "q11_important_stock",
+    "e2e06_entity_resolution",
     # Iterative ops (dd06, cl01, ann04) are deliberately NOT headline:
     # their wall time at toy SFs is driver-loop job-launch overhead
     # (~1.2 s/iteration), not data-path throughput; correctness is gated

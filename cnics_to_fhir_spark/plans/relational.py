@@ -2312,3 +2312,141 @@ def w04_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round(F.percent_rank().over(w), 6).alias("pct_rank"),
         stable_round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+@query(
+    "q02_min_cost_supplier",
+    tags="J1 A5 O1",
+    oracle="""
+        WITH ps AS (
+            SELECT l_partkey, l_suppkey,
+                   MIN(l_extendedprice / l_quantity) AS supplycost
+            FROM lineitem GROUP BY l_partkey, l_suppkey
+        ),
+        regional AS (
+            SELECT ps.l_partkey, ps.l_suppkey, ps.supplycost, s.s_name
+            FROM ps
+            JOIN supplier s ON ps.l_suppkey = s.s_suppkey
+            JOIN nation n   ON s.s_nationkey = n.n_nationkey
+            JOIN region r   ON n.n_regionkey = r.r_regionkey
+            WHERE r.r_name = 'EUROPE'
+        ),
+        best AS (
+            SELECT l_partkey, MIN(supplycost) AS min_cost
+            FROM regional GROUP BY l_partkey
+        )
+        SELECT p.p_partkey, p.p_brand, g.s_name,
+               FLOOR((g.supplycost)*1e6 + 0.5)/1e6 AS supplycost
+        FROM regional g
+        JOIN best b ON g.l_partkey = b.l_partkey AND g.supplycost = b.min_cost
+        JOIN part p ON p.p_partkey = g.l_partkey
+        WHERE p.p_size = 15
+    """,
+)
+def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-cost regional supplier per part: the correlated
+    min-supplycost-per-part subquery decorrelated into one aggregate
+    joined back on (part, cost) — the argmin pattern. partsupp is derived
+    from lineitem (MIN unit price per pair); supplier/nation/region/part
+    dims broadcast, so the only fact shuffle is the pair aggregation."""
+    from cnics_to_fhir_spark.functions.numeric import stable_round
+
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = table(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supplycost")
+    )
+    regional = (
+        ps.join(F.broadcast(s), ps.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("l_partkey", "supplycost", "s_name")
+    )
+    # rename the group key: `best` derives from `regional`, so an unaliased
+    # regional.l_partkey == best.l_partkey resolves trivially true and the
+    # join would silently key on cost alone
+    best = (
+        regional.groupBy("l_partkey")
+        .agg(F.min("supplycost").alias("min_cost"))
+        .withColumnRenamed("l_partkey", "best_partkey")
+    )
+    return (
+        regional.join(
+            best,
+            (F.col("l_partkey") == F.col("best_partkey"))
+            & (F.col("supplycost") == F.col("min_cost")),
+        )
+        .drop("best_partkey", "min_cost")
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .select(
+            "p_partkey",
+            "p_brand",
+            "s_name",
+            stable_round(F.col("supplycost"), 6).alias("supplycost"),
+        )
+    )
+
+
+@query(
+    "q11_important_stock",
+    tags="J1 A5 O1",
+    oracle="""
+        WITH ps AS (
+            SELECT l_partkey, l_suppkey,
+                   MIN(l_extendedprice / l_quantity) AS supplycost,
+                   SUM(l_quantity) AS qty
+            FROM lineitem GROUP BY l_partkey, l_suppkey
+        ),
+        national AS (
+            SELECT ps.l_partkey, ps.supplycost * ps.qty AS value
+            FROM ps
+            JOIN supplier s ON ps.l_suppkey = s.s_suppkey
+            JOIN nation n   ON s.s_nationkey = n.n_nationkey
+            WHERE n.n_name = 'NATION_18'
+        ),
+        byp AS (
+            SELECT l_partkey, SUM(value) AS part_value FROM national GROUP BY l_partkey
+        ),
+        total AS (SELECT SUM(part_value) AS tv, COUNT(*) AS np FROM byp)
+        SELECT b.l_partkey AS p_partkey,
+               FLOOR((b.part_value)*1e2 + 0.5)/1e2 AS part_value
+        FROM byp b, total t
+        WHERE b.part_value > 1.5 * t.tv / t.np
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Important stock: per-part inventory value within one nation,
+    HAVING against the GLOBAL average share (scale-free: a fixed
+    fraction of total is SF-dependent; 1.5x the mean share bites at every
+    SF) — the scalar subquery is a one-row broadcast cross join against
+    the same aggregate (no second scan of the facts). partsupp derived
+    from lineitem as in q02."""
+    from cnics_to_fhir_spark.functions.numeric import stable_round
+
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_18")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supplycost"),
+        F.sum("l_quantity").alias("qty"),
+    )
+    national = (
+        ps.join(F.broadcast(s), ps.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("l_partkey", (F.col("supplycost") * F.col("qty")).alias("value"))
+    )
+    byp = national.groupBy("l_partkey").agg(F.sum("value").alias("part_value"))
+    total = byp.agg(
+        F.sum("part_value").alias("tv"), F.count(F.lit(1)).alias("np")
+    )
+    return (
+        byp.join(F.broadcast(total))
+        .filter(F.col("part_value") > 1.5 * F.col("tv") / F.col("np"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            stable_round(F.col("part_value"), 2).alias("part_value"),
+        )
+    )
