@@ -94,6 +94,8 @@ HEADLINE = [
     "q02_min_cost_supplier",
     "q11_important_stock",
     "e2e06_entity_resolution",
+    "tx05_tfidf_topk",
+    "ev08_transition_matrix",
     # Iterative ops (dd06, cl01, ann04) are deliberately NOT headline:
     # their wall time at toy SFs is driver-loop job-launch overhead
     # (~1.2 s/iteration), not data-path throughput; correctness is gated

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from cnics_to_fhir_spark.operators import dedup, events_windows, similarity, textanalysis
 from cnics_to_fhir_spark.plans.registry import query, table
@@ -1753,3 +1754,103 @@ def ev07_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+@query(
+    "tx05_tfidf_topk",
+    tags="TX A5 W F22",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, t.tok
+            FROM documents, UNNEST(string_split(text, ' ')) AS t(tok)
+        ),
+        tf AS (
+            SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM tok GROUP BY doc_id, tok
+        ),
+        df AS (
+            SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+            FROM tok GROUP BY tok
+        ),
+        n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.tok,
+                   FLOOR((tf.tf * ln(n.n_docs / df.df))*1e6 + 0.5)/1e6 AS tfidf
+            FROM tf JOIN df ON tf.tok = df.tok, n
+        )
+        SELECT doc_id, tok, tfidf, rank FROM (
+            SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                           ORDER BY tfidf DESC, tok) AS INTEGER) AS rank
+            FROM scored
+        ) WHERE rank <= 3
+    """,
+)
+def tx05_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms — the canonical text-relevance op:
+    token explode → per-doc TF agg → corpus DF agg (broadcast back, it is
+    vocabulary-sized) → score → ranked window with a total order. Two
+    corpus-wide shuffles (doc-keyed TF, token-keyed DF) regardless of
+    document count; the DF side is the classic map-side-combine winner
+    since token frequency follows Zipf."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tok.groupBy("tok").agg(F.count_distinct("doc_id").alias("df"))
+    # corpus size as a one-row broadcast, not a driver-side count() —
+    # keeps plan construction lazy and the whole query one job
+    n_docs = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_), on="tok")
+        .join(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "tok",
+            (F.col("tf") * F.log(F.col("n_docs") / F.col("df"))).alias("raw"),
+        )
+    )
+    from cnics_to_fhir_spark.functions.numeric import stable_round
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("tok")
+    )
+    return (
+        scored.select("doc_id", "tok", stable_round(F.col("raw"), 6).alias("tfidf"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+    )
+
+
+@query(
+    "ev08_transition_matrix",
+    tags="EV W A5",
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, event_type,
+                   LEAD(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS next_type
+            FROM events
+        )
+        SELECT event_type AS from_type, next_type AS to_type,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM ordered WHERE next_type IS NOT NULL
+        GROUP BY from_type, to_type
+    """,
+)
+def ev08_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition counts (the Markov bigram matrix behind
+    next-action models): LEAD over each user's time-ordered stream, then
+    one |types|² aggregation. The window and the agg share the user_id
+    partitioning; event_id breaks timestamp ties so both engines see the
+    same successor."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
