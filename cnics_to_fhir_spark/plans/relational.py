@@ -2450,3 +2450,82 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
             stable_round(F.col("part_value"), 2).alias("part_value"),
         )
     )
+
+
+@query(
+    "a16_cube_subtotals",
+    tags="A5 W",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               GROUPING(l_returnflag, l_linestatus) AS gid,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def a16_cube_subtotals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 2^k grouping sets in one pass (rollup's lattice superset);
+    gid separates subtotal planes from real NULL groups."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.grouping_id().alias("gid"), F.count(F.lit(1)).alias("n"))
+        .select("l_returnflag", "l_linestatus", "gid", "n")
+    )
+
+
+@query(
+    "a17_histogram",
+    tags="A5 F18",
+    oracle="""
+        SELECT CAST(FLOOR(o_totalprice / 50000) AS INTEGER) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               FLOOR((MIN(o_totalprice))*1e2 + 0.5)/1e2 AS lo,
+               FLOOR((MAX(o_totalprice))*1e2 + 0.5)/1e2 AS hi
+        FROM orders GROUP BY bucket
+    """,
+)
+def a17_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram as a pure groupBy on the bucket expression —
+    one shuffle of (bucket, partial agg), output O(buckets). The
+    streaming-friendly form of distribution profiling (vs sort-based
+    exact quantiles)."""
+    from cnics_to_fhir_spark.functions.numeric import stable_round
+
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.floor(F.col("o_totalprice") / 50000).cast("int").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            stable_round(F.min("o_totalprice"), 2).alias("lo"),
+            stable_round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
+
+
+@query(
+    "a18_stat_aggregates",
+    tags="A5",
+    oracle="""
+        SELECT l_returnflag,
+               FLOOR((corr(l_quantity, l_extendedprice))*1e6 + 0.5)/1e6 AS qty_price_corr,
+               FLOOR((covar_pop(l_quantity, l_extendedprice))*1e4 + 0.5)/1e4 AS qty_price_covar,
+               FLOOR((stddev_pop(l_discount))*1e6 + 0.5)/1e6 AS discount_sd
+        FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a18_stat_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment aggregates (corr / covar_pop / stddev_pop): both
+    engines use numerically-stable one-pass accumulators that merge
+    map-side, so the agg distributes like any sum — and agrees across
+    engines to well past the 1e-6 comparison precision."""
+    from cnics_to_fhir_spark.functions.numeric import stable_round
+
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        stable_round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        stable_round(F.covar_pop("l_quantity", "l_extendedprice"), 4).alias("qty_price_covar"),
+        stable_round(F.stddev_pop("l_discount"), 6).alias("discount_sd"),
+    )
