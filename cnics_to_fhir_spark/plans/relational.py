@@ -2529,3 +2529,47 @@ def a18_stat_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round(F.covar_pop("l_quantity", "l_extendedprice"), 4).alias("qty_price_covar"),
         stable_round(F.stddev_pop("l_discount"), 6).alias("discount_sd"),
     )
+
+
+@query(
+    "w05_share_of_total",
+    tags="W A5 J1",
+    oracle="""
+        WITH rev AS (
+            SELECT n.n_name AS nation,
+                   SUM(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+            FROM lineitem l
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n   ON s.s_nationkey = n.n_nationkey
+            GROUP BY n.n_name
+        )
+        SELECT nation,
+               FLOOR((revenue)*1e2 + 0.5)/1e2 AS revenue,
+               FLOOR((revenue / SUM(revenue) OVER ())*1e6 + 0.5)/1e6 AS share
+        FROM rev
+    """,
+)
+def w05_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-total (ratio_to_report): an unpartitioned window SUM over
+    the ALREADY-AGGREGATED per-nation rows — the window runs on |nations|
+    rows, so the single-partition window frame is safe at any corpus
+    size; only the upstream agg touches the facts."""
+    from cnics_to_fhir_spark.functions.numeric import stable_round
+
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    rev = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("raw_rev")
+        )
+    )
+    w = Window.partitionBy()
+    return rev.select(
+        "nation",
+        stable_round(F.col("raw_rev"), 2).alias("revenue"),
+        stable_round(F.col("raw_rev") / F.sum("raw_rev").over(w), 6).alias("share"),
+    )
