@@ -96,6 +96,10 @@ HEADLINE = [
     "e2e06_entity_resolution",
     "tx05_tfidf_topk",
     "ev08_transition_matrix",
+    "a16_cube_subtotals",
+    "a17_histogram",
+    "a18_stat_aggregates",
+    "w05_share_of_total",
     # Iterative ops (dd06, cl01, ann04) are deliberately NOT headline:
     # their wall time at toy SFs is driver-loop job-launch overhead
     # (~1.2 s/iteration), not data-path throughput; correctness is gated
