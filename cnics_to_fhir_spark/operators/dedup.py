@@ -144,21 +144,28 @@ def minhash_signature(text: Column, num_hashes: int = 32, k: int = 3) -> Column:
     return minhash_from_shingles(F.array_distinct(word_shingles(text, k)), num_hashes)
 
 
+def _min_hash_at(shingles: Column, j: int, portable: bool) -> Column:
+    """min over shingles of hash_j(shingle), with ``j`` captured by a real
+    closure. NEVER write ``lambda s, j=j: ...`` here: pyspark's transform
+    dispatches on lambda ARITY, so a second parameter — even defaulted —
+    turns the lambda into the (element, index) form and silently rebinds
+    ``j`` to the array-index column. That collapsed all "independent"
+    hash functions into one (xxhash64 path: hash(position, shingle),
+    identical for every j) and made the portable path hash a
+    plan-dependent Column repr — caught only by the sf1 oracle run, where
+    a band collision present in Spark was absent from the DuckDB replay."""
+    if portable:
+        return F.array_min(F.transform(shingles, lambda s: portable_hash(s, seed=j)))
+    return F.array_min(F.transform(shingles, lambda s: F.xxhash64(F.lit(j), s)))
+
+
 def minhash_from_shingles(
     shingles: Column, num_hashes: int = 32, portable: bool = False
 ) -> Column:
     """MinHash signature from a pre-computed (distinct) shingle array."""
-    if portable:
-        mins = [
-            F.array_min(F.transform(shingles, lambda s, j=j: portable_hash(s, seed=j)))
-            for j in range(num_hashes)
-        ]
-    else:
-        mins = [
-            F.array_min(F.transform(shingles, lambda s, j=j: F.xxhash64(F.lit(j), s)))
-            for j in range(num_hashes)
-        ]
-    return F.array(*mins)
+    return F.array(
+        *[_min_hash_at(shingles, j, portable) for j in range(num_hashes)]
+    )
 
 
 def minhash_lsh_pairs(

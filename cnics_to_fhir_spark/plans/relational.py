@@ -1767,8 +1767,10 @@ def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT n.n_name AS nation,
                CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER) AS o_year,
-               FLOOR((SUM(l.l_extendedprice * (1 - l.l_discount)
-                          - 0.4 * p.p_retailprice * l.l_quantity))*1e2 + 0.5)/1e2
+               FLOOR((CAST(SUM(CAST(FLOOR((l.l_extendedprice * (1 - l.l_discount)
+                                            - 0.4 * p.p_retailprice * l.l_quantity)
+                                           *1e4 + 0.5)/1e4
+                                    AS DECIMAL(30, 4))) AS DOUBLE))*1e2 + 0.5)/1e2
                    AS sum_profit
         FROM lineitem l
         JOIN part p     ON l.l_partkey = p.p_partkey
@@ -1791,9 +1793,21 @@ def q09_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = table(spark, sf_dir, "supplier")
     n = table(spark, sf_dir, "nation")
     o = table(spark, sf_dir, "orders")
-    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.4 * F.col(
-        "p_retailprice"
-    ) * F.col("l_quantity")
+    # Profit differences cancel catastrophically, so a double SUM diverges
+    # across engines once groups reach ~10^5 rows (caught by the sf1 oracle
+    # run). The portable form: round the per-row term IN DOUBLE to 4
+    # decimals (identical inputs → bit-identical on both engines), cast to
+    # a scale-4 DECIMAL (the rounded double sits ~1e-12 from the decimal
+    # grid, so the conversion is unambiguous — unlike scale-10, where
+    # Spark's shortest-string and DuckDB's true-binary conversions
+    # disagree), then SUM exactly and order-independently.
+    from cnics_to_fhir_spark.functions.numeric import stable_round as _sr
+
+    profit = _sr(
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.4 * F.col("p_retailprice") * F.col("l_quantity"),
+        4,
+    ).cast("decimal(30,4)")
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
@@ -1802,7 +1816,7 @@ def q09_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
         )
-        .agg(stable_round(F.sum(profit), 2).alias("sum_profit"))
+        .agg(stable_round(F.sum(profit).cast("double"), 2).alias("sum_profit"))
     )
 
 

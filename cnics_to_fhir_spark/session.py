@@ -37,6 +37,12 @@ def build_session(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # 128 MiB scan splits: with ~2-4x decompression this keeps per-task
+        # working sets a few hundred MiB — safe against executor spill at
+        # any corpus size, and small enough that a 100 TB scan still yields
+        # ~800k tasks for even scheduling. Stated explicitly (it is the
+        # default) so the sizing rule is visible next to shuffle.partitions.
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

@@ -44,12 +44,20 @@ def value_hash(df: pd.DataFrame) -> str:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
-    spark = build_session("selfcheck")
+    # 4g result cap: the compare collects full results, and wide-JSON
+    # entries (e2e02) exceed the 1g default at sf1-scale probe runs —
+    # a harness limit, not an engine one (the engine never collects).
+    spark = build_session(
+        "selfcheck", extra_conf={"spark.driver.maxResultSize": "4g"}
+    )
     con = duckdb.connect()
+    import os
+
     for t in STAR_TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
+        path = f"{sf_dir}/{t}.parquet"
+        # Spark-written tables (tools/make_sf1.py) are directories of parts
+        src = f"{path}/*.parquet" if os.path.isdir(path) else path
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
 
     entries = catalog()
     failures = []

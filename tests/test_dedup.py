@@ -164,3 +164,31 @@ def test_refine_blocks_formula_and_neardup_retention(spark):
     refined = refine_blocks(df, bits=3, out_col="cell")
     pairs = embedding_near_dup_pairs(refined, block_col="cell", threshold=0.95).collect()
     assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+
+
+def test_minhash_hash_functions_are_independent_and_portable(spark):
+    """Regression: `lambda s, j=j:` in F.transform is the (element, index)
+    two-arg form — pyspark rebinds j to the array index, collapsing all
+    num_hashes 'independent' permutations into one (and making the
+    portable variant hash a plan-dependent string). Pin (a) the portable
+    hash against an out-of-band md5 ground truth and (b) that sig
+    positions actually differ."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from cnics_to_fhir_spark.operators.dedup import minhash_from_shingles
+
+    sh = ["alpha beta gamma", "beta gamma delta", "gamma delta epsilon"]
+    df = spark.createDataFrame([(sh,)], "sh array<string>")
+    sig_p = df.select(
+        minhash_from_shingles(F.col("sh"), 4, portable=True).alias("s")
+    ).collect()[0]["s"]
+    expect = [
+        min(int(hashlib.md5(f"{j}:{s}".encode()).hexdigest()[:15], 16) for s in sh)
+        for j in range(4)
+    ]
+    assert sig_p == expect
+
+    sig_x = df.select(minhash_from_shingles(F.col("sh"), 8).alias("s")).collect()[0]["s"]
+    assert len(set(sig_x)) > 1  # a single collapsed hash would repeat
