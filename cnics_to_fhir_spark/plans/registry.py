@@ -111,10 +111,13 @@ _PRIORITY: tuple[str, ...] = (
     "dd02_ngram_jaccard",
     "dd05_embedding_neardup",
     "dd06_dup_clusters",
-    # classic OLAP shapes (fill the remaining prefix slots)
-    "q01_pricing_summary",
-    "q03_shipping_priority",
-    "q05_local_supplier_volume",
+    # round-3 flagships (the q-series classics these replaced remain in
+    # the catalog, selfcheck, and bench; these three carry strictly more
+    # novel evidence for the driver's bounded verification window:
+    # full-pipeline LSH replay, real PNG decode, entity resolution)
+    "dd03b_minhash_lsh_portable",
+    "mm04_real_png_decode",
+    "e2e06_entity_resolution",
 )
 
 
