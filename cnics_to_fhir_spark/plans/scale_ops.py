@@ -1854,3 +1854,38 @@ def ev08_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "f24_props_json_extract",
+    tags="F21 F18 A5 EV",
+    oracle="""
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+                   AS k_sum,
+               CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+                   AS k_min,
+               CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+                   AS k_max
+        FROM events GROUP BY event_type
+    """,
+)
+def f24_props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction over the event stream's JSON payload
+    column: get_json_object path extraction stays inside codegen (no UDF,
+    no full from_json schema when one path suffices — the scan prunes to
+    (event_type, props) only), then an ordinary grouped aggregation.
+    DuckDB's json_extract replays the path semantics."""
+    e = table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("k_sum"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+        )
+    )
