@@ -107,6 +107,34 @@ HEADLINE = [
 ]
 
 
+# Bounded subset inlined into the final stdout JSON line (the driver's tail
+# capture is ~2000 chars; ~80 queries no longer fit). Chosen to cover one
+# representative per family: e2e verticals, TPC-H classics, dedup, ANN,
+# events, text, dataset assembly.
+FLAGSHIP_INLINE = [
+    "e2e01_conditions_pipeline",
+    "e2e04_patients_pipeline",
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q18_large_volume_orders",
+    "j09_salted_skew_join",
+    "j10_bloom_semi_join",
+    "w01_topn_per_group",
+    "dd01_exact_dedup",
+    "dd03_minhash_lsh",
+    "dd05_embedding_neardup",
+    "ann01_cosine_topk",
+    "ann03_ivf_topk",
+    "tx04_heavy_hitters",
+    "ev02_sessionization",
+    "rj01_interval_attribution",
+    "ds03_greedy_packing",
+    "e2e05_corpus_curation",
+    "e2e06_entity_resolution",
+    "mm04_real_png_decode",
+]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -139,18 +167,39 @@ def main() -> None:
         print(f"# {name}: {timings[name]}s ({n} rows)", flush=True)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        ),
-        flush=True,
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Per-query detail goes to a sidecar file (and the per-query stderr-style
+    # '#' lines above); the FINAL stdout line stays compact (<200 bytes) so
+    # the driver's bounded tail capture always parses it. Rounds 2 and 3
+    # lost their headline number because the ~80-query dict blew past the
+    # capture window.
+    detail = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_detail.json")
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+    print(f"# per-query detail -> {detail_path}", flush=True)
+    # The inline `queries` dict is a bounded flagship subset so the final
+    # line stays parseable inside the 2000-char tail window; bench_detail.json
+    # (committed to the repo) carries the full per-query map.
+    inline = {k: timings[k] for k in FLAGSHIP_INLINE if k in timings}
+    final_line = json.dumps(
+        {
+            "metric": "headline_queries_total_wall",
+            "value": total,
+            "unit": "sec",
+            "sf": sf_val,
+            "n_queries": len(timings),
+            "queries": inline,
+        }
     )
+    assert len(final_line) < 1800, f"final bench line too long ({len(final_line)}B)"
+    print(final_line, flush=True)
     spark.stop()
 
 

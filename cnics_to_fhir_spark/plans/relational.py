@@ -512,6 +512,77 @@ def a04_last_write_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# A4b / S4 — the crosswalk's PER-FIELD last-write-wins quirk
+# (cnics_to_fhir.py:296-303): for a duplicate SitePatientId, hmrn is
+# overwritten unconditionally — including with the literal string 'NULL',
+# which the reference then ships as an identifier value (:398-402) — while
+# umrn is overwritten only when non-'NULL', so an earlier real umrn
+# survives a trailing 'NULL' row.  The fixture derives a crosswalk-shaped
+# table from `customer` with duplicate keys (custkey % 400) and planted
+# 'NULL' literals in both fields, then resolves through the production
+# `per_field_lww` — the same code path `load_crosswalk` uses.
+# --------------------------------------------------------------------------
+@query(
+    "a04b_crosswalk_field_lww",
+    tags="A4 S4 J4",
+    oracle="""
+        WITH raw AS (
+            SELECT
+                CASE WHEN c_custkey % 11 = 0 THEN 'NULL'
+                     ELSE 'sp-' || CAST(c_custkey % 400 AS VARCHAR) END AS SitePatientId,
+                CASE WHEN c_custkey % 7 = 0 THEN 'NULL'
+                     ELSE 'H' || CAST(c_custkey AS VARCHAR) END AS hmrn,
+                CASE WHEN c_custkey % 3 = 0 THEN 'NULL'
+                     ELSE 'U' || CAST(c_custkey AS VARCHAR) END AS umrn,
+                c_custkey AS ord
+            FROM customer
+        ),
+        keep AS (SELECT * FROM raw WHERE SitePatientId <> 'NULL'),
+        h AS (
+            SELECT SitePatientId, hmrn FROM (
+                SELECT SitePatientId, hmrn,
+                       ROW_NUMBER() OVER (PARTITION BY SitePatientId ORDER BY ord DESC) AS rn
+                FROM keep
+            ) WHERE rn = 1
+        ),
+        u AS (
+            SELECT SitePatientId, umrn FROM (
+                SELECT SitePatientId, umrn,
+                       ROW_NUMBER() OVER (PARTITION BY SitePatientId ORDER BY ord DESC) AS rn
+                FROM keep WHERE umrn <> 'NULL'
+            ) WHERE rn = 1
+        )
+        SELECT h.SitePatientId, h.hmrn, u.umrn
+        FROM h LEFT JOIN u ON h.SitePatientId = u.SitePatientId
+    """,
+)
+def a04b_crosswalk_field_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cnics_to_fhir_spark.sources.crosswalk import per_field_lww
+
+    c = F.col("c_custkey")
+    raw = table(spark, sf_dir, "customer").select(
+        F.when(c % 11 == 0, F.lit("NULL"))
+        .otherwise(F.concat(F.lit("sp-"), (c % 400).cast("string")))
+        .alias("SitePatientId"),
+        F.when(c % 7 == 0, F.lit("NULL"))
+        .otherwise(F.concat(F.lit("H"), c.cast("string")))
+        .alias("hmrn"),
+        F.when(c % 3 == 0, F.lit("NULL"))
+        .otherwise(F.concat(F.lit("U"), c.cast("string")))
+        .alias("umrn"),
+        c.alias("__ord"),
+    )
+    kept = raw.filter(F.col("SitePatientId") != "NULL")
+    return per_field_lww(
+        kept,
+        key="SitePatientId",
+        ord_col="__ord",
+        unconditional=["hmrn"],
+        non_null_literal=["umrn"],
+    ).select("SitePatientId", "hmrn", "umrn")
+
+
+# --------------------------------------------------------------------------
 # A1 — DISTINCT (select distinct SessionId, cnics_to_fhir.py:144-145)
 # --------------------------------------------------------------------------
 @query(

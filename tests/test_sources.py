@@ -33,19 +33,27 @@ def test_membership_via_join(spark, tmp_path):
 
 
 def test_crosswalk_semantics(spark, tmp_path):
-    # header skipped; 'NULL' key dropped; 'NULL' umrn → None; dup key → last wins
+    # header skipped; 'NULL' key dropped; PER-FIELD last-write-wins
+    # (cnics_to_fhir.py:296-303): hmrn overwritten unconditionally (literal
+    # 'NULL' preserved, :301), umrn only by non-'NULL' rows (:302-303).
     p = tmp_path / "xwalk.csv"
     p.write_text(
         "hmrn,umrn,SitePatientId\n"
         "H1,U1,sp-1\n"
         "H2,NULL,sp-2\n"
         "H3,U3,NULL\n"
-        "H9,U9,sp-1\n"  # overwrites sp-1 (cnics_to_fhir.py:299-303)
+        "H9,U9,sp-1\n"   # overwrites sp-1 wholesale
+        "NULL,NULL,sp-1\n"  # trailing row: hmrn→'NULL' (kept!), umrn U9 survives
+        "H5,U5,sp-3\n"
+        "H6,NULL,sp-3\n"  # trailing 'NULL' umrn must NOT wipe U5
     )
     rows = {r["SitePatientId"]: r for r in load_crosswalk(spark, str(p)).collect()}
-    assert set(rows) == {"sp-1", "sp-2"}
-    assert rows["sp-1"]["hmrn"] == "H9" and rows["sp-1"]["umrn"] == "U9"
+    assert set(rows) == {"sp-1", "sp-2", "sp-3"}
+    # hmrn = unconditional last, including the literal string 'NULL'
+    assert rows["sp-1"]["hmrn"] == "NULL" and rows["sp-1"]["umrn"] == "U9"
+    # umrn = last non-'NULL'; none at all → null
     assert rows["sp-2"]["hmrn"] == "H2" and rows["sp-2"]["umrn"] is None
+    assert rows["sp-3"]["hmrn"] == "H6" and rows["sp-3"]["umrn"] == "U5"
 
 
 def test_bundle_snapshot_parse(spark):
