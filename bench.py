@@ -100,10 +100,12 @@ HEADLINE = [
     "a17_histogram",
     "a18_stat_aggregates",
     "w05_share_of_total",
-    # Iterative ops (dd06, cl01, ann04) are deliberately NOT headline:
-    # their wall time at toy SFs is driver-loop job-launch overhead
-    # (~1.2 s/iteration), not data-path throughput; correctness is gated
-    # via the catalog oracle like everything else.
+    # Iterative ops (dd06, cl01, ann04) and the streaming-equivalence run
+    # (st01 — micro-batch scheduling overhead, not data path) are
+    # deliberately NOT headline: their wall time at toy SFs is driver-loop
+    # / trigger launch overhead (~1.2 s/iteration), not data-path
+    # throughput; correctness is gated via the catalog oracle like
+    # everything else.
 ]
 
 

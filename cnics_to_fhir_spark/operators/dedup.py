@@ -252,8 +252,12 @@ def simhash(
 ) -> DataFrame:
     """64-bit SimHash per doc: explode tokens → xxhash64 → per-bit vote →
     reassemble. One shuffle (groupBy id), all-native aggregation.
-    ``portable=True`` uses the md5-derived 60-bit portable hash (pass
-    bits=60) so DuckDB can replay the construction bit-for-bit."""
+    ``portable=True`` uses the md5-derived 60-bit portable hash, so the
+    signature width is capped at 60 automatically — an uncapped 64 would
+    silently zero the top 4 bits (hash has no entropy there) and weaken
+    the prefix bands."""
+    if portable:
+        bits = min(bits, 60)
     df = ensure_min_parallelism(df, id_col)
     token_hash = portable_hash(F.col("tok")) if portable else F.xxhash64("tok")
     tok = df.select(
@@ -343,22 +347,77 @@ def refine_blocks(
     return df.withColumn(out_col, fine)
 
 
+def choose_refine_bits(
+    n_rows: int, n_cells: int, target_cell_rows: int, max_bits: int
+) -> int:
+    """Smallest b ≤ max_bits with avg cell size ≤ target after a 2^b split.
+
+    Integer comparisons only (no log2 floats) so the DuckDB oracle's CASE
+    chain lands on the identical b at every scale — a float log2 could flip
+    CEIL at exact power-of-two boundaries between engines."""
+    bits = 0
+    while bits < max_bits and n_rows > target_cell_rows * max(n_cells, 1) * (1 << bits):
+        bits += 1
+    return bits
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_col: str = "label",
     threshold: float = 0.95,
+    target_cell_rows: int | None = 256,
+    max_refine_bits: int = 8,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine ≥ threshold, IVF-style:
     the self-join is blocked on a coarse cluster id (``block_col`` — a
     centroid assignment in a real pipeline), so the pair space is
     Σ|cluster|² instead of |corpus|². Near-dups land in the same coarse
     cell by construction; cross-cell near-dups are the recall cost, the
-    standard IVF trade. Output: (id_a, id_b, cosine_sim)."""
+    standard IVF trade. Output: (id_a, id_b, cosine_sim).
+
+    Scale guard (default ON): with a FIXED cell count the blocked self-join
+    is quadratic in corpus size — the sf1 probe measured 14× wall on 10×
+    data before this guard existed.  When the average cell would exceed
+    ``target_cell_rows``, the blocking is automatically refined by the sign
+    pattern of the leading ``bits`` vector components (cell = coarse<<8 |
+    sign bits, weight 1<<b for component b), with ``bits`` chosen by
+    integer arithmetic from (row count, cell count) so n_cells grows ∝
+    corpus and Σ|cell|² stays bounded.  The decision costs one count
+    aggregation over (id, block) — cheap next to the self-join it guards;
+    deployments that already know their corpus stats can pass
+    ``target_cell_rows=None`` and pre-refine explicitly (``refine_blocks``
+    or the trained quantizer in operators/clustering).  The sign split is
+    pure deterministic arithmetic, so refined runs stay oracle-checked."""
     from cnics_to_fhir_spark.operators.similarity import cosine_with_norms, norm
 
     df = ensure_min_parallelism(df, id_col)
+    if target_cell_rows is not None:
+        # Bounded driver round-trip: TWO longs (row count, cell count) come
+        # back, like the k×dim centroids in operators/clustering — then
+        # ``bits`` is a Python literal, so the refined cell expression
+        # constant-folds and the self-join keys stay codegen-friendly.  (An
+        # in-plan broadcast-scalar variant was measured 2.3× slower at sf1:
+        # the runtime ``bits`` column defeats constant folding on the join
+        # key.)  The stats pass is one extra scan of (id, block) — <1% of
+        # the self-join it guards; deployments that know their corpus stats
+        # skip it with target_cell_rows=None plus explicit refine_blocks /
+        # a trained quantizer.
+        stats = df.agg(
+            F.count(F.lit(1)).alias("n"), F.countDistinct(block_col).alias("c")
+        ).first()
+        bits = choose_refine_bits(
+            stats["n"], stats["c"], target_cell_rows, max_refine_bits
+        )
+        if bits > 0:
+            cell = F.col(block_col).cast("long") * 256
+            for b in range(bits):
+                cell = cell + F.when(
+                    F.element_at(F.col(vec_col), b + 1) > 0, F.lit(1 << b)
+                ).otherwise(F.lit(0))
+            df = df.withColumn("__auto_cell", cell)
+            block_col = "__auto_cell"
     # Norms are computed once per row BEFORE the self-join (same association
     # as dot/(‖a‖·‖b‖), so rounded values match the oracle) — each candidate
     # pair then runs one higher-order dot instead of three. With ~c rows per

@@ -163,11 +163,20 @@ def _projection(vec: Column, plane: int, portable: bool = False) -> Column:
 
 
 def sign_sketch(vec: Column, n_planes: int = 16, portable: bool = False) -> Column:
-    """n-bit sign sketch: bit p = [Σᵢ wᵢ(p)·vᵢ > 0]."""
+    """n-bit sign sketch: bit p = [Σᵢ wᵢ(p)·vᵢ > 0].
+
+    Portable path rounds the projection to the 1e-6 grid before the sign
+    test (mirrored by the ann02b oracle's FLOOR(s*1e6+0.5)/1e6): Spark sums
+    the 64 weighted terms in array order while DuckDB's SUM aggregates in
+    its own order, so a projection within float-rounding of 0 could
+    otherwise flip a sketch bit between engines at larger SFs."""
     bits = F.lit(0).cast("long")
     for p in range(n_planes):
+        proj = _projection(vec, p, portable)
+        if portable:
+            proj = stable_round(proj, 6)
         bits = bits + F.when(
-            _projection(vec, p, portable) > 0, F.shiftleft(F.lit(1).cast("long"), p)
+            proj > 0, F.shiftleft(F.lit(1).cast("long"), p)
         ).otherwise(F.lit(0).cast("long"))
     return bits
 

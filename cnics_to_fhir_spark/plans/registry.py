@@ -57,7 +57,8 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 #
 # The ordering is presentation, not the verification boundary: every entry
 # — prefix or not — is oracle-checked each round by `python selfcheck.py`
-# (full 93-entry catalog at sf0.001 AND sf0.01), so entries outside the
+# (the FULL catalog, whatever its current size, at sf0.001 AND sf0.01 —
+# plus the sf1 probe), so entries outside the
 # driver's prefix are locally verified, never silently unchecked.
 _PRIORITY: tuple[str, ...] = (
     # end-to-end verticals (§3.3 lifecycle, B1-B4, J6, A5)
@@ -85,13 +86,13 @@ _PRIORITY: tuple[str, ...] = (
     "j03_decorrelated_page",
     "j05_anti_join",
     "j06_merge_actions",
-    "j06b_merge_dup_keys",
     "j07_semi_join",
     "j08_broadcast_membership",
     "a01_distinct",
     "a02_collect_set",
     "a03_first_row_per_group",
     "a04_last_write_wins",
+    "a04b_crosswalk_field_lww",
     "a05_group_counts",
     "a06_uniqueness_guard",
     "o02_order_limit",
@@ -110,7 +111,6 @@ _PRIORITY: tuple[str, ...] = (
     "dd01_exact_dedup",
     "dd02_ngram_jaccard",
     "dd05_embedding_neardup",
-    "dd06_dup_clusters",
     # round-3 flagships (the q-series classics these replaced remain in
     # the catalog, selfcheck, and bench; these three carry strictly more
     # novel evidence for the driver's bounded verification window:
@@ -118,12 +118,18 @@ _PRIORITY: tuple[str, ...] = (
     "dd03b_minhash_lsh_portable",
     "mm04_real_png_decode",
     "e2e06_entity_resolution",
+    # round-4 flagships: the crosswalk per-field LWW fix (a04b) and the
+    # streaming↔batch MERGE equivalence run (st01). Rotated out to make
+    # room, still selfcheck-verified every round: j06b (dup-key variant of
+    # the prefix-resident j06) and dd06 (iterative components; its
+    # recursive-CTE oracle runs in selfcheck).
+    "st01_stream_batch_equivalence",
 )
 
 
 def catalog() -> dict[str, CatalogEntry]:
     # Import side-effect modules that populate the registry.
-    from cnics_to_fhir_spark.plans import e2e, relational, scale_ops, transforms  # noqa: F401
+    from cnics_to_fhir_spark.plans import e2e, relational, scale_ops, streaming_eq, transforms  # noqa: F401
 
     ordered: dict[str, CatalogEntry] = {}
     for name in _PRIORITY:

@@ -192,21 +192,21 @@ def p06_in_list_and_like(spark: SparkSession, sf_dir: str) -> DataFrame:
                    NULLIF(o_orderpriority, '3-MEDIUM') AS priority
             FROM orders
         )
-        SELECT o_orderstatus, COUNT(*) AS n
+        SELECT o_orderkey, o_orderstatus, priority
         FROM o
         WHERE priority <> '1-URGENT' OR priority IS NULL
-        GROUP BY o_orderstatus
     """,
 )
 def p04_nullsafe_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-row output (≈80% of orders — 12k rows at sf0.01), not a 3-row
+    # group summary: the hash compare then pins every row the 3VL filter
+    # keeps, including each synthesized-NULL survivor.
     o = table(spark, sf_dir, "orders").withColumn(
         "priority", F.nullif(F.col("o_orderpriority"), F.lit("3-MEDIUM"))
     )
-    return (
-        o.filter((F.col("priority") != "1-URGENT") | F.col("priority").isNull())
-        .groupBy("o_orderstatus")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
+    return o.filter(
+        (F.col("priority") != "1-URGENT") | F.col("priority").isNull()
+    ).select("o_orderkey", "o_orderstatus", "priority")
 
 
 # --------------------------------------------------------------------------

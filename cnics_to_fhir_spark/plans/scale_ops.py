@@ -208,13 +208,46 @@ def dd04b_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dd05_embedding_neardup",
     tags="DD-cosine J1",
     oracle="""
-        WITH e AS (
-            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        WITH params AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(COUNT(DISTINCT label) AS BIGINT) AS c
+            FROM embeddings
+        ),
+        p2 AS (
+            -- integer replica of dedup.choose_refine_bits(n, c, 256, 8)
+            SELECT CASE
+                WHEN n <= 256 * c THEN 0
+                WHEN n <= 256 * c * 2 THEN 1
+                WHEN n <= 256 * c * 4 THEN 2
+                WHEN n <= 256 * c * 8 THEN 3
+                WHEN n <= 256 * c * 16 THEN 4
+                WHEN n <= 256 * c * 32 THEN 5
+                WHEN n <= 256 * c * 64 THEN 6
+                WHEN n <= 256 * c * 128 THEN 7
+                ELSE 8 END AS bits
+            FROM params
+        ),
+        e AS (
+            SELECT vec_id,
+                   CASE WHEN (SELECT bits FROM p2) = 0
+                        THEN CAST(label AS BIGINT)
+                        ELSE CAST(label AS BIGINT) * 256
+                             + (CASE WHEN 0 < (SELECT bits FROM p2) AND embedding[1] > 0 THEN 1 ELSE 0 END)
+                             + (CASE WHEN 1 < (SELECT bits FROM p2) AND embedding[2] > 0 THEN 2 ELSE 0 END)
+                             + (CASE WHEN 2 < (SELECT bits FROM p2) AND embedding[3] > 0 THEN 4 ELSE 0 END)
+                             + (CASE WHEN 3 < (SELECT bits FROM p2) AND embedding[4] > 0 THEN 8 ELSE 0 END)
+                             + (CASE WHEN 4 < (SELECT bits FROM p2) AND embedding[5] > 0 THEN 16 ELSE 0 END)
+                             + (CASE WHEN 5 < (SELECT bits FROM p2) AND embedding[6] > 0 THEN 32 ELSE 0 END)
+                             + (CASE WHEN 6 < (SELECT bits FROM p2) AND embedding[7] > 0 THEN 64 ELSE 0 END)
+                             + (CASE WHEN 7 < (SELECT bits FROM p2) AND embedding[8] > 0 THEN 128 ELSE 0 END)
+                        END AS cell,
+                   CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
         )
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                FLOOR((list_dot_product(a.v, b.v)
                      / (SQRT(list_dot_product(a.v, a.v)) * SQRT(list_dot_product(b.v, b.v))))*1e6 + 0.5)/1e6 AS cosine_sim
-        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        FROM e a JOIN e b ON a.cell = b.cell AND a.vec_id < b.vec_id
         WHERE FLOOR((list_dot_product(a.v, b.v)
               / (SQRT(list_dot_product(a.v, a.v)) * SQRT(list_dot_product(b.v, b.v))))*1e6 + 0.5)/1e6 >= 0.35
     """,
@@ -223,7 +256,15 @@ def dd05_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, IVF-blocked on the coarse cluster id
     (``label``). Threshold 0.35 exercises the operator on the weakly-clustered
     synthetic gaussians (max within-cluster cosine ≈ 0.5); a real corpus
-    would use ≈ 0.95."""
+    would use ≈ 0.95.
+
+    The DEFAULT path now carries the scale guard: when the average cell
+    exceeds 256 rows the blocking auto-refines by leading sign bits
+    (dedup.embedding_near_dup_pairs), so the sf1-probe quadratic (14× wall
+    at 10× data with fixed cells) can no longer happen silently.  The
+    oracle replays the integer bit-selection and the sign split exactly —
+    at sf ≤ 0.1 bits = 0 (cells are under target, output identical to the
+    unguarded plan); the sf1 probe lands on bits = 3."""
     return dedup.embedding_near_dup_pairs(
         table(spark, sf_dir, "embeddings"), threshold=0.35
     )
@@ -263,7 +304,13 @@ def dd05b_neardup_refined_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     refined = dedup.refine_blocks(
         table(spark, sf_dir, "embeddings"), bits=3, out_col="cell"
     )
-    return dedup.embedding_near_dup_pairs(refined, block_col="cell", threshold=0.35)
+    # target_cell_rows=None: this entry is the EXPLICIT pre-refinement
+    # exhibit, so the auto-guard (which would re-split the already-refined
+    # cells once they grow past target) is off to keep the oracle's fixed
+    # 8-cell-per-label blocking exact at every SF.
+    return dedup.embedding_near_dup_pairs(
+        refined, block_col="cell", threshold=0.35, target_cell_rows=None
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -416,8 +463,11 @@ def ann02_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM e, w GROUP BY e.vec_id, w.p
         ),
         sk AS (
+            -- sign test on the 1e-6-rounded projection, matching Spark's
+            -- stable_round before the sign bit (sum-order float safety)
             SELECT vec_id,
-                   CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << p)
+                   CAST(SUM(CASE WHEN FLOOR(s*1e6 + 0.5)/1e6 > 0
+                                 THEN (CAST(1 AS BIGINT) << p)
                                  ELSE 0 END) AS BIGINT) AS sketch
             FROM proj GROUP BY vec_id
         ),
@@ -633,16 +683,11 @@ def mm03_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.frame_sample_stub(d, payload_col="payload", id_col="doc_id", every_n_bytes=64)
 
 
-@query("mm02_image_feature_stub", tags="MM UDF", oracle=None)
-def mm02_image_feature_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mapInPandas fake-decode over binary payloads (Arrow batch contract of
-    a real image decoder); deterministic, pytest-pinned, rows-only here."""
-    from cnics_to_fhir_spark.operators import multimodal as mm
-
-    d = table(spark, sf_dir, "documents").select(
-        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
-    )
-    return mm.decode_image_stub(d, payload_col="payload", id_col="doc_id")
+# (The former mm02_image_feature_stub entry is retired: the real decode
+# lives in mm04/mm05, and the Arrow batch contract of the fake-decode
+# path stays pinned by tests/test_multimodal.py against
+# operators/multimodal.decode_image_stub directly — the catalog carries
+# no stub-labeled entries.)
 
 
 @query(

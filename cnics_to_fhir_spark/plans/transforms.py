@@ -156,25 +156,27 @@ def f05_dx_category_maps(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CASE WHEN o_orderkey % 2 = 0 THEN o_orderdate + INTERVAL 30 DAY ELSE NULL END AS end_date
             FROM orders
         )
-        SELECT CASE WHEN start_date IS NULL THEN 'unknown'
+        SELECT o_orderkey,
+               CASE WHEN start_date IS NULL THEN 'unknown'
                     WHEN end_date IS NOT NULL THEN 'stopped'
-                    ELSE 'active' END AS status,
-               COUNT(*) AS n
-        FROM src GROUP BY 1
+                    ELSE 'active' END AS status
+        FROM src
     """,
 )
 def f04_med_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F4 (cnics_to_fhir.py:41-46) via medications.med_status; null patterns
-    synthesized from order keys."""
+    synthesized from order keys.  Per-row output (15k rows at sf0.01), not
+    the 3-row branch summary: the hash compare pins the status of every
+    synthesized (start, end) null pattern individually."""
     o = table(spark, sf_dir, "orders")
     df = o.select(
+        "o_orderkey",
         F.when(F.col("o_orderkey") % 3 != 0, F.col("o_orderdate")).alias("start_date"),
         F.when(F.col("o_orderkey") % 2 == 0, F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("end_date"),
     )
-    return (
-        df.select(medications.med_status(F.col("start_date"), F.col("end_date")).alias("status"))
-        .groupBy("status")
-        .agg(F.count(F.lit(1)).alias("n"))
+    return df.select(
+        "o_orderkey",
+        medications.med_status(F.col("start_date"), F.col("end_date")).alias("status"),
     )
 
 

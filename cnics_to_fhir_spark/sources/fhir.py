@@ -96,6 +96,11 @@ def lastupdated_shards(boundaries: list[str]) -> list[str]:
     [2020, 2021) and [2021, 2022), plus open-ended head/tail shards so the
     union is exactly the full corpus regardless of data outside the range.
     """
+    if not boundaries:
+        raise ValueError(
+            "lastupdated_shards: boundaries must be non-empty "
+            "(a dynamically-built empty list would otherwise IndexError)"
+        )
     shards = [f"_lastUpdated=lt{boundaries[0]}"]
     for lo, hi in zip(boundaries, boundaries[1:]):
         shards.append(f"_lastUpdated=ge{lo}&_lastUpdated=lt{hi}")
@@ -117,6 +122,7 @@ def snapshot_via_http(
     headers: dict[str, str] | None = None,
     max_pages: int = 10_000,
     shards: list[str] | None = None,
+    trace_tasks: bool = False,
 ) -> DataFrame:
     """Partition-parallel paged GET → FHIR_SNAPSHOT. Requires ``requests``
     at runtime on executors; import is deferred so environments without it
@@ -151,11 +157,13 @@ def snapshot_via_http(
         session = requests.Session()
         if headers:
             session.headers.update(headers)
-        # trace which task fetched each chain (also lets the test suite
-        # prove shard-parallelism without guessing at server threads)
-        tc = TaskContext.get()
-        if tc is not None:
-            session.headers["X-Task-Partition"] = str(tc.partitionId())
+        # opt-in debug header tracing which task fetched each chain (the
+        # test suite uses it to prove shard-parallelism); OFF by default so
+        # production fetches send nothing nonstandard to real servers
+        if trace_tasks:
+            tc = TaskContext.get()
+            if tc is not None:
+                session.headers["X-Task-Partition"] = str(tc.partitionId())
         for pdf in batches:
             out = []
             for url in pdf["url"]:

@@ -19,6 +19,37 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, DataFrameReader, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import BinaryType
+
+
+def decode_binary_columns(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """MySQL dialect shim for the VARBINARY id asymmetry (SURVEY §1.2).
+
+    Against real MySQL, ``SitePatientId`` arrives as bytes in the patient
+    query (the reference calls ``.decode("utf-8")`` on it everywhere —
+    cnics_to_fhir.py:271, :354, :388) but as str in the labs query (:736
+    compares it directly).  Through Spark's JDBC reader that surfaces as
+    BinaryType vs StringType for the *same logical column*, and a pipeline
+    keyed on it would break (binary keys neither join nor render like
+    strings).
+
+    This shim UTF-8-decodes the named columns when — and only when — they
+    are BinaryType (default: every BinaryType column in the frame), so the
+    same downstream plan runs identically against either dialect shape.
+    Embedded-Derby integration tests can't produce the MySQL shape, so
+    tests/test_jdbc.py pins it with a BinaryType fixture instead."""
+    from cnics_to_fhir_spark.functions.text import decode_utf8
+
+    targets = (
+        columns
+        if columns is not None
+        else [f.name for f in df.schema.fields if isinstance(f.dataType, BinaryType)]
+    )
+    for c in targets:
+        if isinstance(df.schema[c].dataType, BinaryType):
+            df = df.withColumn(c, decode_utf8(F.col(c)))
+    return df
 
 
 @dataclass(frozen=True)

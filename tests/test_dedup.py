@@ -68,6 +68,37 @@ def test_embedding_near_dup_pairs(spark):
     assert (0, 3) not in got  # blocked away — documents the IVF trade
 
 
+def test_choose_refine_bits_integer_selection():
+    # smallest b with n <= target * cells * 2^b, clamped to max_bits
+    assert dedup.choose_refine_bits(2000, 10, 256, 8) == 0
+    assert dedup.choose_refine_bits(20000, 10, 256, 8) == 3
+    assert dedup.choose_refine_bits(10**12, 10, 256, 8) == 8  # clamp
+    assert dedup.choose_refine_bits(0, 0, 256, 8) == 0
+    # exact boundary is inclusive (n == target*cells → no refinement)
+    assert dedup.choose_refine_bits(2560, 10, 256, 8) == 0
+    assert dedup.choose_refine_bits(2561, 10, 256, 8) == 1
+
+
+def test_embedding_near_dup_auto_refine(spark):
+    # One coarse block of 6 vectors; target_cell_rows=2 forces a sign-bit
+    # split (bits>=2), so opposite-sign leading components land in
+    # different sub-cells and their pairs drop out — the documented trade.
+    rows = [
+        (0, [1.0, 1.0, 0.5], 1),
+        (1, [1.0, 1.0, 0.4], 1),     # same signs as 0 → same sub-cell
+        (2, [-1.0, 1.0, 0.5], 1),    # sign differs in component 1
+        (3, [-1.0, 1.0, 0.4], 1),
+        (4, [1.0, -1.0, 0.5], 1),
+        (5, [1.0, -1.0, 0.4], 1),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    unguarded = dedup.embedding_near_dup_pairs(df, threshold=-1.0, target_cell_rows=None)
+    assert unguarded.count() == 15  # all within-label pairs survive
+    guarded = dedup.embedding_near_dup_pairs(df, threshold=-1.0, target_cell_rows=2)
+    got = {(r["id_a"], r["id_b"]) for r in guarded.collect()}
+    assert got == {(0, 1), (2, 3), (4, 5)}  # only same-sign-pattern pairs
+
+
 def test_cosine_topk_exact(spark):
     rows = [
         (0, [1.0, 0.0, 0.0]),

@@ -35,7 +35,6 @@ def test_queries_oracle_consistency(spark):
         "dd03_minhash_lsh",
         "dd04_simhash_near_dup",
         "ann02_lsh_topk",
-        "mm02_image_feature_stub",
         "a10_approx_distinct",
         "a11_approx_percentiles",
         "a14_hll_rollup",

@@ -99,8 +99,10 @@ def test_sharded_fetch_matches_serial(spark, mock_fhir):
 
 
 def test_shards_fetch_on_separate_tasks(spark, mock_fhir):
+    # trace_tasks is the opt-in debug header; production default sends none
     sharded = snapshot_via_http(
-        spark, mock_fhir, "Condition", page_size=5, shards=["site=a", "site=b"]
+        spark, mock_fhir, "Condition", page_size=5, shards=["site=a", "site=b"],
+        trace_tasks=True,
     )
     # one mapInPandas partition per shard
     assert sharded.rdd.getNumPartitions() == 2
@@ -130,3 +132,5 @@ def test_shard_helpers():
         "_lastUpdated=ge2021-01-01",
     ]
     assert site_shards(["uw"], "urn:cnics") == ["identifier=urn:cnics%7Cuw*"]
+    with pytest.raises(ValueError, match="non-empty"):
+        lastupdated_shards([])

@@ -117,3 +117,56 @@ def test_limit_semantics(spark, source):
 def test_mysql_url_shape():
     s = JdbcSource(host="db.example.org", port=3306, database="cnics", user="etl")
     assert s.url == "jdbc:mysql://db.example.org:3306/cnics"
+
+
+def test_varbinary_dialect_shim_matches_string_path(spark):
+    """MySQL VARBINARY asymmetry (SURVEY §1.2): SitePatientId is bytes in
+    the patient query (cnics_to_fhir.py:271 .decode('utf-8')) but str in
+    labs (:736). decode_binary_columns must normalize the BinaryType shape
+    so the SAME patients_plan yields byte-identical resources either way."""
+    import json
+
+    from cnics_to_fhir_spark import pipelines
+    from cnics_to_fhir_spark.schemas import DEMOGRAPHIC, FHIR_SNAPSHOT, PRO
+    from cnics_to_fhir_spark.sources.jdbc import decode_binary_columns
+
+    page_str = spark.createDataFrame(
+        [(10, "sp-10", "UW"), (11, "sp-ü11", "UW")],  # non-ASCII byte path
+        "PatientId long, SitePatientId string, Site string",
+    )
+    # the MySQL shape: the same ids as VARBINARY → BinaryType
+    page_bin = spark.createDataFrame(
+        [
+            (10, "sp-10".encode("utf-8"), "UW"),
+            (11, "sp-ü11".encode("utf-8"), "UW"),
+        ],
+        "PatientId long, SitePatientId binary, Site string",
+    )
+    normalized = decode_binary_columns(page_bin)
+    assert dict(normalized.dtypes)["SitePatientId"] == "string"
+    # str columns pass through untouched (the labs-side shape)
+    assert decode_binary_columns(page_str).schema == page_str.schema
+
+    demo = spark.createDataFrame(
+        [(1, None, None, 10, None, None, "Male", "White", "Yes")], DEMOGRAPHIC
+    )
+    pro = spark.createDataFrame([("sess-1", 10)], PRO)
+    crosswalk = spark.createDataFrame(
+        [("sp-10", "H1", None)], "SitePatientId string, hmrn string, umrn string"
+    )
+    pro_ident = spark.createDataFrame(
+        [], "PatientId long, pro_patient_ids array<string>, pro_mrns array<string>"
+    )
+    existing = spark.createDataFrame([], FHIR_SNAPSHOT)
+
+    def run(page):
+        plan = pipelines.patients_plan(page, demo, pro, crosswalk, pro_ident, existing)
+        return {
+            r["key"]: json.loads(r["body_json"])
+            for r in plan.filter(F.col("action") != "delete").collect()
+        }
+
+    golden = run(page_str)
+    via_shim = run(normalized)
+    assert via_shim == golden
+    assert "sp-ü11" in via_shim  # multibyte UTF-8 survived the decode
