@@ -100,6 +100,12 @@ HEADLINE = [
     "a17_histogram",
     "a18_stat_aggregates",
     "w05_share_of_total",
+    # round-4 additions
+    "a04b_crosswalk_field_lww",
+    "dc01_decontaminate",
+    "dc02_pii_redaction",
+    "tx06_repetition_signals",
+    "ds07_hash_split",
     # Iterative ops (dd06, cl01, ann04) and the streaming-equivalence run
     # (st01 — micro-batch scheduling overhead, not data path) are
     # deliberately NOT headline: their wall time at toy SFs is driver-loop

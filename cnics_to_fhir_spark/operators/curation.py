@@ -1,0 +1,97 @@
+"""Corpus-curation operators a training-data pipeline runs before packing:
+benchmark decontamination and PII redaction.
+
+Scale design:
+
+- ``decontaminate``: benchmark suites are small (10³-10⁵ docs) next to a
+  100 TB corpus, so the benchmark's distinct k-gram set BROADCASTS and the
+  corpus side never shuffles — each corpus partition streams its exploded
+  grams through a broadcast-hash semi-probe, then one (doc_id)-keyed
+  aggregation counts hits. No corpus-×-benchmark shuffle exists in the
+  plan.  Gram choice k=8 words follows the common 8-13-gram collision
+  window used for benchmark decontamination; short docs fall back to a
+  whole-doc gram (same rule as dedup.word_shingles, so the DuckDB oracle
+  replays it).
+- ``pii_redact``: pure per-row regexp_replace/regexp_count — codegen'd,
+  no shuffle at all; patterns are RE2-safe so the same literal pattern
+  runs identically under Java regex (Spark) and RE2 (DuckDB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cnics_to_fhir_spark.operators.dedup import word_shingles
+
+# RE2- and Java-regex-compatible patterns (no lookbehind, no backrefs).
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_PATTERN = r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b"
+
+
+def _distinct_grams(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), k))).alias("gram"),
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """Benchmark-overlap detection: (doc_id, n_hits) for every corpus doc
+    sharing at least one k-word gram with a benchmark doc OTHER than
+    itself (benchmark rows that also sit in the corpus don't self-flag,
+    but their copies do — which is the point of decontamination).
+
+    ``n_hits`` = number of DISTINCT corpus-side grams found anywhere in
+    the benchmark; join ``drop_contaminated`` on it or threshold for a
+    softer policy."""
+    bench = _distinct_grams(benchmark, text_col, id_col, k).select(
+        F.col("id").alias("bench_id"), "gram"
+    )
+    corp = _distinct_grams(corpus, text_col, id_col, k)
+    return (
+        corp.join(F.broadcast(bench), on="gram")
+        .filter(F.col("id") != F.col("bench_id"))
+        .groupBy(F.col("id").alias(id_col))
+        .agg(F.count_distinct("gram").cast("long").alias("n_hits"))
+    )
+
+
+def drop_contaminated(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    hits = decontaminate(corpus, benchmark, text_col, id_col, k)
+    return corpus.join(hits.select(id_col), on=id_col, how="left_anti")
+
+
+def redact(col: Column, pattern: str, token: str) -> Column:
+    return F.regexp_replace(col, pattern, token)
+
+
+def pii_redact(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """→ (id, redacted, n_emails, n_phones): emails → <EMAIL>, NANP-style
+    phone numbers → <PHONE>, with per-doc match counts (count BEFORE
+    redaction, so the numbers describe the original text)."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        redact(redact(t, EMAIL_PATTERN, "<EMAIL>"), PHONE_PATTERN, "<PHONE>").alias(
+            "redacted"
+        ),
+        F.regexp_count(t, F.lit(EMAIL_PATTERN)).cast("long").alias("n_emails"),
+        F.regexp_count(t, F.lit(PHONE_PATTERN)).cast("long").alias("n_phones"),
+    )

@@ -279,3 +279,29 @@ def deterministic_shuffle(df: DataFrame, key_col: str, n_hex: int = 2) -> DataFr
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .drop("h")
     )
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    train_pct: int = 90,
+    val_pct: int = 5,
+) -> DataFrame:
+    """Deterministic train/val/test assignment: ``bucket`` = engine-portable
+    60-bit md5 hash of the key, mod 100; train < train_pct ≤ val <
+    train_pct+val_pct ≤ test. Pure per-row arithmetic — no shuffle, no
+    sampling state, stable across reruns/engines/partitionings, and any
+    future doc keeps landing in the same split (the property leakage-safe
+    eval demands). DuckDB mirror of the hash:
+    ``CAST(('0x' || substring(md5(CAST(k AS VARCHAR)), 1, 15)) AS UBIGINT)``."""
+    from cnics_to_fhir_spark.operators.dedup import portable_hash
+
+    bucket = portable_hash(F.col(key_col).cast("string")) % 100
+    return df.select(
+        F.col(key_col),
+        bucket.cast("long").alias("bucket"),
+        F.when(bucket < train_pct, "train")
+        .when(bucket < train_pct + val_pct, "val")
+        .otherwise("test")
+        .alias("split"),
+    )

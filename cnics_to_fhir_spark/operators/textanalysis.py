@@ -144,3 +144,52 @@ def heavy_hitters(df: DataFrame, k: int = 50, text_col: str = "text") -> DataFra
         .orderBy(F.col("freq").desc(), F.col("token"))
         .limit(k)
     )
+
+
+def repetition_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher/C4-style repetition filters per document:
+
+    - ``top_bigram_frac``: count of the most frequent word bigram over the
+      total bigram count (boilerplate/templating detector);
+    - ``dup_token_ratio``: 1 − distinct/total tokens (stutter detector);
+    - ``repetitive``: top_bigram_frac (rounded, so both engines compare
+      the same grid value) > 0.2 — the Gopher-family rejection rule.
+
+    Plan shape: explode bigrams → count per (doc, gram) → max/sum per doc.
+    Two shuffles, both keyed by (doc, gram)/(doc) — partial aggregation
+    map-side, no skew beyond the document length distribution; the token
+    ratios ride the same row, no extra pass.  Bigrams come from
+    ``dedup.word_shingles`` (whole-doc fallback for 1-token docs), so the
+    DuckDB oracle replays the construction exactly."""
+    from cnics_to_fhir_spark.operators.dedup import word_shingles
+
+    t = F.col(text_col)
+    bigrams = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(t, 2)).alias("gram"),
+    )
+    per_doc = (
+        bigrams.groupBy("id", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("id")
+        .agg(F.max("c").alias("top"), F.sum("c").alias("m"))
+    )
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        token_count(t).alias("n"),
+        distinct_token_count(t).alias("nd"),
+    )
+    frac = stable_round(F.col("top").cast("double") / F.col("m"), 6)
+    return (
+        toks.join(per_doc, on="id")
+        .select(
+            F.col("id").alias(id_col),
+            frac.alias("top_bigram_frac"),
+            stable_round(
+                F.lit(1.0) - F.col("nd").cast("double") / F.col("n"), 6
+            ).alias("dup_token_ratio"),
+            (frac > 0.2).alias("repetitive"),
+        )
+    )

@@ -75,18 +75,14 @@ _PRIORITY: tuple[str, ...] = (
     "f11_lab_value_typing",
     "f12_unit_default_refrange",
     "f14_string_cleanup",
-    "f17_date_format",
-    "f20_json_roundtrip",
     # §2.2-2.7 relational core
     "p04_nullsafe_inequality",
     "p06_in_list_and_like",
     "p08_guard_quirk",
     "j01_inner_join_agg",
-    "j02_join_distinct",
     "j03_decorrelated_page",
     "j05_anti_join",
     "j06_merge_actions",
-    "j07_semi_join",
     "j08_broadcast_membership",
     "a01_distinct",
     "a02_collect_set",
@@ -118,12 +114,20 @@ _PRIORITY: tuple[str, ...] = (
     "dd03b_minhash_lsh_portable",
     "mm04_real_png_decode",
     "e2e06_entity_resolution",
-    # round-4 flagships: the crosswalk per-field LWW fix (a04b) and the
-    # streaming↔batch MERGE equivalence run (st01). Rotated out to make
-    # room, still selfcheck-verified every round: j06b (dup-key variant of
-    # the prefix-resident j06) and dd06 (iterative components; its
-    # recursive-CTE oracle runs in selfcheck).
+    # round-4 flagships: the crosswalk per-field LWW fix (a04b), the
+    # streaming↔batch MERGE equivalence run (st01), and the curation
+    # family (benchmark decontamination, PII redaction, repetition
+    # filters, hash splits). Rotated out to make room, all still
+    # selfcheck-verified every round at three SFs: j06b (dup-key variant
+    # of prefix-resident j06), dd06 (iterative components,
+    # recursive-CTE-oracled), j02/j07 (variants of prefix-resident
+    # j01/j06), f17 (also driven through b01 + the e2e pipelines), and
+    # f20 (also driven through b01 and f24's path extraction).
     "st01_stream_batch_equivalence",
+    "dc01_decontaminate",
+    "dc02_pii_redaction",
+    "tx06_repetition_signals",
+    "ds07_hash_split",
 )
 
 

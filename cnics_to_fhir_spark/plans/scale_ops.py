@@ -1934,3 +1934,191 @@ def f24_props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("k_max"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 curation family: decontamination, PII redaction, repetition
+# filters, deterministic splits — the remaining pre-training stages a
+# 100 TB curation pipeline runs between dedup and packing.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dc01_decontaminate",
+    tags="DC J8 A5",
+    oracle="""
+        WITH corpus AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        bench AS (
+            -- benchmark suite = 40-token excerpts of every 50th doc
+            -- (benchmark items are excerpted from web text — the classic
+            -- leak shape), re-keyed far above the corpus id range
+            SELECT doc_id + 1000000 AS doc_id,
+                   (string_split(text, ' '))[1:40] AS t
+            FROM documents WHERE doc_id % 50 = 0
+        ),
+        g AS (
+            SELECT doc_id,
+                   UNNEST(list_distinct(
+                       CASE WHEN len(t) >= 8
+                            THEN list_transform(range(1, len(t) - 6),
+                                                i -> array_to_string(t[i:i+7], ' '))
+                            ELSE [array_to_string(t, ' ')]
+                       END)) AS gram
+            FROM corpus
+        ),
+        bg AS (
+            SELECT doc_id AS bench_id,
+                   UNNEST(list_distinct(
+                       CASE WHEN len(t) >= 8
+                            THEN list_transform(range(1, len(t) - 6),
+                                                i -> array_to_string(t[i:i+7], ' '))
+                            ELSE [array_to_string(t, ' ')]
+                       END)) AS gram
+            FROM bench
+        )
+        SELECT c.doc_id, CAST(COUNT(DISTINCT c.gram) AS BIGINT) AS n_hits
+        FROM g c JOIN (SELECT DISTINCT gram FROM bg) b ON c.gram = b.gram
+        GROUP BY c.doc_id
+    """,
+)
+def dc01_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag every corpus doc sharing an 8-word
+    gram with the benchmark suite. Fixture: the benchmark is built from
+    40-token EXCERPTS of every 50th doc (re-keyed outside the corpus id
+    range) — benchmark items excerpted from crawled text is exactly how
+    test-set leakage happens, so the excerpted sources (and any of their
+    duplicates) must come back flagged with n_hits = their shared-gram
+    count. Benchmark grams broadcast; the corpus side never shuffles
+    (operators/curation.decontaminate)."""
+    from cnics_to_fhir_spark.operators import curation
+
+    docs = table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.array_join(F.slice(F.split(F.col("text"), " "), 1, 40), " ").alias("text"),
+    )
+    return curation.decontaminate(docs, bench, k=8)
+
+
+@query(
+    "dc02_pii_redaction",
+    tags="DC F14 F22",
+    oracle="""
+        WITH marked AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 0
+                        THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                             || '@example.com'
+                        WHEN doc_id % 3 = 1
+                        THEN text || ' call 206-555-'
+                             || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                        ELSE text END AS text
+            FROM documents
+        )
+        SELECT doc_id,
+               regexp_replace(
+                   regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                   '\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b', '<PHONE>', 'g') AS redacted,
+               CAST(len(regexp_extract_all(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+                   AS n_emails,
+               CAST(len(regexp_extract_all(text,
+                   '\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b')) AS BIGINT) AS n_phones
+        FROM marked
+    """,
+)
+def dc02_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over a corpus with synthesized PII (emails / NANP
+    phones planted by doc_id residue, since the testdata corpus carries
+    none): emails → <EMAIL>, phones → <PHONE>, plus pre-redaction match
+    counts. Pure codegen'd regexp_replace/regexp_count — no shuffle; the
+    patterns are RE2-and-Java-compatible so DuckDB replays them verbatim."""
+    from cnics_to_fhir_spark.operators import curation
+
+    did = F.col("doc_id")
+    marked = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                did.cast("string"),
+                F.lit("@example.com"),
+            ),
+        )
+        .when(
+            did % 3 == 1,
+            F.concat(
+                F.col("text"),
+                F.lit(" call 206-555-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return curation.pii_redact(marked)
+
+
+@query(
+    "tx06_repetition_signals",
+    tags="TX A5 F22",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        bg AS (
+            SELECT doc_id,
+                   UNNEST(CASE WHEN len(t) >= 2
+                               THEN list_transform(range(1, len(t)),
+                                                   i -> array_to_string(t[i:i+1], ' '))
+                               ELSE [array_to_string(t, ' ')]
+                          END) AS gram
+            FROM toks
+        ),
+        cnt AS (SELECT doc_id, gram, COUNT(*) AS c FROM bg GROUP BY doc_id, gram),
+        agg AS (SELECT doc_id, MAX(c) AS top, SUM(c) AS m FROM cnt GROUP BY doc_id),
+        d AS (SELECT doc_id, len(t) AS n, len(list_distinct(t)) AS nd FROM toks)
+        SELECT d.doc_id,
+               FLOOR((CAST(top AS DOUBLE)/m)*1e6 + 0.5)/1e6 AS top_bigram_frac,
+               FLOOR((1.0 - CAST(nd AS DOUBLE)/n)*1e6 + 0.5)/1e6 AS dup_token_ratio,
+               FLOOR((CAST(top AS DOUBLE)/m)*1e6 + 0.5)/1e6 > 0.2 AS repetitive
+        FROM d JOIN agg USING (doc_id)
+    """,
+)
+def tx06_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style repetition filters: top-bigram fraction + duplicate
+    token ratio per doc, with the >0.2 rejection flag computed on the
+    rounded grid so both engines take the same branch at the boundary."""
+    return textanalysis.repetition_signals(table(spark, sf_dir, "documents"))
+
+
+@query(
+    "ds07_hash_split",
+    tags="DS O3",
+    oracle="""
+        WITH b AS (
+            SELECT doc_id,
+                   CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                             AS UBIGINT) % 100 AS BIGINT) AS bucket
+            FROM documents
+        )
+        SELECT doc_id, bucket,
+               CASE WHEN bucket < 90 THEN 'train'
+                    WHEN bucket < 95 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM b
+    """,
+)
+def ds07_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test split on the engine-portable
+    md5 hash — per-row arithmetic, zero shuffle, rerun/engine/partition
+    stable, new docs keep landing in the same split (leakage-safe eval)."""
+    from cnics_to_fhir_spark.operators.dataset import hash_split
+
+    return hash_split(table(spark, sf_dir, "documents"))

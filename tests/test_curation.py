@@ -1,0 +1,85 @@
+"""Curation-operator semantics on hand-checkable fixtures: benchmark
+decontamination, PII redaction, repetition filters, hash splits."""
+
+from __future__ import annotations
+
+from cnics_to_fhir_spark.operators import curation, dataset, textanalysis
+
+
+def test_decontaminate_flags_sources_and_copies(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "one two three four five six seven eight nine ten"),
+            (2, "one two three four five six seven eight nine ten"),  # dup of 1
+            (3, "alpha beta gamma delta epsilon zeta eta theta iota"),
+        ],
+        "doc_id long, text string",
+    )
+    # benchmark question excerpted from doc 1's first 8 words
+    bench = spark.createDataFrame(
+        [(900, "one two three four five six seven eight")],
+        "doc_id long, text string",
+    )
+    hits = {r["doc_id"]: r["n_hits"] for r in curation.decontaminate(corpus, bench, k=8).collect()}
+    assert hits == {1: 1, 2: 1}  # the excerpt's single 8-gram hits both copies
+    kept = sorted(r["doc_id"] for r in curation.drop_contaminated(corpus, bench, k=8).collect())
+    assert kept == [3]
+
+
+def test_decontaminate_no_self_flag(spark):
+    # a benchmark row sharing the corpus id must not flag itself
+    doc = [(7, "one two three four five six seven eight nine")]
+    corpus = spark.createDataFrame(doc, "doc_id long, text string")
+    bench = spark.createDataFrame(doc, "doc_id long, text string")
+    assert curation.decontaminate(corpus, bench, k=8).count() == 0
+
+
+def test_pii_redact(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail a@b.io and c.d+x@e-f.org or call 206-555-0199 now"),
+            (2, "clean text with no pii at all"),
+            (3, "not a phone 12-345-6789 and not an email a@b"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in curation.pii_redact(df).collect()}
+    assert rows[1]["redacted"] == "mail <EMAIL> and <EMAIL> or call <PHONE> now"
+    assert rows[1]["n_emails"] == 2 and rows[1]["n_phones"] == 1
+    assert rows[2]["redacted"] == "clean text with no pii at all"
+    assert rows[2]["n_emails"] == 0 and rows[2]["n_phones"] == 0
+    # word-boundary + shape guards: 2-3-4 digit groups only, tld required
+    assert rows[3]["n_phones"] == 0 and rows[3]["n_emails"] == 0
+
+
+def test_repetition_signals(spark):
+    df = spark.createDataFrame(
+        [(1, "a a a a b"), (2, "a b c d e f")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in textanalysis.repetition_signals(df).collect()}
+    # bigrams of doc 1: "a a" x3, "a b" x1 -> top 3/4
+    assert abs(rows[1]["top_bigram_frac"] - 0.75) < 1e-9
+    assert abs(rows[1]["dup_token_ratio"] - 0.6) < 1e-9  # 1 - 2/5
+    assert rows[1]["repetitive"] is True
+    # doc 2: all 5 bigrams unique -> 1/5 = 0.2, NOT > 0.2 -> clean
+    assert abs(rows[2]["top_bigram_frac"] - 0.2) < 1e-9
+    assert rows[2]["dup_token_ratio"] == 0.0
+    assert rows[2]["repetitive"] is False
+
+
+def test_hash_split_deterministic_and_proportioned(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = dataset.hash_split(docs).collect()
+    b = dataset.hash_split(docs).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # rerun-stable
+    splits = [r["split"] for r in a]
+    n = len(splits)
+    assert all(0 <= r["bucket"] < 100 for r in a)
+    # 90/5/5 within rough binomial tolerance at n=500
+    assert 0.8 < splits.count("train") / n < 0.97
+    assert splits.count("val") / n < 0.12 and splits.count("test") / n < 0.12
+    # membership is a pure function of the key: spot-check against the op
+    one = dataset.hash_split(docs.limit(50)).collect()
+    full = {r["doc_id"]: r["split"] for r in a}
+    assert all(full[r["doc_id"]] == r["split"] for r in one)
