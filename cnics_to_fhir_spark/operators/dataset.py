@@ -292,13 +292,13 @@ def hash_split(
     train_pct+val_pct ≤ test. Pure per-row arithmetic — no shuffle, no
     sampling state, stable across reruns/engines/partitionings, and any
     future doc keeps landing in the same split (the property leakage-safe
-    eval demands). DuckDB mirror of the hash:
+    eval demands). Input columns pass through; ``bucket``/``split`` append. DuckDB mirror of the hash:
     ``CAST(('0x' || substring(md5(CAST(k AS VARCHAR)), 1, 15)) AS UBIGINT)``."""
     from cnics_to_fhir_spark.operators.dedup import portable_hash
 
     bucket = portable_hash(F.col(key_col).cast("string")) % 100
     return df.select(
-        F.col(key_col),
+        "*",
         bucket.cast("long").alias("bucket"),
         F.when(bucket < train_pct, "train")
         .when(bucket < train_pct + val_pct, "val")

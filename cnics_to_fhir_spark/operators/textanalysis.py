@@ -186,6 +186,7 @@ def repetition_signals(
         toks.join(per_doc, on="id")
         .select(
             F.col("id").alias(id_col),
+            F.col("n").alias("n_tokens"),
             frac.alias("top_bigram_frac"),
             stable_round(
                 F.lit(1.0) - F.col("nd").cast("double") / F.col("n"), 6

@@ -546,3 +546,152 @@ def e2e01_conditions_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipelines.conditions_plan(
         dx, page, snapshot, std, name_filter_sql=_NAME_FILTER_SQL
     )
+
+
+# ---------------------------------------------------------------------------
+# e2e07 — curation v2: the round-4 curation stages composed into ONE DAG.
+# PII redaction → benchmark decontamination (drop) → repetition gate →
+# deterministic hash split → per-split sequence packing.  Shuffle budget:
+# the bigram count (doc,gram) aggregation + its doc-keyed join, and the
+# per-split packing window; decontamination is a broadcast anti-join, the
+# redaction/split stages are scan-fused per-row arithmetic.  The oracle
+# replays all five stages in one SQL statement.
+# ---------------------------------------------------------------------------
+_EMAIL_SQL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PHONE_SQL = "\\\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\\\b"
+
+
+@query(
+    "e2e07_curation_v2",
+    tags="E2E DC TX DS F22 J8 W",
+    oracle=f"""
+        WITH red AS (
+            SELECT doc_id,
+                   regexp_replace(
+                       regexp_replace(text, '{_EMAIL_SQL}', '<EMAIL>', 'g'),
+                       '{_PHONE_SQL}', '<PHONE>', 'g') AS text
+            FROM documents
+        ),
+        toksb AS (SELECT doc_id, string_split(text, ' ') AS t FROM red),
+        g AS (
+            SELECT doc_id,
+                   UNNEST(list_distinct(
+                       CASE WHEN len(t) >= 8
+                            THEN list_transform(range(1, len(t) - 6),
+                                                i -> array_to_string(t[i:i+7], ' '))
+                            ELSE [array_to_string(t, ' ')]
+                       END)) AS gram
+            FROM toksb
+        ),
+        bench AS (
+            SELECT doc_id + 1000000 AS doc_id, t[1:40] AS t
+            FROM toksb WHERE doc_id % 50 = 0
+        ),
+        bg AS (
+            SELECT DISTINCT UNNEST(list_distinct(
+                       CASE WHEN len(t) >= 8
+                            THEN list_transform(range(1, len(t) - 6),
+                                                i -> array_to_string(t[i:i+7], ' '))
+                            ELSE [array_to_string(t, ' ')]
+                       END)) AS gram
+            FROM bench
+        ),
+        contaminated AS (
+            SELECT DISTINCT c.doc_id FROM g c JOIN bg ON c.gram = bg.gram
+        ),
+        decont AS (
+            SELECT * FROM toksb
+            WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+        ),
+        bgrams AS (
+            SELECT doc_id,
+                   UNNEST(CASE WHEN len(t) >= 2
+                               THEN list_transform(range(1, len(t)),
+                                                   i -> array_to_string(t[i:i+1], ' '))
+                               ELSE [array_to_string(t, ' ')]
+                          END) AS gram
+            FROM decont
+        ),
+        cnt AS (SELECT doc_id, gram, COUNT(*) AS c FROM bgrams GROUP BY doc_id, gram),
+        agg AS (SELECT doc_id, MAX(c) AS top, SUM(c) AS m FROM cnt GROUP BY doc_id),
+        sigs AS (
+            SELECT d.doc_id,
+                   CAST(len(d.t) AS BIGINT) AS tok,
+                   FLOOR((CAST(top AS DOUBLE)/m)*1e6 + 0.5)/1e6 AS top_bigram_frac,
+                   FLOOR((1.0 - CAST(len(list_distinct(d.t)) AS DOUBLE)/len(d.t))*1e6 + 0.5)/1e6
+                       AS dup_token_ratio
+            FROM decont d JOIN agg USING (doc_id)
+        ),
+        kept AS (
+            SELECT * FROM sigs
+            WHERE dup_token_ratio <= 0.6 AND top_bigram_frac <= 0.2
+        ),
+        sp AS (
+            SELECT *,
+                   CASE WHEN CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                                  AS UBIGINT) % 100 AS BIGINT) < 90 THEN 'train'
+                        WHEN CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                                  AS UBIGINT) % 100 AS BIGINT) < 95 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM kept
+        ),
+        packed AS (
+            SELECT split, doc_id, tok, top_bigram_frac, dup_token_ratio,
+                   CAST(COALESCE(SUM(tok) OVER (
+                       PARTITION BY split ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS BIGINT) AS prec
+            FROM sp
+        )
+        SELECT split, doc_id, tok, top_bigram_frac, dup_token_ratio,
+               prec // 512 AS bin_id, prec % 512 AS bin_offset
+        FROM packed
+    """,
+)
+def e2e07_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation v2 vertical: redact → decontaminate → repetition-gate →
+    split → pack, all through the production operators in one DAG. The
+    repetition gate (dup_token_ratio ≤ 0.6, top_bigram_frac ≤ 0.2 on the
+    rounded grid) cuts ~35% of this corpus; decontamination drops the
+    benchmark-excerpt sources; packing is a per-split running-token-sum
+    window (budget 512), so bins never cross split boundaries — the
+    leakage-safe packing rule."""
+    from pyspark.sql.window import Window
+
+    from cnics_to_fhir_spark.operators import curation, textanalysis
+    from cnics_to_fhir_spark.operators.dataset import hash_split
+
+    docs = table(spark, sf_dir, "documents")
+    clean = curation.pii_redact(docs).select("doc_id", F.col("redacted").alias("text"))
+    bench = clean.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.array_join(F.slice(F.split(F.col("text"), " "), 1, 40), " ").alias("text"),
+    )
+    decont = curation.drop_contaminated(clean, bench, k=8)
+    sigs = textanalysis.repetition_signals(decont)
+    kept = sigs.filter(
+        (F.col("dup_token_ratio") <= 0.6) & (F.col("top_bigram_frac") <= 0.2)
+    ).select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("tok"),
+        "top_bigram_frac",
+        "dup_token_ratio",
+    )
+    sp = hash_split(kept).drop("bucket")
+    w = (
+        Window.partitionBy("split")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prec = F.coalesce(F.sum("tok").over(w), F.lit(0)).cast("long")
+    return sp.select(
+        "split",
+        "doc_id",
+        "tok",
+        "top_bigram_frac",
+        "dup_token_ratio",
+        # 512 = 2^9: shift/mask keep the bin math in exact integer space
+        # at any corpus size (a double division would wobble past 2^53)
+        F.shiftright(prec, 9).alias("bin_id"),
+        prec.bitwiseAND(F.lit(511)).alias("bin_offset"),
+    )

@@ -95,7 +95,6 @@ _PRIORITY: tuple[str, ...] = (
     "o03_deterministic_sample",
     "w01_topn_per_group",
     "w02_running_spend",
-    "u01_union_by_name",
     "b01_resource_assembly",
     # flagship scale extensions
     "aj01_asof_join",
@@ -117,17 +116,20 @@ _PRIORITY: tuple[str, ...] = (
     # round-4 flagships: the crosswalk per-field LWW fix (a04b), the
     # streaming↔batch MERGE equivalence run (st01), and the curation
     # family (benchmark decontamination, PII redaction, repetition
-    # filters, hash splits). Rotated out to make room, all still
-    # selfcheck-verified every round at three SFs: j06b (dup-key variant
-    # of prefix-resident j06), dd06 (iterative components,
-    # recursive-CTE-oracled), j02/j07 (variants of prefix-resident
-    # j01/j06), f17 (also driven through b01 + the e2e pipelines), and
-    # f20 (also driven through b01 and f24's path extraction).
+    # filters, hash splits, and their composed e2e07 vertical). Rotated
+    # out to make room, all still selfcheck-verified every round at three
+    # SFs: j06b (dup-key variant of prefix-resident j06), dd06 (iterative
+    # components, recursive-CTE-oracled), j02/j07 (variants of
+    # prefix-resident j01/j06), f17 (also driven through b01 + the e2e
+    # pipelines), f20 (also driven through b01 and f24's path
+    # extraction), and u01 (unionByName, also pinned by tests/test_job.py
+    # and exercised by u02).
     "st01_stream_batch_equivalence",
     "dc01_decontaminate",
     "dc02_pii_redaction",
     "tx06_repetition_signals",
     "ds07_hash_split",
+    "e2e07_curation_v2",
 )
 
 

@@ -2085,6 +2085,7 @@ def dc02_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg AS (SELECT doc_id, MAX(c) AS top, SUM(c) AS m FROM cnt GROUP BY doc_id),
         d AS (SELECT doc_id, len(t) AS n, len(list_distinct(t)) AS nd FROM toks)
         SELECT d.doc_id,
+               CAST(d.n AS BIGINT) AS n_tokens,
                FLOOR((CAST(top AS DOUBLE)/m)*1e6 + 0.5)/1e6 AS top_bigram_frac,
                FLOOR((1.0 - CAST(nd AS DOUBLE)/n)*1e6 + 0.5)/1e6 AS dup_token_ratio,
                FLOOR((CAST(top AS DOUBLE)/m)*1e6 + 0.5)/1e6 > 0.2 AS repetitive
@@ -2121,4 +2122,4 @@ def ds07_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     stable, new docs keep landing in the same split (leakage-safe eval)."""
     from cnics_to_fhir_spark.operators.dataset import hash_split
 
-    return hash_split(table(spark, sf_dir, "documents"))
+    return hash_split(table(spark, sf_dir, "documents").select("doc_id"))
