@@ -74,6 +74,74 @@ def drop_contaminated(
     return corpus.join(hits.select(id_col), on=id_col, how="left_anti")
 
 
+def doc_chunks(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 8) -> DataFrame:
+    """→ (doc_id, pos, chunk): NON-overlapping k-word chunks with their
+    position — the 'line' analog for newline-free corpora (C4/RefinedWeb
+    dedup lines; this corpus has no newlines, so fixed k-word windows play
+    that role). A doc shorter than k words is one whole-doc chunk."""
+    toks = F.split(F.col(text_col), " ")
+    n_chunks = F.greatest(F.ceil(F.size(toks) / F.lit(k)).cast("int"), F.lit(1))
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(toks, i * k + 1, k), " "),
+    )
+    return df.select(
+        F.col(id_col), F.posexplode(chunks).alias("pos", "chunk")
+    )
+
+
+def remove_boilerplate_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_docs: int = 3,
+) -> DataFrame:
+    """Sub-document exact dedup (boilerplate removal): drop every k-word
+    chunk that occurs in ≥ ``min_docs`` DISTINCT documents, then reassemble
+    each document from its surviving chunks in position order. → (doc_id,
+    clean_text, n_chunks, n_removed); a fully-boilerplate doc comes back
+    with clean_text = ''.
+
+    Scale shape (100 TB): the boilerplate set is corpus-sized in the worst
+    case, so it is NEVER broadcast or collected — the plan is three keyed
+    shuffles, each with map-side partial aggregation: (chunk)-keyed count
+    of distinct docs, a (chunk)-keyed join marking hot chunks (AQE handles
+    the Zipf skew on popular boilerplate via skew-join splitting), and a
+    (doc)-keyed reassembly.  Reassembly sorts WITHIN one row's collected
+    array (array_sort over (pos, chunk) structs) — never a window over the
+    corpus."""
+    chunks = doc_chunks(df, text_col, id_col, k)
+    hot = (
+        chunks.groupBy("chunk")
+        .agg(F.count_distinct(F.col(id_col)).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("chunk", F.lit(True).alias("is_boiler"))
+    )
+    marked = chunks.join(hot, on="chunk", how="left")
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum(F.when(F.col("is_boiler"), 1).otherwise(0)).cast("long").alias("n_removed"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("is_boiler").isNull(),
+                                F.struct(F.col("pos"), F.col("chunk")),
+                            )
+                        )
+                    ),
+                    lambda s: s.chunk,
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+    )
+
+
 def redact(col: Column, pattern: str, token: str) -> Column:
     return F.regexp_replace(col, pattern, token)
 

@@ -305,3 +305,44 @@ def hash_split(
         .otherwise("test")
         .alias("split"),
     )
+
+
+def epoch_upsample(
+    df: DataFrame,
+    weights: dict[str, int],
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    default_weight: int = 100,
+) -> DataFrame:
+    """Source-weighted mixture with epochs: replicate each document
+    ``weight/100`` times (weights are integer HUNDREDTHS — 250 ⇒ 2.5
+    epochs), the standard upsampling step when a mixture recipe weights a
+    small high-quality source above 1.0 epoch (and downsamples others
+    below it).
+
+    The fractional epoch is decided per row by the engine-portable 60-bit
+    md5 hash: ``n = w div 100 + (hash(key) mod 100 < w mod 100)``, so the
+    whole operator is exact integer arithmetic — deterministic across
+    reruns, partitionings, and engines, and any given doc always gets the
+    same epoch count.  Rows explode over ``sequence(1, n)``; a weight
+    below 100 can drop a row entirely (n = 0 ⇒ no output), which makes
+    this the one mixture op covering both up- AND down-sampling.
+
+    Scale shape: pure per-row scan arithmetic + explode — NO shuffle, no
+    collected state; the weights map is a literal CASE in the plan.
+    Output: input columns + (n_epochs, epoch), one row per (doc, epoch).
+    """
+    w = F.lit(default_weight)
+    for src, wt in weights.items():
+        w = F.when(F.col(source_col) == src, F.lit(int(wt))).otherwise(w)
+    from cnics_to_fhir_spark.operators.dedup import portable_hash
+
+    frac_hit = (portable_hash(F.col(key_col).cast("string")) % 100) < (w % 100)
+    n = (w.cast("long") / F.lit(100)).cast("long") + frac_hit.cast("long")
+    return (
+        df.select("*", n.alias("n_epochs"))
+        .filter(F.col("n_epochs") > 0)
+        .select(
+            "*", F.explode(F.sequence(F.lit(1).cast("long"), F.col("n_epochs"))).alias("epoch")
+        )
+    )

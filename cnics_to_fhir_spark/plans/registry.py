@@ -71,7 +71,6 @@ _PRIORITY: tuple[str, ...] = (
     "f01_dx_coding_dispatch",
     "f04_med_status",
     "f05_dx_category_maps",
-    "f08_demographic_maps",
     "f11_lab_value_typing",
     "f12_unit_default_refrange",
     "f14_string_cleanup",
@@ -84,14 +83,12 @@ _PRIORITY: tuple[str, ...] = (
     "j05_anti_join",
     "j06_merge_actions",
     "j08_broadcast_membership",
-    "a01_distinct",
     "a02_collect_set",
     "a03_first_row_per_group",
     "a04_last_write_wins",
     "a04b_crosswalk_field_lww",
     "a05_group_counts",
     "a06_uniqueness_guard",
-    "o02_order_limit",
     "o03_deterministic_sample",
     "w01_topn_per_group",
     "w02_running_spend",
@@ -130,6 +127,16 @@ _PRIORITY: tuple[str, ...] = (
     "tx06_repetition_signals",
     "ds07_hash_split",
     "e2e07_curation_v2",
+    # round-4 continuation: sub-document boilerplate dedup (dd08), the
+    # mixture-epochs op (ds08), and the streaming windowed-agg
+    # equivalence run (st02).  Rotated out to stay at 50 — each remains
+    # selfcheck-verified at three SFs every round and exercised through
+    # siblings: a01 (distinct, also inside j02/e2e04), f08 (map lookup
+    # shape shared with prefix-resident f05), o02 (order+limit, same
+    # shape as prefix-resident w01 top-n and the q-suite orderings).
+    "dd08_boilerplate_removal",
+    "ds08_epoch_mixture",
+    "st02_stream_window_equivalence",
 )
 
 

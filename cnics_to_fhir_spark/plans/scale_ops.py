@@ -2020,11 +2020,11 @@ def dc01_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id,
                regexp_replace(
                    regexp_replace(text,
-                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
                        '<EMAIL>', 'g'),
                    '\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b', '<PHONE>', 'g') AS redacted,
                CAST(len(regexp_extract_all(text,
-                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
                    AS n_emails,
                CAST(len(regexp_extract_all(text,
                    '\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b')) AS BIGINT) AS n_phones
@@ -2123,3 +2123,85 @@ def ds07_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cnics_to_fhir_spark.operators.dataset import hash_split
 
     return hash_split(table(spark, sf_dir, "documents").select("doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# dd08 — sub-document exact dedup (boilerplate chunk removal)
+# ---------------------------------------------------------------------------
+@query(
+    "dd08_boilerplate_removal",
+    tags="DD DC TX F22",
+    oracle="""
+        WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        ch AS (
+            SELECT doc_id, i AS pos,
+                   array_to_string(t[(i*8+1):(i*8+8)], ' ') AS chunk
+            FROM toks, UNNEST(range(0, GREATEST(CAST(ceil(len(t)/8.0) AS BIGINT), 1))) AS u(i)
+        ),
+        hot AS (SELECT chunk FROM ch GROUP BY chunk HAVING COUNT(DISTINCT doc_id) >= 3),
+        marked AS (
+            SELECT c.*, h.chunk IS NOT NULL AS is_b
+            FROM ch c LEFT JOIN hot h USING (chunk)
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_chunks,
+               CAST(SUM(CASE WHEN is_b THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+               COALESCE(string_agg(CASE WHEN NOT is_b THEN chunk END, ' ' ORDER BY pos), '')
+                   AS clean_text
+        FROM marked GROUP BY doc_id
+    """,
+)
+def dd08_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb-style sub-document dedup: drop every 8-word chunk
+    occurring in ≥3 distinct docs (the 'line' analog for a newline-free
+    corpus), reassemble surviving chunks in position order.  Three keyed
+    shuffles (chunk-count, chunk-join, doc-reassembly), map-side partial
+    agg on each; the hot-chunk set is corpus-sized in the worst case so it
+    is never broadcast/collected — AQE skew-split handles Zipf-hot chunks.
+    Reassembly is array_sort WITHIN a row, never a corpus window."""
+    from cnics_to_fhir_spark.operators.curation import remove_boilerplate_chunks
+
+    return remove_boilerplate_chunks(table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# ds08 — source-weighted mixture epochs (up/down-sampling)
+# ---------------------------------------------------------------------------
+@query(
+    "ds08_epoch_mixture",
+    tags="DS O3",
+    oracle="""
+        WITH w AS (
+            SELECT doc_id, source,
+                   CASE WHEN source IN ('src0','src1','src2') THEN 250
+                        WHEN source IN ('src3','src4') THEN 130
+                        WHEN source = 'src5' THEN 40
+                        ELSE 100 END AS wt,
+                   CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                             AS UBIGINT) % 100 AS BIGINT) AS h
+            FROM documents
+        ),
+        n AS (
+            SELECT doc_id, source,
+                   CAST(wt // 100 + CASE WHEN h < wt % 100 THEN 1 ELSE 0 END AS BIGINT)
+                       AS n_epochs
+            FROM w
+        )
+        SELECT doc_id, source, n_epochs, CAST(e AS BIGINT) AS epoch
+        FROM n, UNNEST(range(1, n_epochs + 1)) AS u(e)
+        WHERE n_epochs > 0
+    """,
+)
+def ds08_epoch_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture recipe as epochs: src0-2 at 2.5 epochs, src3-4 at 1.3,
+    src5 downsampled to 0.4, rest 1.0 — fractional epochs decided per doc
+    by the portable 60-bit hash so the operator is exact integer
+    arithmetic end to end.  Pure scan expression + explode: NO shuffle,
+    no state; the recipe is a literal CASE in the plan."""
+    from cnics_to_fhir_spark.operators.dataset import epoch_upsample
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source")
+    return epoch_upsample(
+        docs,
+        {"src0": 250, "src1": 250, "src2": 250, "src3": 130, "src4": 130, "src5": 40},
+    )

@@ -93,3 +93,85 @@ def st01_stream_batch_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return spark.createDataFrame(rows, "key long, action string, id string, body string")
+
+
+@query(
+    "st02_stream_window_equivalence",
+    tags="2.10 EV1 STREAM",
+    oracle="""
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+               event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(SUM(value), 2) AS total_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+)
+def st02_stream_window_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the watermarked tumbling-window aggregation
+    (streaming/windows.py) as a REAL 4-micro-batch Structured Streaming
+    job and pin its append-mode output against the batch GROUP BY the
+    oracle computes.
+
+    Append mode only emits a window once the event-time watermark passes
+    its end, so the stream carries one far-future sentinel row in the
+    last-sorted file to flush every real window; the sentinel's own
+    window is excluded from both sides.  The watermark delay spans the
+    whole event range, so no real row can be late-dropped regardless of
+    which micro-batch its file lands in — that invariance (any
+    file→batch assignment, same output) is the property under test; the
+    tighter-watermark late-drop behavior is pinned by
+    tests/test_streaming.py."""
+    import datetime
+
+    from cnics_to_fhir_spark.streaming.windows import tumbling_window_stream
+
+    ev = table(spark, sf_dir, "events").select("ts", "event_type", "value")
+    span_days = (
+        ev.agg(
+            F.datediff(F.max("ts"), F.min("ts")).alias("d"),
+            F.max("ts").alias("mx"),
+        ).first()
+    )
+    sentinel_ts = (span_days["mx"] + datetime.timedelta(days=365)).replace(
+        minute=0, second=0, microsecond=0
+    )
+    sentinel = spark.createDataFrame(
+        [(sentinel_ts, "__sentinel__", 0.0)], "ts timestamp, event_type string, value double"
+    )
+
+    tmp = tempfile.mkdtemp(prefix="st02-")
+    try:
+        src, chk = os.path.join(tmp, "src"), os.path.join(tmp, "chk")
+        ev.repartition(4).write.parquet(src)
+        # the sentinel arrives in its own (final) file so its watermark
+        # update flushes all real windows; file order within the earlier
+        # batches is irrelevant because the watermark spans the range.
+        sentinel.coalesce(1).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema("ts timestamp, event_type string, value double")
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .parquet(src)
+        )
+        agg = tumbling_window_stream(
+            stream, width="1 hour", watermark=f"{span_days['d'] + 2} days"
+        )
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("st02_sink")
+            .option("checkpointLocation", chk)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        out = spark.table("st02_sink").filter(F.col("event_type") != "__sentinel__")
+        rows = out.collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "window_start timestamp, event_type string, n bigint, total_value double"
+    )

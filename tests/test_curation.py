@@ -83,3 +83,39 @@ def test_hash_split_deterministic_and_proportioned(spark):
     one = dataset.hash_split(docs.limit(50)).collect()
     full = {r["doc_id"]: r["split"] for r in a}
     assert all(full[r["doc_id"]] == r["split"] for r in one)
+
+
+def test_remove_boilerplate_chunks_semantics(spark):
+    # chunk size 2 for hand-checkable fixtures; "b1 b2" repeats in 3 docs
+    # (the min_docs threshold), "u* ..." chunks are unique.
+    rows = [
+        (1, "b1 b2 u1 u2"),
+        (2, "b1 b2 u3 u4"),
+        (3, "u5 u6 b1 b2"),
+        (4, "b1 b2"),          # fully boilerplate -> empty clean_text
+        (5, "solo"),           # shorter than k -> one whole-doc chunk
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in curation.remove_boilerplate_chunks(df, k=2, min_docs=3).collect()
+    }
+    assert len(out) == 5  # every doc survives as a row, even if emptied
+    assert out[1]["clean_text"] == "u1 u2" and out[1]["n_removed"] == 1
+    assert out[2]["clean_text"] == "u3 u4"
+    assert out[3]["clean_text"] == "u5 u6"  # position order preserved
+    assert out[4]["clean_text"] == "" and out[4]["n_removed"] == 1
+    assert out[5]["clean_text"] == "solo" and out[5]["n_removed"] == 0
+    assert out[1]["n_chunks"] == 2 and out[5]["n_chunks"] == 1
+
+
+def test_remove_boilerplate_preserves_chunk_order(spark):
+    # 5 chunks at k=2, middle chunk boilerplate across 3 docs
+    text = "a1 a2 HOT HOT b1 b2 c1 c2 d1"
+    rows = [(1, text), (2, "HOT HOT x y"), (3, "z w HOT HOT")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r["clean_text"]
+        for r in curation.remove_boilerplate_chunks(df, k=2, min_docs=3).collect()
+    }
+    assert out[1] == "a1 a2 b1 b2 c1 c2 d1"

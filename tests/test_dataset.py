@@ -185,3 +185,25 @@ def test_chunk_sliding_invariants_grid(spark):
                 toks = r["chunk_text"].split(" ")
                 stitched.extend(toks if r["chunk_id"] == 0 else toks[overlap:])
             assert stitched == [f"t{i}" for i in range(n)], (n, size, overlap)
+
+
+def test_epoch_upsample_integer_exact(spark):
+    rows = [(i, "srcA" if i % 2 == 0 else "srcB") for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    # srcA at 2.5 epochs, srcB downsampled to 0.4
+    out = dataset.epoch_upsample(df, {"srcA": 250, "srcB": 40}).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc, copies in by_doc.items():
+        n = copies[0]["n_epochs"]
+        assert sorted(c["epoch"] for c in copies) == list(range(1, n + 1))
+        assert n in ((2, 3) if doc % 2 == 0 else (1,))
+    # srcA docs always appear (floor 2); srcB docs can drop entirely
+    a_docs = [d for d in range(0, 200, 2)]
+    assert all(d in by_doc for d in a_docs)
+    b_present = sum(1 for d in range(1, 200, 2) if d in by_doc)
+    assert 10 < b_present < 90  # ~40% of 100 within binomial tolerance
+    # deterministic: same input -> identical output
+    again = dataset.epoch_upsample(df, {"srcA": 250, "srcB": 40}).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
