@@ -157,40 +157,49 @@ def repetition_signals(
     - ``repetitive``: top_bigram_frac (rounded, so both engines compare
       the same grid value) > 0.2 — the Gopher-family rejection rule.
 
-    Plan shape: explode bigrams → count per (doc, gram) → max/sum per doc.
-    Two shuffles, both keyed by (doc, gram)/(doc) — partial aggregation
-    map-side, no skew beyond the document length distribution; the token
-    ratios ride the same row, no extra pass.  Bigrams come from
-    ``dedup.word_shingles`` (whole-doc fallback for 1-token docs), so the
-    DuckDB oracle replays the construction exactly."""
+    Plan shape: ZERO shuffle.  The top-bigram count is computed WITHIN
+    each row — sort the bigram array, then the max equal-run length via a
+    higher-order ``aggregate`` (all JVM-side Catalyst expressions) — so a
+    100 TB corpus never materializes the (doc, gram) explode: the naive
+    formulation shuffles one corpus-width of (id, gram) rows through two
+    aggregations; this one is a pure scan expression, embarrassingly
+    parallel, with per-row work O(L log L) on the document length.
+    Bigrams come from ``dedup.word_shingles`` (whole-doc fallback for
+    1-token docs); the DuckDB oracle keeps the declarative explode+group
+    formulation — max per-doc bigram count ≡ max run in the sorted array,
+    so the two shapes agree value-for-value."""
     from cnics_to_fhir_spark.operators.dedup import word_shingles
 
     t = F.col(text_col)
-    bigrams = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(word_shingles(t, 2)).alias("gram"),
+    bg = F.array_sort(word_shingles(t, 2))
+    # max run length over the sorted array: acc = (prev gram, current run,
+    # best run); one pass, no shuffle.
+    top = F.aggregate(
+        bg,
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+            F.greatest(
+                acc.best,
+                F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1).cast("long")),
+            ).alias("best"),
+        ),
+        lambda acc: acc.best,
     )
-    per_doc = (
-        bigrams.groupBy("id", "gram")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("id")
-        .agg(F.max("c").alias("top"), F.sum("c").alias("m"))
-    )
-    toks = df.select(
-        F.col(id_col).alias("id"),
-        token_count(t).alias("n"),
-        distinct_token_count(t).alias("nd"),
-    )
-    frac = stable_round(F.col("top").cast("double") / F.col("m"), 6)
-    return (
-        toks.join(per_doc, on="id")
-        .select(
-            F.col("id").alias(id_col),
-            F.col("n").alias("n_tokens"),
-            frac.alias("top_bigram_frac"),
-            stable_round(
-                F.lit(1.0) - F.col("nd").cast("double") / F.col("n"), 6
-            ).alias("dup_token_ratio"),
-            (frac > 0.2).alias("repetitive"),
-        )
+    m = F.size(bg).cast("long")
+    n = token_count(t)
+    frac = stable_round(top.cast("double") / m, 6)
+    return df.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        frac.alias("top_bigram_frac"),
+        stable_round(
+            F.lit(1.0) - distinct_token_count(t).cast("double") / n, 6
+        ).alias("dup_token_ratio"),
+        (frac > 0.2).alias("repetitive"),
     )

@@ -632,18 +632,19 @@ _PHONE_SQL = "\\\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\\\b"
                                   AS UBIGINT) % 100 AS BIGINT) < 90 THEN 'train'
                         WHEN CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
                                   AS UBIGINT) % 100 AS BIGINT) < 95 THEN 'val'
-                        ELSE 'test' END AS split
+                        ELSE 'test' END AS split,
+                   substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard
             FROM kept
         ),
         packed AS (
-            SELECT split, doc_id, tok, top_bigram_frac, dup_token_ratio,
+            SELECT split, shard, doc_id, tok, top_bigram_frac, dup_token_ratio,
                    CAST(COALESCE(SUM(tok) OVER (
-                       PARTITION BY split ORDER BY doc_id
+                       PARTITION BY split, shard ORDER BY doc_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
                    ), 0) AS BIGINT) AS prec
             FROM sp
         )
-        SELECT split, doc_id, tok, top_bigram_frac, dup_token_ratio,
+        SELECT split, shard, doc_id, tok, top_bigram_frac, dup_token_ratio,
                prec // 512 AS bin_id, prec % 512 AS bin_offset
         FROM packed
     """,
@@ -653,21 +654,37 @@ def e2e07_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     split → pack, all through the production operators in one DAG. The
     repetition gate (dup_token_ratio ≤ 0.6, top_bigram_frac ≤ 0.2 on the
     rounded grid) cuts ~35% of this corpus; decontamination drops the
-    benchmark-excerpt sources; packing is a per-split running-token-sum
-    window (budget 512), so bins never cross split boundaries — the
-    leakage-safe packing rule."""
+    benchmark-excerpt sources; packing is a per-(split, md5-shard)
+    running-token-sum window (budget 512): bins never cross split
+    boundaries (the leakage-safe packing rule) and the 16 shards inside
+    each split are independent packing streams, so the window parallelism
+    is 48-wide instead of 3 — per-split-only packing would serialize the
+    whole corpus onto three tasks at scale.
+
+    The redacted corpus feeds four plan branches (benchmark excerpts,
+    corpus grams, the anti-join base, the token stats) and the
+    decontaminated corpus feeds two, so both persist MEMORY_AND_DISK for
+    the run — the dd03-shingle tradeoff: corpus-sized storage instead of
+    re-running the regex scan per branch."""
+    from pyspark import StorageLevel
     from pyspark.sql.window import Window
 
     from cnics_to_fhir_spark.operators import curation, textanalysis
     from cnics_to_fhir_spark.operators.dataset import hash_split
 
     docs = table(spark, sf_dir, "documents")
-    clean = curation.pii_redact(docs).select("doc_id", F.col("redacted").alias("text"))
+    clean = (
+        curation.pii_redact(docs)
+        .select("doc_id", F.col("redacted").alias("text"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     bench = clean.filter(F.col("doc_id") % 50 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.array_join(F.slice(F.split(F.col("text"), " "), 1, 40), " ").alias("text"),
     )
-    decont = curation.drop_contaminated(clean, bench, k=8)
+    decont = curation.drop_contaminated(clean, bench, k=8).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     sigs = textanalysis.repetition_signals(decont)
     kept = sigs.filter(
         (F.col("dup_token_ratio") <= 0.6) & (F.col("top_bigram_frac") <= 0.2)
@@ -677,15 +694,18 @@ def e2e07_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "top_bigram_frac",
         "dup_token_ratio",
     )
-    sp = hash_split(kept).drop("bucket")
+    sp = hash_split(kept).drop("bucket").withColumn(
+        "shard", F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    )
     w = (
-        Window.partitionBy("split")
+        Window.partitionBy("split", "shard")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     prec = F.coalesce(F.sum("tok").over(w), F.lit(0)).cast("long")
     return sp.select(
         "split",
+        "shard",
         "doc_id",
         "tok",
         "top_bigram_frac",
