@@ -496,3 +496,50 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         if changed == 0:
             return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_rep"))
     raise RuntimeError(f"label propagation did not converge in {max_iters} iterations")
+
+
+def semantic_dedup(
+    spark,
+    emb: DataFrame,
+    threshold: float = 0.35,
+    k: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: k-means-cluster the
+    embeddings (trained coarse quantizer, not a data-provided label), then
+    inside each cluster mark every vector whose cosine to a LOWER-id
+    cluster-mate reaches ``threshold`` — the kept representative of each
+    semantic near-dup group is its lowest id.  → (vec_id, cluster, is_dup)
+    for every input vector.
+
+    Scale shape: training is cl01's loop (corpus distributed, k×dim
+    centroids on the driver per iteration); the pair stage DELEGATES to
+    ``embedding_near_dup_pairs`` with the trained cell as the blocking
+    key, so it inherits the Σ|cell|² scale guard — when cells outgrow the
+    target the blocking auto-refines by leading sign bits, keeping
+    n_cells ∝ corpus instead of the fixed-k quadratic (on a real corpus
+    also raise k ∝ corpus_size / target_cell — SemDeDup used 50k clusters
+    at LAION scale).  The final is_dup attach is an ids-only left join."""
+    from cnics_to_fhir_spark.operators.clustering import kmeans_assign
+
+    cells = kmeans_assign(spark, emb, k=k, iters=2).select(
+        "vec_id", F.col("cluster").alias("cell")
+    )
+    v = emb.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    iv = v.join(cells, "vec_id")
+    dups = (
+        embedding_near_dup_pairs(
+            iv, id_col="vec_id", vec_col="v", block_col="cell", threshold=threshold
+        )
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dup", F.lit(True))
+    )
+    return iv.join(dups, "vec_id", "left").select(
+        "vec_id",
+        F.col("cell").cast("int").alias("cluster"),
+        F.coalesce(F.col("is_dup"), F.lit(False)).alias("is_dup"),
+    )

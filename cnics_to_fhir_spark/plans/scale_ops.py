@@ -2205,3 +2205,108 @@ def ds08_epoch_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs,
         {"src0": 250, "src1": 250, "src2": 250, "src3": 130, "src4": 130, "src5": 40},
     )
+
+
+# ---------------------------------------------------------------------------
+# dd09 — semantic dedup (SemDeDup): trained clusters -> within-cluster cosine
+# ---------------------------------------------------------------------------
+@query(
+    "dd09_semantic_dedup",
+    tags="DD-cosine CL-iterative J1 W",
+    oracle="""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        c0 AS (
+            SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid,
+                   list_transform(v, x -> FLOOR(x*1e6 + 0.5)/1e6) AS cv
+            FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 4)
+        ),
+        a0 AS (
+            SELECT vec_id, v, cid FROM (
+                SELECT e.vec_id, e.v, c.cid,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                           list_dot_product(e.v, e.v) - 2*list_dot_product(e.v, c.cv)
+                             + list_dot_product(c.cv, c.cv), c.cid) AS rn
+                FROM e CROSS JOIN c0 c
+            ) WHERE rn = 1
+        ),
+        c1 AS (
+            SELECT cid, list(m ORDER BY idx) AS cv FROM (
+                SELECT a.cid, t.idx, FLOOR(AVG(a.v[CAST(t.idx AS INT) + 1])*1e6 + 0.5)/1e6 AS m
+                FROM a0 a, range(64) t(idx)
+                GROUP BY a.cid, t.idx
+            ) GROUP BY cid
+        ),
+        cells AS (
+            SELECT vec_id, v, cid FROM (
+                SELECT e.vec_id, e.v, c.cid,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                           list_dot_product(e.v, e.v) - 2*list_dot_product(e.v, c.cv)
+                             + list_dot_product(c.cv, c.cv), c.cid) AS rn
+                FROM e CROSS JOIN c1 c
+            ) WHERE rn = 1
+        ),
+        params AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(COUNT(DISTINCT cid) AS BIGINT) AS c
+            FROM cells
+        ),
+        p2 AS (
+            -- integer replica of dedup.choose_refine_bits(n, c, 256, 8)
+            SELECT CASE
+                WHEN n <= 256 * c THEN 0
+                WHEN n <= 256 * c * 2 THEN 1
+                WHEN n <= 256 * c * 4 THEN 2
+                WHEN n <= 256 * c * 8 THEN 3
+                WHEN n <= 256 * c * 16 THEN 4
+                WHEN n <= 256 * c * 32 THEN 5
+                WHEN n <= 256 * c * 64 THEN 6
+                WHEN n <= 256 * c * 128 THEN 7
+                ELSE 8 END AS bits
+            FROM params
+        ),
+        er AS (
+            SELECT vec_id, v, cid,
+                   CASE WHEN (SELECT bits FROM p2) = 0
+                        THEN CAST(cid AS BIGINT)
+                        ELSE CAST(cid AS BIGINT) * 256
+                             + (CASE WHEN 0 < (SELECT bits FROM p2) AND v[1] > 0 THEN 1 ELSE 0 END)
+                             + (CASE WHEN 1 < (SELECT bits FROM p2) AND v[2] > 0 THEN 2 ELSE 0 END)
+                             + (CASE WHEN 2 < (SELECT bits FROM p2) AND v[3] > 0 THEN 4 ELSE 0 END)
+                             + (CASE WHEN 3 < (SELECT bits FROM p2) AND v[4] > 0 THEN 8 ELSE 0 END)
+                             + (CASE WHEN 4 < (SELECT bits FROM p2) AND v[5] > 0 THEN 16 ELSE 0 END)
+                             + (CASE WHEN 5 < (SELECT bits FROM p2) AND v[6] > 0 THEN 32 ELSE 0 END)
+                             + (CASE WHEN 6 < (SELECT bits FROM p2) AND v[7] > 0 THEN 64 ELSE 0 END)
+                             + (CASE WHEN 7 < (SELECT bits FROM p2) AND v[8] > 0 THEN 128 ELSE 0 END)
+                        END AS cell
+            FROM cells
+        ),
+        dups AS (
+            SELECT DISTINCT b.vec_id
+            FROM er a JOIN er b
+              ON a.cell = b.cell AND a.vec_id < b.vec_id
+            WHERE FLOOR((list_dot_product(a.v, b.v)
+                  / (SQRT(list_dot_product(a.v, a.v)) * SQRT(list_dot_product(b.v, b.v))))*1e6 + 0.5)/1e6
+                  >= 0.35
+        )
+        SELECT c.vec_id, CAST(c.cid AS INT) AS cluster,
+               d.vec_id IS NOT NULL AS is_dup
+        FROM cells c LEFT JOIN dups d ON c.vec_id = d.vec_id
+    """,
+)
+def dd09_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table: train the quantizer (cl01's
+    2-iteration k-means, deterministic init), then mark within-cluster
+    cosine near-dups against the lowest-id representative.  The pair
+    stage delegates to embedding_near_dup_pairs with the TRAINED cell as
+    blocking key, inheriting the sign-bit auto-refine guard (the oracle
+    replays the integer bit selection — at sf0.1 the 2000 vectors over 4
+    trained cells land on bits=1, at sf1 bits=5).  Threshold 0.35
+    exercises the op on the weakly-clustered synthetic gaussians (same
+    rationale as dd05); a real corpus uses ≈ 0.95 and raises
+    k ∝ corpus_size / target_cell.  The oracle replays training,
+    refinement, and marking end to end."""
+    from cnics_to_fhir_spark.operators.dedup import semantic_dedup
+
+    return semantic_dedup(spark, table(spark, sf_dir, "embeddings"))

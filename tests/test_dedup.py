@@ -223,3 +223,21 @@ def test_minhash_hash_functions_are_independent_and_portable(spark):
 
     sig_x = df.select(minhash_from_shingles(F.col("sh"), 8).alias("s")).collect()[0]["s"]
     assert len(set(sig_x)) > 1  # a single collapsed hash would repeat
+
+
+def test_semantic_dedup_marks_lowest_id_as_keeper(spark):
+    # two tight pairs + two isolates in one embedding space; k=2 clusters
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),   # near-dup of 1
+        (3, [-1.0, 0.0, 0.0, 0.0]),
+        (4, [-0.999, -0.01, 0.0, 0.0]), # near-dup of 3
+        (5, [0.0, 1.0, 0.0, 0.0]),      # isolate
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in dedup.semantic_dedup(spark, df, threshold=0.95, k=2).collect()}
+    assert len(out) == 5
+    # lowest id of each near-dup group is kept; the higher one is marked
+    assert out[1]["is_dup"] is False and out[2]["is_dup"] is True
+    assert out[3]["is_dup"] is False and out[4]["is_dup"] is True
+    assert out[5]["is_dup"] is False
