@@ -110,6 +110,7 @@ HEADLINE = [
     "dd08_boilerplate_removal",
     "ds08_epoch_mixture",
     "dd09_semantic_dedup",
+    "aj02_asof_nearest",
     # Iterative ops (dd06, cl01, ann04) and the streaming-equivalence run
     # (st01 — micro-batch scheduling overhead, not data path) are
     # deliberately NOT headline: their wall time at toy SFs is driver-loop

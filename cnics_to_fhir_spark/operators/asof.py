@@ -54,3 +54,39 @@ def asof_join(
     out_cols.append(F.col("_m.ts").alias(f"{prefix}{ts_col}"))
     out_cols.extend(F.col(f"_m.{c}").alias(f"{prefix}{c}") for c in payload_cols)
     return carried.filter(F.col("_side") == 1).select(*out_cols)
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "user_id",
+    ts_col: str = "ts",
+    payload_cols: list[str] | None = None,
+    prefix: str = "next_",
+) -> DataFrame:
+    """Forward as-of join: every ``left`` row, plus the EARLIEST ``right``
+    row at-or-after its timestamp (next-event attribution: "first view
+    after the click").  Mirror of ``asof_join``: union + one shuffle +
+    a following-window ``first(ignorenulls)`` — right rows sort AFTER
+    left rows at equal timestamps so ">=" includes the simultaneous row.
+    Same cost shape: one keyed shuffle, no range explosion."""
+    payload_cols = payload_cols or ["value"]
+    payload = F.struct(F.col(ts_col).alias("ts"), *[F.col(c) for c in payload_cols])
+
+    r = right.select(
+        F.col(on), F.col(ts_col), F.lit(2).alias("_side"), payload.alias("_r")
+    )
+    l = left.withColumn("_side", F.lit(1)).withColumn(
+        "_r", F.lit(None).cast(r.schema["_r"].dataType)
+    )
+    u = l.unionByName(r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col(ts_col), F.col("_side"))
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    carried = u.withColumn("_m", F.first("_r", ignorenulls=True).over(w))
+    out_cols = [F.col(c) for c in left.columns]
+    out_cols.append(F.col("_m.ts").alias(f"{prefix}{ts_col}"))
+    out_cols.extend(F.col(f"_m.{c}").alias(f"{prefix}{c}") for c in payload_cols)
+    return carried.filter(F.col("_side") == 1).select(*out_cols)

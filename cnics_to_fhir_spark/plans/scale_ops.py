@@ -2310,3 +2310,102 @@ def dd09_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cnics_to_fhir_spark.operators.dedup import semantic_dedup
 
     return semantic_dedup(spark, table(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# aj02 — nearest as-of join with tolerance (backward + forward composed)
+# ---------------------------------------------------------------------------
+@query(
+    "aj02_asof_nearest",
+    tags="AJ J1 W",
+    oracle="""
+        WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
+             v AS (SELECT * FROM events WHERE event_type = 'view'),
+        b AS (
+            SELECT c.event_id, c.user_id, c.ts, v.ts AS b_ts, v.value AS b_value
+            FROM c ASOF LEFT JOIN v
+              ON c.user_id = v.user_id AND c.ts >= v.ts
+        ),
+        f AS (
+            SELECT c.event_id, v.ts AS f_ts, v.value AS f_value
+            FROM c ASOF LEFT JOIN v
+              ON c.user_id = v.user_id AND c.ts <= v.ts
+        ),
+        j AS (
+            SELECT b.*, f.f_ts, f.f_value,
+                   CASE WHEN b.b_ts IS NULL THEN NULL
+                        ELSE epoch_us(b.ts) - epoch_us(b.b_ts) END AS db,
+                   CASE WHEN f.f_ts IS NULL THEN NULL
+                        ELSE epoch_us(f.f_ts) - epoch_us(b.ts) END AS df
+            FROM b JOIN f USING (event_id)
+        ),
+        pick AS (
+            SELECT *,
+                   CASE WHEN db IS NOT NULL AND db <= 3600000000
+                             AND (df IS NULL OR df > 3600000000 OR db <= df)
+                        THEN 'backward'
+                        WHEN df IS NOT NULL AND df <= 3600000000
+                        THEN 'forward'
+                        END AS direction
+            FROM j
+        )
+        SELECT event_id, user_id,
+               STRFTIME(ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+               direction,
+               STRFTIME(CASE direction WHEN 'backward' THEN b_ts
+                                       WHEN 'forward' THEN f_ts END,
+                        '%Y-%m-%d %H:%M:%S') AS view_ts,
+               ROUND(CASE direction WHEN 'backward' THEN b_value
+                                    WHEN 'forward' THEN f_value END, 2) AS view_value,
+               CASE direction WHEN 'backward' THEN db
+                              WHEN 'forward' THEN df END AS delta_us
+        FROM pick
+    """,
+)
+def aj02_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of join with a 1-hour tolerance: attach the closest
+    'view' (before OR after, ties → backward) to every 'click' per user,
+    with the chosen direction and signed-to-positive microsecond delta.
+    Composes the backward LOCF as-of with its forward mirror
+    (operators/asof.py) — two keyed shuffles total, no range explosion;
+    the delta compare is exact integer microseconds on both engines
+    (unix_micros ≡ epoch_us).  The oracle uses DuckDB's native ASOF JOIN
+    in both directions, so the union+window plan is checked against an
+    independent implementation of the same semantics."""
+    from cnics_to_fhir_spark.operators.asof import asof_join, asof_join_forward
+
+    TOL = 3_600_000_000  # 1 hour in microseconds
+    e = table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    views = e.filter(F.col("event_type") == "view").select("user_id", "ts", "value")
+    b = asof_join(clicks, views, on="user_id", ts_col="ts", payload_cols=["value"], prefix="b_")
+    bf = asof_join_forward(b, views, on="user_id", ts_col="ts", payload_cols=["value"], prefix="f_")
+    db = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("b_ts"))
+    df_ = F.unix_micros(F.col("f_ts")) - F.unix_micros(F.col("ts"))
+    direction = (
+        F.when(
+            F.col("b_ts").isNotNull()
+            & (db <= TOL)
+            & (F.col("f_ts").isNull() | (df_ > TOL) | (db <= df_)),
+            F.lit("backward"),
+        )
+        .when(F.col("f_ts").isNotNull() & (df_ <= TOL), F.lit("forward"))
+    )
+    chosen_ts = (
+        F.when(direction == "backward", F.col("b_ts"))
+        .when(direction == "forward", F.col("f_ts"))
+    )
+    chosen_val = (
+        F.when(direction == "backward", F.col("b_value"))
+        .when(direction == "forward", F.col("f_value"))
+    )
+    delta = F.when(direction == "backward", db).when(direction == "forward", df_)
+    return bf.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        direction.alias("direction"),
+        F.date_format(chosen_ts, "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
+        F.round(chosen_val, 2).alias("view_value"),
+        delta.cast("long").alias("delta_us"),
+    )

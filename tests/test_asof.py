@@ -37,3 +37,31 @@ def test_asof_join_picks_latest_at_or_before(spark):
     assert out[2]["matched_ts"] is None and out[2]["matched_value"] is None
     assert out[3]["matched_value"] == 2.0  # ts == view ts counts ("<=")
     assert out[4]["matched_value"] == 9.0  # keys don't leak across users
+
+
+def test_asof_join_forward_semantics(spark):
+    from cnics_to_fhir_spark.operators.asof import asof_join_forward
+
+    left = spark.createDataFrame(
+        [
+            (1, 100, _ts("2024-01-01 09:15:00")),  # next view at 09:30
+            (2, 100, _ts("2024-01-01 10:00:00")),  # after last view → nulls
+            (3, 100, _ts("2024-01-01 09:30:00")),  # exactly at a view ts → inclusive
+            (4, 200, _ts("2024-01-01 09:00:00")),  # other key
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (100, _ts("2024-01-01 09:00:00"), 1.0),
+            (100, _ts("2024-01-01 09:30:00"), 2.0),
+            (200, _ts("2024-01-01 09:59:00"), 9.0),
+        ],
+        "user_id long, ts timestamp, value double",
+    )
+    out = {r["event_id"]: r for r in asof_join_forward(left, right).collect()}
+    assert len(out) == 4
+    assert out[1]["next_value"] == 2.0
+    assert out[2]["next_ts"] is None and out[2]["next_value"] is None
+    assert out[3]["next_value"] == 2.0  # ts == view ts counts (">=")
+    assert out[4]["next_value"] == 9.0
