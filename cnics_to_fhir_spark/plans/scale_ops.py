@@ -2409,3 +2409,59 @@ def aj02_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(chosen_val, 2).alias("view_value"),
         delta.cast("long").alias("delta_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# j12 — bucketed co-located join (write-once, join-shuffle-free thereafter)
+# ---------------------------------------------------------------------------
+@query(
+    "j12_bucketed_colocated_join",
+    tags="J1 BUCKET STORAGE",
+    oracle="""
+        SELECT o.o_orderstatus AS status,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(SUM(l.l_extendedprice), 2) AS revenue
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderstatus
+    """,
+)
+def j12_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100-TB repeated-join strategy made driver-visible: write
+    lineitem and orders bucketed (8 buckets) and sorted on the join key,
+    then join the bucketed tables with auto-broadcast disabled — the plan
+    MUST contain no Exchange on either join side (asserted in-code: the
+    entry fails rather than silently shuffling), because bucketed storage
+    pre-partitions both tables identically, moving the shuffle into the
+    one-time write.  The oracle is the plain declarative join, so the
+    hash compare proves co-located execution changes nothing about the
+    result.  Result rows are materialized before the scratch database is
+    dropped (st01's pattern for entries that own side state)."""
+    db = "j12_scratch"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+        li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+        (o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .mode("overwrite").saveAsTable(f"{db}.orders_b"))
+        (li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .mode("overwrite").saveAsTable(f"{db}.lineitem_b"))
+        ob, lb = spark.table(f"{db}.orders_b"), spark.table(f"{db}.lineitem_b")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = (
+            lb.join(ob, lb["l_orderkey"] == ob["o_orderkey"])
+            .groupBy(F.col("o_orderstatus").alias("status"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+            )
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        for side in ("l_orderkey", "o_orderkey"):
+            if f"Exchange hashpartitioning({side}" in plan:
+                raise AssertionError(f"bucketed join shuffled on {side}")
+        rows = joined.collect()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    return spark.createDataFrame(rows, "status string, n bigint, revenue double")

@@ -119,3 +119,13 @@ def test_remove_boilerplate_preserves_chunk_order(spark):
         for r in curation.remove_boilerplate_chunks(df, k=2, min_docs=3).collect()
     }
     assert out[1] == "a1 a2 b1 b2 c1 c2 d1"
+
+
+def test_remove_boilerplate_noop_when_all_unique(spark):
+    # with no repeated chunk, reassembly must reproduce the input exactly
+    rows = [(i, " ".join(f"w{i}_{j}" for j in range(11))) for i in range(6)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in curation.remove_boilerplate_chunks(df, k=4).collect()}
+    for i, text in rows:
+        assert out[i]["clean_text"] == text
+        assert out[i]["n_removed"] == 0

@@ -60,3 +60,34 @@ def test_greedy_bin_count_bound_when_docs_fit(spark, toks):
         {r["bin_id"] for r in pack_chunked(df, budget=BUDGET).collect()}
     )
     assert greedy_bins >= chunked_bins
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10_000), st.sampled_from(["a", "b", "c"])),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(0, 300),
+    st.integers(0, 300),
+)
+def test_epoch_upsample_counts_match_reference(spark, rows, wa, wb):
+    """For ANY weights, every doc appears exactly n = w//100 + (h < w%100)
+    times with epochs 1..n — replicated by a pure-Python portable-hash
+    reference."""
+    import hashlib
+
+    from cnics_to_fhir_spark.operators.dataset import epoch_upsample
+
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = epoch_upsample(df, {"a": wa, "b": wb}).collect()
+    got: dict[int, list[int]] = {}
+    for r in out:
+        got.setdefault(r["doc_id"], []).append(r["epoch"])
+    for doc_id, src in rows:
+        w = {"a": wa, "b": wb}.get(src, 100)
+        h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16) % 100
+        n = w // 100 + (1 if h < w % 100 else 0)
+        assert sorted(got.get(doc_id, [])) == list(range(1, n + 1)), (doc_id, w, h)
