@@ -145,6 +145,11 @@ FLAGSHIP_INLINE = [
     "e2e05_corpus_curation",
     "e2e06_entity_resolution",
     "mm04_real_png_decode",
+    "e2e07_curation_v2",
+    "dd08_boilerplate_removal",
+    "dd09_semantic_dedup",
+    "tx06_repetition_signals",
+    "aj02_asof_nearest",
 ]
 
 

@@ -81,3 +81,30 @@ def test_jdbc_reader_config(spark):
     r = src.reader(spark, "DiagnosisAltered")
     assert r is not None
     assert src.url == "jdbc:mysql://db.example:3306/cnics"
+
+
+def test_jsonl_corrupt_record_quarantine(spark, tmp_path):
+    """Corrupt-tolerant JSONL ingestion: malformed lines quarantine instead
+    of failing the scan; clean lines parse typed."""
+    from cnics_to_fhir_spark.sources.jsonl import read_jsonl, split_corrupt
+
+    p = tmp_path / "corpus.jsonl"
+    p.write_text(
+        "\n".join(
+            [
+                '{"doc_id": 1, "text": "hello world", "lang": "en", "source": "web"}',
+                '{"doc_id": 2, "text": "truncated...',          # malformed
+                "not json at all",                               # malformed
+                '{"doc_id": 3, "text": "ok", "lang": "fr", "source": "books"}',
+                '{"doc_id": 4, "text": null, "lang": "en", "source": "web"}',  # valid, null field
+            ]
+        )
+    )
+    clean, quarantine = split_corrupt(read_jsonl(spark, str(p)), spark, str(p))
+    rows = {r["doc_id"]: r for r in clean.collect()}
+    assert sorted(rows) == [1, 3, 4]
+    assert rows[1]["text"] == "hello world" and rows[3]["lang"] == "fr"
+    assert rows[4]["text"] is None  # explicit null is NOT corruption
+    bad = sorted(r["line"] for r in quarantine.collect())
+    assert len(bad) == 2 and "not json at all" in bad  # raw lines preserved
+    assert all(r["reason"] == "malformed_json" for r in quarantine.collect())
