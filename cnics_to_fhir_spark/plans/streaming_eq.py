@@ -175,3 +175,67 @@ def st02_stream_window_equivalence(spark: SparkSession, sf_dir: str) -> DataFram
     return spark.createDataFrame(
         rows, "window_start timestamp, event_type string, n bigint, total_value double"
     )
+
+
+@query(
+    "st03_stream_dedup_equivalence",
+    tags="2.10 DD STREAM",
+    oracle="""
+        SELECT DISTINCT
+               md5(LOWER(TRIM(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
+        FROM documents
+    """,
+)
+def st03_stream_dedup_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run dedup-on-ingest (dropDuplicatesWithinWatermark over the batch
+    fingerprint) as a REAL multi-micro-batch stream: the original corpus
+    arrives first (two files), then an exact copy of every document under
+    new ids (two later files).  The streamed output must carry exactly
+    the corpus's DISTINCT fingerprint set — every injected copy
+    suppressed by fingerprint state, no fingerprint lost — which is the
+    batch DISTINCT the oracle computes declaratively.  (The surviving
+    doc_id per fingerprint is first-arrival — well-defined but
+    batch-assignment-dependent for the handful of intra-corpus dups, so
+    the pinned value is the fingerprint set, not ids.)  Copies land in
+    later micro-batches by file modification order; their event times sit
+    inside the watermark window, so suppression is state-driven, not
+    expiry luck."""
+    from cnics_to_fhir_spark.streaming.dedup import (
+        fingerprint_dedup_stream,
+        run_dedup_to_memory_sink,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+    originals = docs.select(
+        "doc_id", "text", (base + F.make_interval(secs=F.col("doc_id") % 600)).alias("ts")
+    )
+    copies = originals.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        "text",
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("ts"),
+    )
+
+    tmp = tempfile.mkdtemp(prefix="st03-")
+    try:
+        src, chk = os.path.join(tmp, "src"), os.path.join(tmp, "chk")
+        originals.repartition(2).write.parquet(src)
+        import time as _time
+
+        _time.sleep(1.1)  # later mtime ⇒ later micro-batches (file-source order)
+        copies.repartition(2).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema("doc_id long, text string, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        dedup = fingerprint_dedup_stream(stream, watermark="2 hours")
+        q = run_dedup_to_memory_sink(dedup, "st03_sink", chk)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        rows = spark.table("st03_sink").select("fingerprint").collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, "fingerprint string")
