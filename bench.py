@@ -109,10 +109,10 @@ HEADLINE = [
     "e2e07_curation_v2",
     "dd08_boilerplate_removal",
     "ds08_epoch_mixture",
-    "dd09_semantic_dedup",
     "aj02_asof_nearest",
-    # Iterative ops (dd06, cl01, ann04) and the streaming-equivalence run
-    # (st01 — micro-batch scheduling overhead, not data path) are
+    # Iterative ops (dd06, cl01, ann04, dd09 — k-means training loop) and
+    # streaming-equivalence runs
+    # (st01/st02/st03 — micro-batch scheduling overhead, not data path) are
     # deliberately NOT headline: their wall time at toy SFs is driver-loop
     # / trigger launch overhead (~1.2 s/iteration), not data-path
     # throughput; correctness is gated via the catalog oracle like
@@ -147,7 +147,6 @@ FLAGSHIP_INLINE = [
     "mm04_real_png_decode",
     "e2e07_curation_v2",
     "dd08_boilerplate_removal",
-    "dd09_semantic_dedup",
     "tx06_repetition_signals",
     "aj02_asof_nearest",
 ]
