@@ -110,6 +110,8 @@ HEADLINE = [
     "dd08_boilerplate_removal",
     "ds08_epoch_mixture",
     "aj02_asof_nearest",
+    "tx07_unigram_surprise",
+    "j12_bucketed_colocated_join",
     # Iterative ops (dd06, cl01, ann04, dd09 — k-means training loop) and
     # streaming-equivalence runs
     # (st01/st02/st03 — micro-batch scheduling overhead, not data path) are

@@ -203,3 +203,54 @@ def repetition_signals(
         ).alias("dup_token_ratio"),
         (frac > 0.2).alias("repetitive"),
     )
+
+
+def unigram_surprise(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """CCNet-style quality scoring with a corpus-trained unigram LM:
+    score every document by its average negative log-likelihood under the
+    corpus's own token distribution — low = boilerplate of common tokens,
+    high = rare-token gibberish; filtering keeps the middle.
+
+    Determinism design: per-doc float summation would be order-dependent
+    (Spark and the oracle sum in different orders), so the per-TOKEN
+    surprise is quantized ONCE into integer micro-nats
+    (``floor((ln N − ln count)·1e6)``) and everything downstream —
+    per-doc totals, averages, the reject flag — is exact integer
+    arithmetic, order-independent on both engines.  The only float op is
+    one ln per vocab entry; an engine pair disagreeing in the last ulp
+    exactly on a 1e-6 grid boundary is the residual risk (same class as
+    the documented q11 threshold filter).
+
+    Scale shape: one (token)-keyed count aggregation builds the vocab
+    (bounded by vocabulary, not corpus), one scalar total, one
+    (token)-keyed join back (AQE may broadcast a small vocab; a web-scale
+    vocab shuffles — both correct), one (doc)-keyed aggregation.
+    → (doc_id, n_tokens, sum_nll_q, avg_nll_q)."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").cast("double").alias("n_total"))
+    scored = vocab.crossJoin(total).select(
+        "tok",
+        F.floor((F.log(F.col("n_total")) - F.log(F.col("cnt").cast("double"))) * 1e6)
+        .cast("long")
+        .alias("llq"),
+    )
+    return (
+        toks.join(scored, on="tok")
+        .groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("llq").cast("long").alias("sum_nll_q"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "sum_nll_q",
+            F.expr("sum_nll_q div n_tokens").alias("avg_nll_q"),
+        )
+    )

@@ -2465,3 +2465,38 @@ def j12_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
     return spark.createDataFrame(rows, "status string, n bigint, revenue double")
+
+
+# ---------------------------------------------------------------------------
+# tx07 — corpus-trained unigram-LM surprise (CCNet-style quality score)
+# ---------------------------------------------------------------------------
+@query(
+    "tx07_unigram_surprise",
+    tags="TX A5 J1",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
+        ),
+        t2 AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+        vocab AS (SELECT tok, COUNT(*) AS cnt FROM t2 GROUP BY tok),
+        tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS n_total FROM vocab),
+        scored AS (
+            SELECT tok,
+                   CAST(FLOOR((ln(n_total) - ln(CAST(cnt AS DOUBLE))) * 1e6) AS BIGINT) AS llq
+            FROM vocab, tot
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(llq) AS BIGINT) AS sum_nll_q,
+               CAST(SUM(llq) // COUNT(*) AS BIGINT) AS avg_nll_q
+        FROM t2 JOIN scored USING (tok)
+        GROUP BY doc_id
+    """,
+)
+def tx07_unigram_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring with a unigram LM trained on the corpus itself:
+    per-doc average negative log-likelihood in integer micro-nats (low =
+    common-token boilerplate, high = rare-token gibberish — CCNet keeps
+    the middle). Per-token surprise quantizes once; all per-doc math is
+    order-independent integer arithmetic (operators/textanalysis.py)."""
+    return textanalysis.unigram_surprise(table(spark, sf_dir, "documents"))

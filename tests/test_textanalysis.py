@@ -68,3 +68,24 @@ def test_rolling_fingerprint_stable_under_tail_edit(spark):
     out = {r["doc_id"]: r["fp"] for r in df.select("doc_id", tx.rolling_fingerprint(F.col("text")).alias("fp")).collect()}
     assert out[1] == out[2]
     assert out[1] != out[3]
+
+
+def test_unigram_surprise_orders_rarity(spark):
+    """Docs made of rare tokens score strictly higher surprise than docs of
+    common tokens; totals are exact integers."""
+    from cnics_to_fhir_spark.operators.textanalysis import unigram_surprise
+
+    rows = [
+        (1, "common common common common"),
+        (2, "common common common common"),
+        (3, "common common common common"),
+        (4, "rare1 rare2 rare3 rare4"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in unigram_surprise(df).collect()}
+    assert out[4]["avg_nll_q"] > out[1]["avg_nll_q"]
+    assert out[1]["avg_nll_q"] == out[2]["avg_nll_q"] == out[3]["avg_nll_q"]
+    import math
+    # 16 tokens total, 'common' appears 12x -> surprise floor(ln(16/12)*1e6)
+    assert out[1]["avg_nll_q"] == math.floor((math.log(16) - math.log(12)) * 1e6)
+    assert out[4]["n_tokens"] == 4 and out[4]["sum_nll_q"] == 4 * out[4]["avg_nll_q"]
