@@ -112,6 +112,7 @@ HEADLINE = [
     "aj02_asof_nearest",
     "tx07_unigram_surprise",
     "j12_bucketed_colocated_join",
+    "j13_dynamic_partition_pruning",
     # Iterative ops (dd06, cl01, ann04, dd09 — k-means training loop) and
     # streaming-equivalence runs
     # (st01/st02/st03 — micro-batch scheduling overhead, not data path) are

@@ -2500,3 +2500,70 @@ def tx07_unigram_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
     the middle). Per-token surprise quantizes once; all per-doc math is
     order-independent integer arithmetic (operators/textanalysis.py)."""
     return textanalysis.unigram_surprise(table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# j13 — dynamic partition pruning (runtime scan pruning from the dim filter)
+# ---------------------------------------------------------------------------
+@query(
+    "j13_dynamic_partition_pruning",
+    tags="J1 DPP STORAGE P",
+    oracle="""
+        WITH dim AS (
+            SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS ship_month
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+        )
+        SELECT l.ship_month,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(SUM(l.l_extendedprice), 2) AS revenue
+        FROM (SELECT *, strftime(l_shipdate, '%Y-%m') AS ship_month FROM lineitem) l
+        JOIN dim USING (ship_month)
+        GROUP BY l.ship_month
+    """,
+)
+def j13_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The other big storage-layout lever made driver-visible: the fact
+    table is written PARTITIONED by ship month (83 partitions at sf0.01),
+    then joined to a dim holding only 1996's months — dynamic partition
+    pruning turns the dim-side filter into a runtime partition filter on
+    the fact scan, so ~12/83 partitions are read instead of all.  The
+    entry ASSERTS the scan carries a dynamicpruning expression (it fails
+    rather than silently scanning everything) and hash-matches the plain
+    declarative join.  Scratch-table lifecycle follows j12/st01: results
+    materialize before the database drops."""
+    db = "j13_scratch"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    try:
+        li = table(spark, sf_dir, "lineitem").select(
+            "l_extendedprice",
+            F.col("l_shipdate"),
+            F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"),
+        )
+        (li.write.partitionBy("ship_month").mode("overwrite").saveAsTable(f"{db}.li_p"))
+        fact = spark.table(f"{db}.li_p")
+        dim = (
+            table(spark, sf_dir, "orders")
+            .filter(
+                (F.col("o_orderdate") >= "1996-01-01")
+                & (F.col("o_orderdate") < "1997-01-01")
+            )
+            .select(F.date_format("o_orderdate", "yyyy-MM").alias("ship_month"))
+            .distinct()
+        )
+        joined = (
+            fact.join(dim, "ship_month")
+            .groupBy("ship_month")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+            )
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        if "dynamicpruning" not in plan.lower():
+            raise AssertionError("fact scan carries no dynamic partition pruning filter")
+        rows = joined.collect()
+    finally:
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    return spark.createDataFrame(rows, "ship_month string, n bigint, revenue double")
