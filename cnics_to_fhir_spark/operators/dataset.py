@@ -346,3 +346,45 @@ def epoch_upsample(
             "*", F.explode(F.sequence(F.lit(1).cast("long"), F.col("n_epochs"))).alias("epoch")
         )
     )
+
+
+def temperature_weights(
+    df: DataFrame,
+    source_col: str = "source",
+    scale: int = 100,
+) -> dict[str, int]:
+    """Mixture weights from the data itself: temperature sampling at
+    τ = 2.  Moving the sampling distribution from p_s ∝ n_s to
+    q_s ∝ n_s^(1/τ) means each doc of source s is seen q_s/p_s ∝
+    n_s^(1/τ−1) = sqrt(n_max/n_s) times (normalized so the LARGEST
+    source stays at 1.0 epoch) — the mT5/XLM-R recipe that upsamples
+    small sources toward balance.  w_s = floor(scale · sqrt(n_max/n_s))
+    in integer hundredths; sqrt is IEEE correctly-rounded in every
+    engine, so the quantized weights are bit-identical wherever they're
+    computed — no float-divergence risk (unlike a general pow).
+
+    One (source)-keyed count aggregation; the weight map that returns to
+    the driver is bounded by the NUMBER OF SOURCES (tens), the same
+    bounded-round-trip class as the k-means centroids.  Feed the result
+    to ``epoch_upsample``."""
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    n_max = max(r["n"] for r in counts)
+    import math
+
+    return {
+        r[source_col]: int(math.floor(scale * math.sqrt(n_max / r["n"])))
+        for r in counts
+    }
+
+
+def temperature_mixture(
+    df: DataFrame,
+    source_col: str = "source",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """τ=2 temperature-balanced mixture epochs: derive weights from the
+    source counts, then replicate/drop per doc with ``epoch_upsample``'s
+    exact integer arithmetic. On equal-sized sources this is a no-op
+    (all weights = 100); skewed corpora upsample the tail."""
+    w = temperature_weights(df, source_col)
+    return epoch_upsample(df, w, source_col=source_col, key_col=key_col, default_weight=100)

@@ -2567,3 +2567,52 @@ def j13_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame
     finally:
         spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
     return spark.createDataFrame(rows, "ship_month string, n bigint, revenue double")
+
+
+# ---------------------------------------------------------------------------
+# ds09 — temperature-balanced mixture (weights derived from source counts)
+# ---------------------------------------------------------------------------
+@query(
+    "ds09_temperature_mixture",
+    tags="DS A5 O3",
+    oracle="""
+        WITH skewed AS (
+            SELECT doc_id, source FROM documents
+            WHERE NOT regexp_matches(source, '^src1[0-9]$') OR doc_id % 3 = 0
+        ),
+        counts AS (SELECT source, COUNT(*) AS n FROM skewed GROUP BY source),
+        mx AS (SELECT MAX(n) AS n_max FROM counts),
+        w AS (
+            SELECT source,
+                   CAST(FLOOR(100 * sqrt(CAST(n_max AS DOUBLE) / n)) AS BIGINT) AS wt
+            FROM counts, mx
+        ),
+        nn AS (
+            SELECT s.doc_id, s.source,
+                   CAST(w.wt // 100
+                        + CASE WHEN CAST(CAST(('0x' || substring(md5(CAST(s.doc_id AS VARCHAR)), 1, 15))
+                                         AS UBIGINT) % 100 AS BIGINT) < w.wt % 100
+                               THEN 1 ELSE 0 END AS BIGINT) AS n_epochs
+            FROM skewed s JOIN w USING (source)
+        )
+        SELECT doc_id, source, n_epochs, CAST(e AS BIGINT) AS epoch
+        FROM nn, UNNEST(range(1, n_epochs + 1)) AS u(e)
+        WHERE n_epochs > 0
+    """,
+)
+def ds09_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """τ=2 temperature sampling with DATA-DERIVED weights (mT5/XLM-R):
+    the corpus is deterministically skewed (tail sources cut to ⅓), then
+    w_s = floor(100·sqrt(n_max/n_s)) upsamples the tail toward balance
+    (the largest source stays at 1.0 epoch, the cut tail lands at ~1.7) —
+    sqrt is IEEE correctly-rounded in both engines, so the quantized
+    weights are bit-identical and the whole mixture replays under the
+    oracle.  The weight map's driver round-trip is bounded by the number
+    of SOURCES (the k-means-centroid class), and the replication itself
+    is epoch_upsample's zero-shuffle integer arithmetic."""
+    from cnics_to_fhir_spark.operators.dataset import temperature_mixture
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source")
+    tail = F.col("source").rlike("^src1[0-9]$")
+    skewed = docs.filter(~tail | (F.col("doc_id") % 3 == 0))
+    return temperature_mixture(skewed)

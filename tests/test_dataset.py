@@ -207,3 +207,20 @@ def test_epoch_upsample_integer_exact(spark):
     # deterministic: same input -> identical output
     again = dataset.epoch_upsample(df, {"srcA": 250, "srcB": 40}).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_temperature_weights_balance_direction(spark):
+    # 100-doc source vs 25-doc source: tail weight = floor(100*sqrt(4)) = 200
+    rows = [(i, "big" if i < 100 else "small") for i in range(125)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    w = dataset.temperature_weights(df)
+    assert w == {"big": 100, "small": 200}
+    out = dataset.temperature_mixture(df).collect()
+    n_big = sum(1 for r in out if r["source"] == "big")
+    n_small = sum(1 for r in out if r["source"] == "small")
+    assert n_big == 100            # largest source: exactly 1 epoch each
+    assert n_small == 50           # exact doubling: 2 epochs per doc
+    # equal-sized sources -> identity mixture
+    eq = spark.createDataFrame([(i, f"s{i%2}") for i in range(40)], ["doc_id", "source"])
+    assert dataset.temperature_weights(eq) == {"s0": 100, "s1": 100}
+    assert dataset.temperature_mixture(eq).count() == 40
