@@ -2616,3 +2616,98 @@ def ds09_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     tail = F.col("source").rlike("^src1[0-9]$")
     skewed = docs.filter(~tail | (F.col("doc_id") % 3 == 0))
     return temperature_mixture(skewed)
+
+
+# ---------------------------------------------------------------------------
+# mm06 — perceptual image dedup over REAL decoded pixels (average-hash)
+# ---------------------------------------------------------------------------
+@query(
+    "mm06_image_phash_dedup",
+    tags="MM DD UDF",
+    oracle="""
+        WITH px AS (
+            SELECT d.doc_id,
+                   x, y, c,
+                   ((x*17 + y*29 + c*41 + d.doc_id % 50) % 256
+                    + CASE WHEN (y*16 + x)*3 + c = d.doc_id % 576
+                           THEN (d.doc_id // 50) % 3 ELSE 0 END) % 256 AS v
+            FROM documents d,
+                 UNNEST(range(0, 16)) AS tx(x),
+                 UNNEST(range(0, 12)) AS ty(y),
+                 UNNEST(range(0, 3)) AS tc(c)
+        ),
+        blocks AS (
+            SELECT doc_id, (y//4)*4 + (x//4) AS blk, c, SUM(v) AS bs
+            FROM px GROUP BY doc_id, (y//4)*4 + (x//4), c
+        ),
+        tot AS (SELECT doc_id, SUM(v) AS ts FROM px GROUP BY doc_id),
+        ph AS (
+            SELECT b.doc_id,
+                   CAST(SUM(CASE WHEN b.bs*36 > t.ts
+                            THEN CAST(1 AS BIGINT) << CAST(b.blk*3 + b.c AS INT)
+                            ELSE 0 END) AS BIGINT) AS phash
+            FROM blocks b JOIN tot t USING (doc_id)
+            GROUP BY b.doc_id
+        )
+        SELECT phash,
+               MIN(doc_id) AS keeper_id,
+               CAST(COUNT(*) AS BIGINT) AS n_members
+        FROM ph GROUP BY phash
+    """,
+)
+def mm06_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal curation closed loop: synthesize per-doc images where
+    docs sharing doc_id%50 differ by ONE perturbed pixel, PNG-encode,
+    decode with the REAL codec (mediacodec), average-hash the DECODED
+    bytes (36 bits: per-block sum vs global mean as exact integer
+    cross-multiplication — no float anywhere), and exact-dedup on the
+    hash: near-identical images collide into one group, keeper = lowest
+    id.  The oracle replays pixel synthesis, block sums, bit assembly,
+    and grouping relationally — a codec defect OR a hash defect breaks
+    the value hash.
+
+    Scale: payload bytes are born and die inside one narrow mapInPandas
+    pass (only (doc_id, phash) ever shuffles — 16 bytes/row); the dedup
+    is the dd01 hash-groupBy shape."""
+    from collections.abc import Iterator
+
+    W, H, C = 16, 12, 3
+
+    def gen_phash(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from cnics_to_fhir_spark.functions.mediacodec import decode_image, encode_png
+
+        x = np.arange(W) * 17
+        y = np.arange(H) * 29
+        c = np.arange(C) * 41
+        base = y[:, None, None] + x[None, :, None] + c[None, None, :]
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                pixels = ((base + did % 50) % 256).astype(np.int64)
+                flat = pixels.reshape(-1)
+                i = did % (W * H * C)
+                flat[i] = (flat[i] + (did // 50) % 3) % 256
+                png = encode_png(pixels.astype(np.uint8).tobytes(), W, H, C)
+                w, h, ch, decoded = decode_image(png)
+                a = np.frombuffer(decoded, dtype=np.uint8).astype(np.int64).reshape(h, w, ch)
+                total = int(a.sum())
+                phash = 0
+                for by in range(3):
+                    for bx in range(4):
+                        blk = a[by * 4:(by + 1) * 4, bx * 4:(bx + 1) * 4, :]
+                        for cc in range(ch):
+                            if int(blk[:, :, cc].sum()) * 36 > total:
+                                phash |= 1 << ((by * 4 + bx) * 3 + cc)
+                rows.append((did, phash))
+            yield pd.DataFrame(rows, columns=["doc_id", "phash"])
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    ph = d.mapInPandas(gen_phash, schema="doc_id long, phash long")
+    return ph.groupBy("phash").agg(
+        F.min("doc_id").alias("keeper_id"),
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+    )
