@@ -75,19 +75,15 @@ _PRIORITY: tuple[str, ...] = (
     "f12_unit_default_refrange",
     "f14_string_cleanup",
     # §2.2-2.7 relational core
-    "p04_nullsafe_inequality",
     "p06_in_list_and_like",
     "p08_guard_quirk",
     "j01_inner_join_agg",
     "j03_decorrelated_page",
-    "j05_anti_join",
     "j06_merge_actions",
     "j08_broadcast_membership",
-    "a02_collect_set",
     "a03_first_row_per_group",
     "a04_last_write_wins",
     "a04b_crosswalk_field_lww",
-    "a05_group_counts",
     "a06_uniqueness_guard",
     "o03_deterministic_sample",
     "w01_topn_per_group",
@@ -137,6 +133,19 @@ _PRIORITY: tuple[str, ...] = (
     "dd08_boilerplate_removal",
     "ds08_epoch_mixture",
     "st02_stream_window_equivalence",
+    # round-4 continuation, second batch: SemDeDup over trained clusters,
+    # dynamic partition pruning (self-asserting plan), the unigram-LM
+    # quality score, and perceptual image dedup over real decoded pixels.
+    # Rotated out to stay at 50 (each remains selfcheck-run at sf0.001/
+    # 0.01/0.1 + the sf1 probe, and each is ALSO exercised inside
+    # prefix-resident e2e entries): p04 (P4 is part of e2e01's filter
+    # stack), a02 (collect_set lives in e2e04's identifier assembly),
+    # a05 (the A5 counter agg runs in every e2e pipeline's merge stage),
+    # j05 (the left-anti delete is e2e04's delete classification path).
+    "dd09_semantic_dedup",
+    "j13_dynamic_partition_pruning",
+    "tx07_unigram_surprise",
+    "mm06_image_phash_dedup",
 )
 
 
