@@ -239,3 +239,110 @@ def st03_stream_dedup_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return spark.createDataFrame(rows, "fingerprint string")
+
+
+@query(
+    "st04_stream_session_equivalence",
+    tags="2.10 EV2 STREAM UDF",
+    oracle="""
+        WITH e AS (
+            SELECT user_id, event_id, ts, value,
+                   CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS es
+            FROM events
+        ),
+        s AS (
+            SELECT user_id, event_id, ts, value, es,
+                   CASE WHEN es - LAG(es) OVER w IS NULL
+                             OR es - LAG(es) OVER w > 1800
+                        THEN 1 ELSE 0 END AS new_session
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+            SELECT user_id, value, es,
+                   SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING) AS session_seq
+            FROM s
+        )
+        SELECT user_id,
+               CAST(MIN(es) AS BIGINT) AS start_es,
+               CAST(MAX(es) AS BIGINT) AS end_es,
+               CAST(COUNT(*) AS INT) AS n_events,
+               ROUND(SUM(value), 2) AS total_value
+        FROM sess GROUP BY user_id, session_seq
+    """,
+)
+def st04_stream_session_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom STATEFUL operator under the oracle: gap-based
+    sessionization via ``applyInPandasWithState`` (streaming/sessions.py)
+    run as a REAL 5-micro-batch stream, compared against the batch
+    lag-gap-cumsum sessionization the oracle computes.
+
+    Equivalence needs time-ordered arrival per key, so the stream's files
+    are TIME-RANGE SLICES written in order (slice k+1's minimum ≥ slice
+    k's maximum ⇒ nothing is ever late, sessions spanning a slice
+    boundary ride the state store); a far-future sentinel user in the
+    final file advances the watermark past every open session's
+    last+gap deadline, firing the event-time timeouts that flush them.
+    The sentinel's own session is excluded from both sides."""
+    import time as _time
+
+    from cnics_to_fhir_spark.streaming.sessions import sessionize_stream
+
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    bounds = ev.agg(
+        F.min("ts").alias("mn"), F.max("ts").alias("mx")
+    ).first()
+    mn, mx = bounds["mn"], bounds["mx"]
+    span = (mx - mn).total_seconds()
+
+    tmp = tempfile.mkdtemp(prefix="st04-")
+    try:
+        src, chk = os.path.join(tmp, "src"), os.path.join(tmp, "chk")
+        for k in range(4):
+            lo = mn + __import__("datetime").timedelta(seconds=span * k / 4)
+            hi = mn + __import__("datetime").timedelta(seconds=span * (k + 1) / 4)
+            cond = (F.col("ts") >= F.lit(lo)) & (
+                (F.col("ts") < F.lit(hi)) if k < 3 else (F.col("ts") <= F.lit(mx))
+            )
+            ev.filter(cond).coalesce(1).write.mode("append").parquet(src)
+            _time.sleep(1.1)  # strictly increasing mtimes ⇒ ordered batches
+        sentinel_ts = mx + __import__("datetime").timedelta(days=365)
+        spark.createDataFrame(
+            [(-1, sentinel_ts, 0.0)], "user_id long, ts timestamp, value double"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+        stream = (
+            spark.readStream.schema("user_id long, ts timestamp, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        sessions = sessionize_stream(stream, gap_minutes=30, watermark="1 hour")
+        q = (
+            sessions.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("st04_sink")
+            .option("checkpointLocation", chk)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        out = (
+            spark.table("st04_sink")
+            .filter(F.col("user_id") >= 0)
+            .select(
+                "user_id",
+                F.unix_timestamp("session_start").alias("start_es"),
+                F.unix_timestamp("session_end").alias("end_es"),
+                "n_events",
+                F.round("total_value", 2).alias("total_value"),
+            )
+        )
+        rows = out.collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "user_id long, start_es long, end_es long, n_events int, total_value double"
+    )
