@@ -346,3 +346,102 @@ def st04_stream_session_equivalence(spark: SparkSession, sf_dir: str) -> DataFra
     return spark.createDataFrame(
         rows, "user_id long, start_es long, end_es long, n_events int, total_value double"
     )
+
+
+@query(
+    "st05_stream_stream_join_equivalence",
+    tags="2.10 RJ J1 STREAM",
+    oracle="""
+        SELECT c.event_id AS click_id,
+               v.event_id AS view_id,
+               c.user_id,
+               STRFTIME(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+               STRFTIME(v.ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+               ROUND(v.value, 2) AS view_value
+        FROM events c JOIN events v
+          ON c.user_id = v.user_id
+         AND c.event_type = 'click' AND v.event_type = 'view'
+         AND v.ts >= c.ts AND v.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+)
+def st05_stream_stream_join_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join under the oracle: clicks and views run
+    as TWO separate file streams (two micro-batched sources), joined with
+    dual watermarks and an event-time range (streaming/joins.py), and the
+    streamed inner-join output must equal the batch range join the oracle
+    computes.  An inner stream-stream join emits exactly the rows whose
+    partners arrive before state eviction; with the watermark delay
+    spanning the event range nothing evicts early, so the streamed union
+    over all micro-batches is the full batch answer regardless of
+    file→batch interleaving across the two sources — that assignment
+    invariance is the property under test (tight-watermark eviction and
+    the outer-join expiry path are pinned by tests/test_streaming.py)."""
+    ev = table(spark, sf_dir, "events")
+    span_days = ev.agg(F.datediff(F.max("ts"), F.min("ts")).alias("d")).first()["d"]
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+        F.col("value").alias("v_value"),
+    )
+
+    tmp = tempfile.mkdtemp(prefix="st05-")
+    try:
+        ldir, rdir = os.path.join(tmp, "clicks"), os.path.join(tmp, "views")
+        chk = os.path.join(tmp, "chk")
+        clicks.repartition(2).write.parquet(ldir)
+        views.repartition(2).write.parquet(rdir)
+        ls = (
+            spark.readStream.schema("click_id long, c_user long, c_ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(ldir)
+        )
+        rs = (
+            spark.readStream.schema(
+                "view_id long, v_user long, v_ts timestamp, v_value double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(rdir)
+        )
+        from cnics_to_fhir_spark.streaming.joins import interval_stream_join
+
+        joined = interval_stream_join(
+            ls,
+            rs,
+            key=("c_user", "v_user"),
+            ts=("c_ts", "v_ts"),
+            within="30 minutes",
+            watermark=f"{span_days + 2} days",
+        )
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("st05_sink")
+            .option("checkpointLocation", chk)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        out = spark.table("st05_sink").select(
+            "click_id",
+            "view_id",
+            F.col("c_user").alias("user_id"),
+            F.date_format("c_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+            F.date_format("v_ts", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
+            F.round("v_value", 2).alias("view_value"),
+        )
+        rows = out.collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "click_id long, view_id long, user_id long, click_ts string, "
+        "view_ts string, view_value double",
+    )
