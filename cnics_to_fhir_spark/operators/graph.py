@@ -1,0 +1,66 @@
+"""Graph propagation operators — the join-agg-per-iteration algorithm
+class (PageRank here; connected components lives in operators/dedup.py's
+label propagation).
+
+Spark-idiomatic shape: the edge list stays distributed; one iteration is
+``ranks ⋈ edges → groupBy(dst) → sum`` — a single keyed shuffle.  No
+vertex-centric framework needed for fixed-iteration analytics.
+
+Determinism design (for the DuckDB oracle): ranks live in integer
+micro-units (1e6 = 1.0).  Each iteration computes ``contribution =
+rank div out_degree`` (integer division) and ``rank' = 150000 +
+(85 · Σ contributions) div 100`` — exact integer arithmetic end to end,
+so per-node sums are order-independent and both engines land on the
+identical fixed-point trajectory.  (Float PageRank would diverge between
+engines through summation order alone.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 1_000_000
+BASE_Q = 150_000  # (1 - d) in micro-units, d = 0.85
+
+
+def pagerank_int(edges: DataFrame, iters: int = 2) -> DataFrame:
+    """Integer PageRank over a directed edge list (src, dst): ``iters``
+    synchronous iterations from a uniform start, damping 0.85, dangling
+    mass dropped (the standard simplification for fixed-iteration
+    analytics).  → (node, rank_q) for every node appearing as src or dst.
+
+    Per iteration: one broadcast-or-shuffle join of the rank table onto
+    edges + one (dst)-keyed sum — the rank table is O(nodes), always the
+    small side against an O(edges) edge list.  Lineage stays short for
+    small fixed ``iters``; for long loops add localCheckpoint like
+    dd06's label propagation."""
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ranks = nodes.select("node", F.lit(SCALE).cast("long").alias("rank_q"))
+    for _ in range(iters):
+        contrib = (
+            edges.join(ranks, edges["src"] == ranks["node"])
+            .join(deg, on="src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank_q div deg").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(contrib, on="node", how="left")
+            .select(
+                "node",
+                (
+                    F.lit(BASE_Q)
+                    + F.expr("85 * coalesce(s, 0) div 100")
+                ).cast("long").alias("rank_q"),
+            )
+        )
+    return ranks

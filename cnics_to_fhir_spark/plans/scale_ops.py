@@ -2711,3 +2711,74 @@ def mm06_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("keeper_id"),
         F.count(F.lit(1)).cast("long").alias("n_members"),
     )
+
+
+# ---------------------------------------------------------------------------
+# gr01 — integer PageRank (join-agg-per-iteration propagation class)
+# ---------------------------------------------------------------------------
+@query(
+    "gr01_pagerank_2iter",
+    tags="GR CL-iterative J1 A5",
+    oracle="""
+        WITH raw AS (
+            SELECT DISTINCT o.o_custkey AS ck, l.l_suppkey AS sk
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        ),
+        edges AS (
+            SELECT ck*2 AS src, sk*2+1 AS dst FROM raw
+            UNION ALL
+            SELECT sk*2+1 AS src, ck*2 AS dst FROM raw
+        ),
+        nodes AS (
+            SELECT DISTINCT src AS node FROM edges
+            UNION
+            SELECT DISTINCT dst AS node FROM edges
+        ),
+        deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+        r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_q FROM nodes),
+        c1 AS (
+            SELECT e.dst AS node, SUM(r.rank_q // d.deg) AS s
+            FROM edges e JOIN r0 r ON e.src = r.node JOIN deg d ON e.src = d.src
+            GROUP BY e.dst
+        ),
+        r1 AS (
+            SELECT n.node, CAST(150000 + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS rank_q
+            FROM nodes n LEFT JOIN c1 c USING (node)
+        ),
+        c2 AS (
+            SELECT e.dst AS node, SUM(r.rank_q // d.deg) AS s
+            FROM edges e JOIN r1 r ON e.src = r.node JOIN deg d ON e.src = d.src
+            GROUP BY e.dst
+        ),
+        r2 AS (
+            SELECT n.node, CAST(150000 + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS rank_q
+            FROM nodes n LEFT JOIN c2 c USING (node)
+        )
+        SELECT node, rank_q FROM r2
+    """,
+)
+def gr01_pagerank_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (2 synchronous iterations, damping 0.85) over the
+    customer↔supplier bipartite graph derived from orders⋈lineitem —
+    the join-agg-per-iteration propagation class done Spark-style: edge
+    list distributed, one keyed shuffle per iteration, rank table always
+    the small join side.  Ranks are integer micro-units with integer-div
+    contributions, so per-node sums are order-independent and the oracle
+    unrolls the identical fixed-point trajectory (float PageRank would
+    diverge between engines through summation order alone)."""
+    from cnics_to_fhir_spark.operators.graph import pagerank_int
+
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    raw = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+    fwd = raw.select(
+        (F.col("o_custkey") * 2).alias("src"), (F.col("l_suppkey") * 2 + 1).alias("dst")
+    )
+    bwd = raw.select(
+        (F.col("l_suppkey") * 2 + 1).alias("src"), (F.col("o_custkey") * 2).alias("dst")
+    )
+    return pagerank_int(fwd.unionAll(bwd), iters=2)
