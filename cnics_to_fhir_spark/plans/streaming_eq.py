@@ -26,6 +26,7 @@ HTTP writer (load/http_writer.py) without driver materialization.
 
 from __future__ import annotations
 
+import contextlib
 import os
 import shutil
 import tempfile
@@ -34,6 +35,24 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cnics_to_fhir_spark.plans.registry import query, table
+
+
+@contextlib.contextmanager
+def _state_partitions(spark: SparkSession, n: int = 32):
+    """Pin spark.sql.shuffle.partitions for a streaming run, restore after.
+
+    The state-store partition count is FROZEN from shuffle.partitions at
+    checkpoint creation; under a vanilla 200-partition session every
+    micro-batch pays 200 near-empty state-store tasks (measured 31.5 s vs
+    12 s for st02 at sf0.01).  Each entry creates a fresh checkpoint, so
+    pinning a right-sized count is safe — a real deployment sizes this to
+    state volume once, at first checkpoint."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 @query(
@@ -157,17 +176,18 @@ def st02_stream_window_equivalence(spark: SparkSession, sf_dir: str) -> DataFram
         agg = tumbling_window_stream(
             stream, width="1 hour", watermark=f"{span_days['d'] + 2} days"
         )
-        q = (
-            agg.writeStream.outputMode("append")
-            .format("memory")
-            .queryName("st02_sink")
-            .option("checkpointLocation", chk)
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+        with _state_partitions(spark):
+            q = (
+                agg.writeStream.outputMode("append")
+                .format("memory")
+                .queryName("st02_sink")
+                .option("checkpointLocation", chk)
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
         out = spark.table("st02_sink").filter(F.col("event_type") != "__sentinel__")
         rows = out.collect()
     finally:
@@ -230,11 +250,12 @@ def st03_stream_dedup_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame
             .parquet(src)
         )
         dedup = fingerprint_dedup_stream(stream, watermark="2 hours")
-        q = run_dedup_to_memory_sink(dedup, "st03_sink", chk)
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+        with _state_partitions(spark):
+            q = run_dedup_to_memory_sink(dedup, "st03_sink", chk)
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
         rows = spark.table("st03_sink").select("fingerprint").collect()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -318,17 +339,18 @@ def st04_stream_session_equivalence(spark: SparkSession, sf_dir: str) -> DataFra
             .parquet(src)
         )
         sessions = sessionize_stream(stream, gap_minutes=30, watermark="1 hour")
-        q = (
-            sessions.writeStream.outputMode("append")
-            .format("memory")
-            .queryName("st04_sink")
-            .option("checkpointLocation", chk)
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+        with _state_partitions(spark):
+            q = (
+                sessions.writeStream.outputMode("append")
+                .format("memory")
+                .queryName("st04_sink")
+                .option("checkpointLocation", chk)
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
         out = (
             spark.table("st04_sink")
             .filter(F.col("user_id") >= 0)
@@ -418,17 +440,18 @@ def st05_stream_stream_join_equivalence(spark: SparkSession, sf_dir: str) -> Dat
             within="30 minutes",
             watermark=f"{span_days + 2} days",
         )
-        q = (
-            joined.writeStream.outputMode("append")
-            .format("memory")
-            .queryName("st05_sink")
-            .option("checkpointLocation", chk)
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+        with _state_partitions(spark):
+            q = (
+                joined.writeStream.outputMode("append")
+                .format("memory")
+                .queryName("st05_sink")
+                .option("checkpointLocation", chk)
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
         out = spark.table("st05_sink").select(
             "click_id",
             "view_id",
