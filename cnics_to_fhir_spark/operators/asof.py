@@ -44,9 +44,14 @@ def asof_join(
     l = left.withColumn("_side", F.lit(1)).withColumn("_r", F.lit(None).cast(r.schema["_r"].dataType))
 
     u = l.unionByName(r, allowMissingColumns=True)
+    # Deterministic tiebreak among right rows sharing (key, ts): order the
+    # payload struct DESCENDING so ``last`` lands on the struct-min row —
+    # both engines (and repeated runs) then pick the same row even when the
+    # right side has duplicate timestamps. Left rows all carry a null ``_r``
+    # so the extra key never reorders them relative to each other.
     w = (
         Window.partitionBy(on)
-        .orderBy(F.col(ts_col), F.col("_side"))
+        .orderBy(F.col(ts_col), F.col("_side"), F.col("_r").desc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = u.withColumn("_m", F.last("_r", ignorenulls=True).over(w))
@@ -80,9 +85,11 @@ def asof_join_forward(
         "_r", F.lit(None).cast(r.schema["_r"].dataType)
     )
     u = l.unionByName(r, allowMissingColumns=True)
+    # Deterministic tiebreak (mirror of the backward join): ascending ``_r``
+    # makes ``first`` land on the struct-min right row among equal (key, ts).
     w = (
         Window.partitionBy(on)
-        .orderBy(F.col(ts_col), F.col("_side"))
+        .orderBy(F.col(ts_col), F.col("_side"), F.col("_r"))
         .rowsBetween(0, Window.unboundedFollowing)
     )
     carried = u.withColumn("_m", F.first("_r", ignorenulls=True).over(w))

@@ -523,9 +523,9 @@ def semantic_dedup(
     at LAION scale).  The final is_dup attach is an ids-only left join."""
     from cnics_to_fhir_spark.operators.clustering import kmeans_assign
 
-    cells = kmeans_assign(spark, emb, k=k, iters=2).select(
-        "vec_id", F.col("cluster").alias("cell")
-    )
+    cells = kmeans_assign(
+        spark, emb, vec_col=vec_col, id_col=id_col, k=k, iters=2
+    ).select("vec_id", F.col("cluster").alias("cell"))
     v = emb.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
     )

@@ -665,7 +665,9 @@ def e2e07_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus grams, the anti-join base, the token stats) and the
     decontaminated corpus feeds two, so both persist MEMORY_AND_DISK for
     the run — the dd03-shingle tradeoff: corpus-sized storage instead of
-    re-running the regex scan per branch."""
+    re-running the regex scan per branch.  The result is materialized
+    inside the entry and both caches unpersisted in a finally, so
+    corpus-sized blocks never outlive the entry in a long catalog run."""
     from pyspark import StorageLevel
     from pyspark.sql.window import Window
 
@@ -678,40 +680,53 @@ def e2e07_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("redacted").alias("text"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    bench = clean.filter(F.col("doc_id") % 50 == 0).select(
-        (F.col("doc_id") + 1000000).alias("doc_id"),
-        F.array_join(F.slice(F.split(F.col("text"), " "), 1, 40), " ").alias("text"),
-    )
-    decont = curation.drop_contaminated(clean, bench, k=8).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    sigs = textanalysis.repetition_signals(decont)
-    kept = sigs.filter(
-        (F.col("dup_token_ratio") <= 0.6) & (F.col("top_bigram_frac") <= 0.2)
-    ).select(
-        "doc_id",
-        F.col("n_tokens").cast("long").alias("tok"),
-        "top_bigram_frac",
-        "dup_token_ratio",
-    )
-    sp = hash_split(kept).drop("bucket").withColumn(
-        "shard", F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
-    )
-    w = (
-        Window.partitionBy("split", "shard")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    prec = F.coalesce(F.sum("tok").over(w), F.lit(0)).cast("long")
-    return sp.select(
-        "split",
-        "shard",
-        "doc_id",
-        "tok",
-        "top_bigram_frac",
-        "dup_token_ratio",
-        # 512 = 2^9: shift/mask keep the bin math in exact integer space
-        # at any corpus size (a double division would wobble past 2^53)
-        F.shiftright(prec, 9).alias("bin_id"),
-        prec.bitwiseAND(F.lit(511)).alias("bin_offset"),
-    )
+    try:
+        bench = clean.filter(F.col("doc_id") % 50 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.array_join(F.slice(F.split(F.col("text"), " "), 1, 40), " ").alias("text"),
+        )
+        decont = curation.drop_contaminated(clean, bench, k=8).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        try:
+            sigs = textanalysis.repetition_signals(decont)
+            kept = sigs.filter(
+                (F.col("dup_token_ratio") <= 0.6) & (F.col("top_bigram_frac") <= 0.2)
+            ).select(
+                "doc_id",
+                F.col("n_tokens").cast("long").alias("tok"),
+                "top_bigram_frac",
+                "dup_token_ratio",
+            )
+            sp = hash_split(kept).drop("bucket").withColumn(
+                "shard", F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+            )
+            w = (
+                Window.partitionBy("split", "shard")
+                .orderBy("doc_id")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            )
+            prec = F.coalesce(F.sum("tok").over(w), F.lit(0)).cast("long")
+            out = sp.select(
+                "split",
+                "shard",
+                "doc_id",
+                "tok",
+                "top_bigram_frac",
+                "dup_token_ratio",
+                # 512 = 2^9: shift/mask keep the bin math in exact integer
+                # space at any corpus size (a double division would wobble
+                # past 2^53)
+                F.shiftright(prec, 9).alias("bin_id"),
+                prec.bitwiseAND(F.lit(511)).alias("bin_offset"),
+            )
+            # Materialize before unpersisting (the lazy plan references both
+            # caches); result rows are slim fixed-width tuples, not corpus
+            # text, so the driver round-trip is bounded like j12/j13's.
+            rows = out.collect()
+            schema = out.schema
+        finally:
+            decont.unpersist()
+    finally:
+        clean.unpersist()
+    return spark.createDataFrame(rows, schema)

@@ -821,8 +821,12 @@ def mm05_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "aj01_asof_join",
     tags="AJ J1 W",
     oracle="""
+        -- v is pre-reduced to one row per (user_id, ts) via MIN(value): the
+        -- Spark operator's struct-min tiebreak picks the same row, so both
+        -- engines are deterministic under duplicate right timestamps.
         WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
-             v AS (SELECT * FROM events WHERE event_type = 'view')
+             v AS (SELECT user_id, ts, MIN(value) AS value
+                   FROM events WHERE event_type = 'view' GROUP BY user_id, ts)
         SELECT c.event_id, c.user_id,
                STRFTIME(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
                STRFTIME(v.ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
@@ -2320,7 +2324,10 @@ def dd09_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags="AJ J1 W",
     oracle="""
         WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
-             v AS (SELECT * FROM events WHERE event_type = 'view'),
+             -- one row per (user_id, ts): matches the Spark operator's
+             -- struct-min tiebreak under duplicate right timestamps
+             v AS (SELECT user_id, ts, MIN(value) AS value
+                   FROM events WHERE event_type = 'view' GROUP BY user_id, ts),
         b AS (
             SELECT c.event_id, c.user_id, c.ts, v.ts AS b_ts, v.value AS b_value
             FROM c ASOF LEFT JOIN v

@@ -166,6 +166,11 @@ def st02_stream_window_equivalence(spark: SparkSession, sf_dir: str) -> DataFram
         # the sentinel arrives in its own (final) file so its watermark
         # update flushes all real windows; file order within the earlier
         # batches is irrelevant because the watermark spans the range.
+        import time as _time
+
+        _time.sleep(1.1)  # strictly later mtime ⇒ sentinel file lands in the
+        # LAST micro-batch (an mtime tie with a data file could order it
+        # earlier, jumping the watermark past — and late-dropping — real rows)
         sentinel.coalesce(1).write.mode("append").parquet(src)
         stream = (
             spark.readStream.schema("ts timestamp, event_type string, value double")

@@ -73,7 +73,10 @@ def quarantine_lines(
     would have routed it to ``_corrupt_record``."""
     if CORRUPT_COL not in schema.fieldNames():
         schema = T.StructType(list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())])
-    raw = spark.read.text(path)
+    # Blank/whitespace-only lines are silently skipped by Spark's JSON file
+    # source (never routed to _corrupt_record), so they must not be
+    # quarantined here either — filter them out before the from_json probe.
+    raw = spark.read.text(path).filter(F.length(F.trim(F.col("value"))) > 0)
     parsed = F.from_json(
         F.col("value"), schema, {"columnNameOfCorruptRecord": CORRUPT_COL}
     )

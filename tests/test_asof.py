@@ -65,3 +65,26 @@ def test_asof_join_forward_semantics(spark):
     assert out[2]["next_ts"] is None and out[2]["next_value"] is None
     assert out[3]["next_value"] == 2.0  # ts == view ts counts (">=")
     assert out[4]["next_value"] == 9.0
+
+
+def test_asof_join_duplicate_right_ts_is_deterministic(spark):
+    """Multiple right rows with identical (key, ts): both directions must
+    pick the struct-min payload (the smallest value here), matching the
+    MIN()-reduced oracle — not an arbitrary window-order row."""
+    from cnics_to_fhir_spark.operators.asof import asof_join_forward
+
+    left = spark.createDataFrame(
+        [(1, 100, _ts("2024-01-01 10:00:00"))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    dup = [
+        (100, _ts("2024-01-01 09:30:00"), v) for v in (7.0, 3.0, 5.0)
+    ] + [(100, _ts("2024-01-01 10:30:00"), v) for v in (9.0, 4.0, 6.0)]
+    for _ in range(3):  # repeat: nondeterminism would flake across runs
+        right = spark.createDataFrame(
+            dup, "user_id long, ts timestamp, value double"
+        ).repartition(4)
+        back = asof_join(left, right).collect()[0]
+        fwd = asof_join_forward(left, right).collect()[0]
+        assert back["matched_value"] == 3.0
+        assert fwd["next_value"] == 4.0

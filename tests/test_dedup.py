@@ -241,3 +241,23 @@ def test_semantic_dedup_marks_lowest_id_as_keeper(spark):
     assert out[1]["is_dup"] is False and out[2]["is_dup"] is True
     assert out[3]["is_dup"] is False and out[4]["is_dup"] is True
     assert out[5]["is_dup"] is False
+
+
+def test_semantic_dedup_honors_custom_column_names(spark):
+    """id_col/vec_col must be forwarded to the quantizer (they previously
+    defaulted silently, so any non-default call raised AnalysisException)."""
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.999, 0.01]),
+        (3, [-1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "doc_key long, emb array<double>")
+    out = {
+        r["vec_id"]: r
+        for r in dedup.semantic_dedup(
+            spark, df, threshold=0.95, k=2, vec_col="emb", id_col="doc_key"
+        ).collect()
+    }
+    assert sorted(out) == [1, 2, 3]
+    assert out[1]["is_dup"] is False and out[2]["is_dup"] is True
+    assert out[3]["is_dup"] is False

@@ -108,3 +108,23 @@ def test_jsonl_corrupt_record_quarantine(spark, tmp_path):
     bad = sorted(r["line"] for r in quarantine.collect())
     assert len(bad) == 2 and "not json at all" in bad  # raw lines preserved
     assert all(r["reason"] == "malformed_json" for r in quarantine.collect())
+
+
+def test_jsonl_blank_lines_not_quarantined(spark, tmp_path):
+    """Spark's JSON file source silently skips blank/whitespace-only lines;
+    the quarantine re-scan must match that (quarantine = exactly the lines
+    the main scan routed to _corrupt_record)."""
+    from cnics_to_fhir_spark.sources.jsonl import read_jsonl, split_corrupt
+
+    p = tmp_path / "gappy.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "a", "lang": "en", "source": "web"}\n'
+        "\n"
+        "   \n"
+        "broken{\n"
+        '{"doc_id": 2, "text": "b", "lang": "fr", "source": "web"}\n'
+    )
+    clean, quarantine = split_corrupt(read_jsonl(spark, str(p)), spark, str(p))
+    assert sorted(r["doc_id"] for r in clean.collect()) == [1, 2]
+    bad = [r["line"] for r in quarantine.collect()]
+    assert bad == ["broken{"]  # blanks excluded, real corruption kept
