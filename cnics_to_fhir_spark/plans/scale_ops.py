@@ -2443,9 +2443,12 @@ def j12_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash compare proves co-located execution changes nothing about the
     result.  Result rows are materialized before the scratch database is
     dropped (st01's pattern for entries that own side state)."""
-    db = "j12_scratch"
+    from cnics_to_fhir_spark.session import scratch_name, session_conf
+
+    # applicationId-suffixed scratch database: two concurrent catalog runs
+    # on one machine must not collide on catalog names or warehouse paths.
+    db = scratch_name(spark, "j12_scratch")
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
-    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
         o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
         li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
@@ -2454,22 +2457,21 @@ def j12_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
           .mode("overwrite").saveAsTable(f"{db}.lineitem_b"))
         ob, lb = spark.table(f"{db}.orders_b"), spark.table(f"{db}.lineitem_b")
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        joined = (
-            lb.join(ob, lb["l_orderkey"] == ob["o_orderkey"])
-            .groupBy(F.col("o_orderstatus").alias("status"))
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        with session_conf(spark, {"spark.sql.autoBroadcastJoinThreshold": "-1"}):
+            joined = (
+                lb.join(ob, lb["l_orderkey"] == ob["o_orderkey"])
+                .groupBy(F.col("o_orderstatus").alias("status"))
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+                )
             )
-        )
-        plan = joined._jdf.queryExecution().executedPlan().toString()
-        for side in ("l_orderkey", "o_orderkey"):
-            if f"Exchange hashpartitioning({side}" in plan:
-                raise AssertionError(f"bucketed join shuffled on {side}")
-        rows = joined.collect()
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            for side in ("l_orderkey", "o_orderkey"):
+                if f"Exchange hashpartitioning({side}" in plan:
+                    raise AssertionError(f"bucketed join shuffled on {side}")
+            rows = joined.collect()
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
     return spark.createDataFrame(rows, "status string, n bigint, revenue double")
 
@@ -2540,7 +2542,9 @@ def j13_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame
     rather than silently scanning everything) and hash-matches the plain
     declarative join.  Scratch-table lifecycle follows j12/st01: results
     materialize before the database drops."""
-    db = "j13_scratch"
+    from cnics_to_fhir_spark.session import scratch_name
+
+    db = scratch_name(spark, "j13_scratch")
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
     try:
         li = table(spark, sf_dir, "lineitem").select(

@@ -35,11 +35,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cnics_to_fhir_spark.plans.registry import query, table
+from cnics_to_fhir_spark.session import scratch_name, session_conf
 
 
-@contextlib.contextmanager
 def _state_partitions(spark: SparkSession, n: int = 32):
-    """Pin spark.sql.shuffle.partitions for a streaming run, restore after.
+    """Pin spark.sql.shuffle.partitions for a streaming run, restore after
+    (via the structural session_conf contextmanager).
 
     The state-store partition count is FROZEN from shuffle.partitions at
     checkpoint creation; under a vanilla 200-partition session every
@@ -47,12 +48,19 @@ def _state_partitions(spark: SparkSession, n: int = 32):
     12 s for st02 at sf0.01).  Each entry creates a fresh checkpoint, so
     pinning a right-sized count is safe — a real deployment sizes this to
     state volume once, at first checkpoint."""
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    return session_conf(spark, {"spark.sql.shuffle.partitions": str(n)})
+
+
+@contextlib.contextmanager
+def _memory_sink(spark: SparkSession, base: str):
+    """Per-session-unique memory-sink view name, dropped on exit: two
+    concurrent catalog runs on one machine must not collide on (or read
+    each other's) sink views."""
+    name = scratch_name(spark, base)
     try:
-        yield
+        yield name
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.catalog.dropTempView(name)
 
 
 @query(
@@ -181,11 +189,11 @@ def st02_stream_window_equivalence(spark: SparkSession, sf_dir: str) -> DataFram
         agg = tumbling_window_stream(
             stream, width="1 hour", watermark=f"{span_days['d'] + 2} days"
         )
-        with _state_partitions(spark):
+        with _state_partitions(spark), _memory_sink(spark, "st02_sink") as sink:
             q = (
                 agg.writeStream.outputMode("append")
                 .format("memory")
-                .queryName("st02_sink")
+                .queryName(sink)
                 .option("checkpointLocation", chk)
                 .start()
             )
@@ -193,8 +201,8 @@ def st02_stream_window_equivalence(spark: SparkSession, sf_dir: str) -> DataFram
                 q.processAllAvailable()
             finally:
                 q.stop()
-        out = spark.table("st02_sink").filter(F.col("event_type") != "__sentinel__")
-        rows = out.collect()
+            out = spark.table(sink).filter(F.col("event_type") != "__sentinel__")
+            rows = out.collect()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return spark.createDataFrame(
@@ -255,13 +263,13 @@ def st03_stream_dedup_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame
             .parquet(src)
         )
         dedup = fingerprint_dedup_stream(stream, watermark="2 hours")
-        with _state_partitions(spark):
-            q = run_dedup_to_memory_sink(dedup, "st03_sink", chk)
+        with _state_partitions(spark), _memory_sink(spark, "st03_sink") as sink:
+            q = run_dedup_to_memory_sink(dedup, sink, chk)
             try:
                 q.processAllAvailable()
             finally:
                 q.stop()
-        rows = spark.table("st03_sink").select("fingerprint").collect()
+            rows = spark.table(sink).select("fingerprint").collect()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return spark.createDataFrame(rows, "fingerprint string")
@@ -344,11 +352,11 @@ def st04_stream_session_equivalence(spark: SparkSession, sf_dir: str) -> DataFra
             .parquet(src)
         )
         sessions = sessionize_stream(stream, gap_minutes=30, watermark="1 hour")
-        with _state_partitions(spark):
+        with _state_partitions(spark), _memory_sink(spark, "st04_sink") as sink:
             q = (
                 sessions.writeStream.outputMode("append")
                 .format("memory")
-                .queryName("st04_sink")
+                .queryName(sink)
                 .option("checkpointLocation", chk)
                 .start()
             )
@@ -356,18 +364,18 @@ def st04_stream_session_equivalence(spark: SparkSession, sf_dir: str) -> DataFra
                 q.processAllAvailable()
             finally:
                 q.stop()
-        out = (
-            spark.table("st04_sink")
-            .filter(F.col("user_id") >= 0)
-            .select(
-                "user_id",
-                F.unix_timestamp("session_start").alias("start_es"),
-                F.unix_timestamp("session_end").alias("end_es"),
-                "n_events",
-                F.round("total_value", 2).alias("total_value"),
+            out = (
+                spark.table(sink)
+                .filter(F.col("user_id") >= 0)
+                .select(
+                    "user_id",
+                    F.unix_timestamp("session_start").alias("start_es"),
+                    F.unix_timestamp("session_end").alias("end_es"),
+                    "n_events",
+                    F.round("total_value", 2).alias("total_value"),
+                )
             )
-        )
-        rows = out.collect()
+            rows = out.collect()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return spark.createDataFrame(
@@ -445,11 +453,11 @@ def st05_stream_stream_join_equivalence(spark: SparkSession, sf_dir: str) -> Dat
             within="30 minutes",
             watermark=f"{span_days + 2} days",
         )
-        with _state_partitions(spark):
+        with _state_partitions(spark), _memory_sink(spark, "st05_sink") as sink:
             q = (
                 joined.writeStream.outputMode("append")
                 .format("memory")
-                .queryName("st05_sink")
+                .queryName(sink)
                 .option("checkpointLocation", chk)
                 .start()
             )
@@ -457,15 +465,15 @@ def st05_stream_stream_join_equivalence(spark: SparkSession, sf_dir: str) -> Dat
                 q.processAllAvailable()
             finally:
                 q.stop()
-        out = spark.table("st05_sink").select(
-            "click_id",
-            "view_id",
-            F.col("c_user").alias("user_id"),
-            F.date_format("c_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
-            F.date_format("v_ts", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
-            F.round("v_value", 2).alias("view_value"),
-        )
-        rows = out.collect()
+            out = spark.table(sink).select(
+                "click_id",
+                "view_id",
+                F.col("c_user").alias("user_id"),
+                F.date_format("c_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+                F.date_format("v_ts", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
+                F.round("v_value", 2).alias("view_value"),
+            )
+            rows = out.collect()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return spark.createDataFrame(

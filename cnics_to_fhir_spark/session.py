@@ -14,7 +14,9 @@ right defaults on a real cluster at 100 TB:
 
 from __future__ import annotations
 
+import contextlib
 import os
+import re
 
 from pyspark.sql import SparkSession
 
@@ -53,6 +55,38 @@ def build_session(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+@contextlib.contextmanager
+def session_conf(spark: SparkSession, conf: dict[str, str]):
+    """Set session confs for a scoped block and restore the previous values
+    (or unset keys that had none) on exit — the structural form of the
+    set/try/finally-restore pattern, so a new caller can't forget the
+    restore half.  Used by every catalog entry that needs a temporary
+    override (bucketed-join broadcast disable, streaming state-store
+    partition pinning, ...)."""
+    prev: dict[str, str | None] = {}
+    for k, v in conf.items():
+        prev[k] = spark.conf.get(k, None)
+        spark.conf.set(k, str(v))
+    try:
+        yield
+    finally:
+        for k, old in prev.items():
+            if old is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, old)
+
+
+def scratch_name(spark: SparkSession, base: str) -> str:
+    """A per-session-unique identifier for side state a catalog entry owns
+    (scratch databases, memory-sink view names): ``base`` suffixed with the
+    Spark applicationId so two concurrent sessions on one machine never
+    collide on catalog names or warehouse paths.  Sanitized to
+    [A-Za-z0-9_] so it is valid as both a database and a view name."""
+    app = re.sub(r"[^A-Za-z0-9_]", "_", spark.sparkContext.applicationId)
+    return f"{base}_{app}"
 
 
 def get_or_create(spark: SparkSession | None = None) -> SparkSession:
