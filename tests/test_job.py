@@ -5,8 +5,10 @@ from __future__ import annotations
 
 import datetime
 
+import pytest
+
 from cnics_to_fhir_spark import job as jobmod
-from cnics_to_fhir_spark.config import parse_job_config, parse_settings
+from cnics_to_fhir_spark.config import JobSpec, parse_job_config, parse_settings
 from cnics_to_fhir_spark.schemas import DEMOGRAPHIC, DIAGNOSIS, FHIR_SNAPSHOT, PRO
 
 JOB_INI = """
@@ -108,3 +110,162 @@ def test_run_job_one_site_end_to_end(spark):
     assert '"Patient/hapi-10"' in cond["dx-1"]["body_json"]
     # no MedicationRequest rows — job gates them off (P10)
     assert not [r for r in rows if r["resource_type"] == "MedicationRequest"]
+
+
+def test_run_job_write_readback_converges(spark):
+    """The reference's implicit convergence contract
+    (cnics_to_fhir.py:914-925): extract → plan → WRITE to the store →
+    re-snapshot the store → run again.  Run 2 must produce ZERO inserts and
+    ZERO deletes (updates recur by design — the reference re-PUTs every
+    present-in-both key unconditionally, :556-560), and because updates are
+    id-matched PUTs, re-applying them must leave the store byte-identical:
+    run 3's store state == run 2's.  Uses a STATEFUL in-process mock FHIR
+    server (POST assigns ids, PUT/DELETE mutate) — the full
+    extract→plan→write→re-read loop, not just the mocked method routing of
+    tests/test_writer.py."""
+    import http.server
+    import json as jsonmod
+    import threading
+
+    pytest.importorskip("requests")
+    from cnics_to_fhir_spark.load.http_writer import WriterConfig
+
+    store: dict[tuple[str, str], str] = {}
+    lock = threading.Lock()
+    seq = iter(range(1, 10_000))
+
+    class _Store(http.server.BaseHTTPRequestHandler):
+        def _reply(self, obj):
+            body = jsonmod.dumps(obj).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/fhir+json")
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length") or 0)
+            body = self.rfile.read(n).decode()
+            rtype = self.path.strip("/")
+            with lock:
+                rid = f"srv-{next(seq)}"
+                store[(rtype, rid)] = body
+            self._reply({"id": rid})
+
+        def do_PUT(self):
+            n = int(self.headers.get("Content-Length") or 0)
+            body = self.rfile.read(n).decode()
+            rtype, rid = self.path.strip("/").split("/")
+            with lock:
+                store[(rtype, rid)] = body
+            self._reply({"id": rid})
+
+        def do_DELETE(self):
+            path = self.path.split("?")[0]
+            rtype, rid = path.strip("/").split("/")
+            with lock:
+                store.pop((rtype, rid), None)
+            self._reply({})
+
+        def log_message(self, *args):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _Store)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base_url = f"http://127.0.0.1:{srv.server_address[1]}"
+
+    def snapshot_from_store():
+        """Re-read the store into the FHIR_SNAPSHOT shape (the bulk-scan
+        S5 path's output, parsed from the stored resource bodies)."""
+        rows = []
+        with lock:
+            items = list(store.items())
+        for (rtype, rid), body in items:
+            res = jsonmod.loads(body)
+            ident = res.get("identifier") or []
+            rows.append(
+                (
+                    rtype,
+                    rid,
+                    (res.get("subject") or {}).get("reference"),
+                    ident[0]["system"] if ident else None,
+                    ident[0]["value"] if ident else None,
+                    bool(ident),
+                )
+            )
+        return spark.createDataFrame(rows, FHIR_SNAPSHOT)
+
+    settings = parse_settings(SETTINGS_INI)
+    job = JobSpec(sites=("uw",), db_name="cnics_prod", resources=("conditions",))
+    patient = spark.createDataFrame(
+        [(10, bytearray(b"sp-10"), "uw"), (11, bytearray(b"sp-11"), "uw")],
+        "PatientId long, SitePatientId binary, Site string",
+    )
+    demo = spark.createDataFrame(
+        [(1, None, None, 10, None, None, "Female", "Black", "No"),
+         (2, None, None, 11, None, None, "Male", "White", "Yes")],
+        DEMOGRAPHIC,
+    )
+    dx = spark.createDataFrame(
+        [(1, None, None, 10, bytearray(b"dx-1"), datetime.date(2020, 1, 1),
+          "Verified clinical diagnosis", "E11.9"),
+         (2, None, None, 11, bytearray(b"dx-2"), datetime.date(2021, 6, 1),
+          "Verified clinical diagnosis", "COPD")],
+        DIAGNOSIS,
+    )
+    empty_pro = spark.createDataFrame([], PRO)
+    empty = {
+        "Lab": spark.createDataFrame(
+            [], "LabId long, f1 string, Historical string, PatientId long, SiteRecordId string, "
+                "TestName string, Result string, Units string, f8 string, CollectionDate timestamp, "
+                "RefRangeLow string, RefRangeHigh string"),
+        "ProPatients": spark.createDataFrame([], "PatientID long, MRN string"),
+        "ProSessions": spark.createDataFrame([], "SessionID string, PatientID long"),
+        "Crosswalk": spark.createDataFrame([], "SitePatientId string, hmrn string, umrn string"),
+        "StandardDiagnoses": spark.createDataFrame([("COPD",)], "code string"),
+    }
+    # a stale Condition nothing extracts anymore → run 1 must DELETE it
+    store[("Condition", "srv-stale")] = jsonmod.dumps(
+        {
+            "resourceType": "Condition",
+            "identifier": [
+                {
+                    "system": "https://cnics.cirg.washington.edu/diagnosis/site-record-id/uw",
+                    "value": "dx-gone",
+                }
+            ],
+        }
+    )
+
+    def tables_for_site(site):
+        snap = snapshot_from_store()
+        t = {"Patient": patient, "Demographic": demo, "Diagnosis": dx,
+             "Pro": empty_pro, "Snapshot": snap, **empty}
+        return lambda name: t[name]
+
+    cfg = WriterConfig(base_url=base_url, retry_sleep_s=0.01)
+    try:
+        def run_once():
+            plan = jobmod.run_job(spark, job, settings, tables_for_site, writer_cfg=cfg)
+            counts = {"insert": 0, "update": 0, "delete": 0}
+            for r in plan.select("action").collect():
+                counts[r["action"]] += 1
+            return counts
+
+        c1 = run_once()
+        assert c1["insert"] >= 3 and c1["delete"] == 1  # 2 patients + 2 dx in; stale out
+
+        c2 = run_once()
+        state_after_2 = dict(store)
+        # the fixpoint: nothing new, nothing stale — only the reference's
+        # unconditional re-PUT updates remain
+        assert c2["insert"] == 0 and c2["delete"] == 0
+        assert c2["update"] == c1["insert"] + c1["update"]
+        # every update now targets a real server id (no pending placeholders
+        # survive a write+re-read cycle)
+        assert all("urn:pending:" not in body for body in state_after_2.values())
+
+        c3 = run_once()
+        assert c3 == c2
+        assert dict(store) == state_after_2  # byte-identical store: converged
+    finally:
+        srv.shutdown()
