@@ -481,3 +481,114 @@ def st05_stream_stream_join_equivalence(spark: SparkSession, sf_dir: str) -> Dat
         "click_id long, view_id long, user_id long, click_ts string, "
         "view_ts string, view_value double",
     )
+
+
+@query(
+    "st06_stream_restart_equivalence",
+    tags="2.10 EV1 STREAM CHECKPOINT",
+    oracle="""
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+               event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(SUM(value), 2) AS total_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+)
+def st06_stream_restart_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crash-recovery equivalence: the st02 tumbling-window aggregation run
+    as TWO separate streaming queries against the SAME checkpoint — the
+    first query consumes roughly half the events (split by event_id parity,
+    so open hourly windows genuinely span the stop) and is STOPPED; a new
+    query object then resumes from the checkpoint, consumes the rest plus
+    the watermark-flushing sentinel, and the union of both queries' emitted
+    windows must hash-match the one-shot batch GROUP BY.  This pins the
+    state-store recovery path itself: partial in-flight window sums
+    persisted at stop must merge with post-restart arrivals to the exact
+    batch totals (clean-run arrival-order invariance is st02's property;
+    restart-with-state is this one's).  Both query incarnations run under
+    the same pinned state-store partition count — the checkpoint FREEZES
+    shuffle.partitions at creation, so a restart under a different session
+    default must (and does) keep reading the frozen count."""
+    import datetime
+    import time as _time
+
+    from cnics_to_fhir_spark.streaming.windows import tumbling_window_stream
+
+    ev = table(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
+    stats = ev.agg(
+        F.datediff(F.max("ts"), F.min("ts")).alias("d"), F.max("ts").alias("mx")
+    ).first()
+    sentinel_ts = (stats["mx"] + datetime.timedelta(days=365)).replace(
+        minute=0, second=0, microsecond=0
+    )
+    sentinel = spark.createDataFrame(
+        [(sentinel_ts, "__sentinel__", 0.0)], "ts timestamp, event_type string, value double"
+    )
+    watermark = f"{stats['d'] + 2} days"
+
+    tmp = tempfile.mkdtemp(prefix="st06-")
+    try:
+        src, chk = os.path.join(tmp, "src"), os.path.join(tmp, "chk")
+        half_a = ev.filter(F.col("event_id") % 2 == 0).select("ts", "event_type", "value")
+        half_b = ev.filter(F.col("event_id") % 2 == 1).select("ts", "event_type", "value")
+        half_a.repartition(2).write.parquet(src)
+
+        # foreachBatch sink, NOT the memory sink: the memory sink refuses to
+        # recover from an existing checkpoint ("does not support recovering
+        # from checkpoint location"), and checkpoint recovery is precisely
+        # what this entry exercises.  foreachBatch is also the production
+        # sink shape (streaming/reconcile.py hands plans to the HTTP writer
+        # the same way) — the driver-side list is the test harness only.
+        def start_query(bucket: list):
+            stream = (
+                spark.readStream.schema("ts timestamp, event_type string, value double")
+                .option("maxFilesPerTrigger", 1)
+                .option("latestFirst", "false")
+                .parquet(src)
+            )
+            agg = tumbling_window_stream(stream, width="1 hour", watermark=watermark)
+
+            def sink(batch_df: DataFrame, epoch_id: int) -> None:
+                bucket.extend(batch_df.collect())
+
+            return (
+                agg.writeStream.outputMode("append")
+                .foreachBatch(sink)
+                .option("checkpointLocation", chk)
+                .start()
+            )
+
+        rows_a: list = []
+        rows_b: list = []
+        with _state_partitions(spark):
+            # incarnation 1: half the events, then a hard stop — the
+            # watermark spans the range so NO window finalizes yet; all
+            # of incarnation 1's aggregation state lives only in the
+            # checkpointed state store at this point.
+            q1 = start_query(rows_a)
+            try:
+                q1.processAllAvailable()
+            finally:
+                q1.stop()
+
+            _time.sleep(1.1)  # strictly later mtimes ⇒ new files form new batches
+            half_b.repartition(2).write.mode("append").parquet(src)
+            _time.sleep(1.1)
+            sentinel.coalesce(1).write.mode("append").parquet(src)
+
+        # incarnation 2 restarts from the checkpoint under a DIFFERENT
+        # session shuffle.partitions default, proving the frozen
+        # state-store partition count governs recovery, not the session.
+        with _state_partitions(spark, 8):
+            q2 = start_query(rows_b)
+            try:
+                q2.processAllAvailable()
+            finally:
+                q2.stop()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    out_schema = "window_start timestamp, event_type string, n bigint, total_value double"
+    emitted = spark.createDataFrame(rows_a + rows_b, out_schema)
+    return emitted.filter(F.col("event_type") != "__sentinel__")
