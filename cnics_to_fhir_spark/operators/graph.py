@@ -43,24 +43,63 @@ def pagerank_int(edges: DataFrame, iters: int = 2) -> DataFrame:
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     ranks = nodes.select("node", F.lit(SCALE).cast("long").alias("rank_q"))
     for _ in range(iters):
-        contrib = (
-            edges.join(ranks, edges["src"] == ranks["node"])
-            .join(deg, on="src")
-            .select(
-                F.col("dst").alias("node"),
-                F.expr("rank_q div deg").alias("c"),
-            )
-            .groupBy("node")
-            .agg(F.sum("c").alias("s"))
-        )
-        ranks = (
-            nodes.join(contrib, on="node", how="left")
-            .select(
-                "node",
-                (
-                    F.lit(BASE_Q)
-                    + F.expr("85 * coalesce(s, 0) div 100")
-                ).cast("long").alias("rank_q"),
-            )
-        )
+        ranks = _pagerank_step(edges, nodes, deg, ranks)
     return ranks
+
+
+def _pagerank_step(edges: DataFrame, nodes: DataFrame, deg: DataFrame, ranks: DataFrame) -> DataFrame:
+    contrib = (
+        edges.join(ranks, edges["src"] == ranks["node"])
+        .join(deg, on="src")
+        .select(
+            F.col("dst").alias("node"),
+            F.expr("rank_q div deg").alias("c"),
+        )
+        .groupBy("node")
+        .agg(F.sum("c").alias("s"))
+    )
+    return nodes.join(contrib, on="node", how="left").select(
+        "node",
+        (F.lit(BASE_Q) + F.expr("85 * coalesce(s, 0) div 100")).cast("long").alias("rank_q"),
+    )
+
+
+def pagerank_int_converged(
+    edges: DataFrame, tol_q: int = 1_000, max_iters: int = 60
+) -> DataFrame:
+    """Integer PageRank run to an EXPLICIT fixpoint: iterate until the
+    first step whose ∞-norm rank change is ≤ ``tol_q`` micro-units, and
+    return the PRE-step ranks of that step plus the iteration index —
+    → (node, rank_q, iters), ``iters`` identical on every row.
+
+    The convergence test is part of the replayable semantics: because the
+    whole trajectory is exact integer arithmetic (see ``pagerank_int``),
+    an independent engine replaying "emit iteration k+1 only while
+    delta(k→k+1) > tol" lands on the same final iteration AND the same
+    ranks — which is how the gr02 oracle checks this with a recursive CTE.
+
+    Scale shape per iteration: the same single keyed shuffle as
+    ``pagerank_int``, plus one O(nodes) join for the delta and a 1-row
+    driver round-trip (the max-delta check — dd06's fixpoint pattern);
+    ``localCheckpoint`` truncates lineage so long runs don't accumulate a
+    60-deep plan."""
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint(eager=True)
+    ranks = nodes.select("node", F.lit(SCALE).cast("long").alias("rank_q"))
+    for i in range(max_iters):
+        new = _pagerank_step(edges, nodes, deg, ranks).localCheckpoint(eager=True)
+        delta = (
+            new.alias("n")
+            .join(ranks.alias("o"), on="node")
+            .agg(F.max(F.abs(F.col("n.rank_q") - F.col("o.rank_q"))).alias("d"))
+            .first()["d"]
+        )
+        if delta is not None and delta <= tol_q:
+            return ranks.withColumn("iters", F.lit(i).cast("int"))
+        ranks = new
+    raise RuntimeError(f"pagerank did not converge within {max_iters} iterations")

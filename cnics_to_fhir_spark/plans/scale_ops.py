@@ -2793,3 +2793,90 @@ def gr01_pagerank_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_suppkey") * 2 + 1).alias("src"), (F.col("o_custkey") * 2).alias("dst")
     )
     return pagerank_int(fwd.unionAll(bwd), iters=2)
+
+
+# ---------------------------------------------------------------------------
+# gr02 — PageRank run to an integer fixpoint (convergence itself oracle-pinned)
+# ---------------------------------------------------------------------------
+@query(
+    "gr02_pagerank_converged",
+    tags="GR CL-iterative J1 A5",
+    oracle="""
+        WITH RECURSIVE
+        raw AS (
+            SELECT DISTINCT o.o_custkey AS ck, l.l_suppkey AS sk
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        ),
+        edges AS (
+            SELECT node_pair.src, node_pair.dst FROM (
+                SELECT ck*2 AS src, sk*2+1 AS dst FROM raw
+                UNION ALL
+                SELECT sk*2+1 AS src, ck*2 AS dst FROM raw
+            ) node_pair
+        ),
+        -- NOTE: under WITH RECURSIVE a helper CTE whose body is a bare
+        -- UNION is parsed as (anchor UNION step) recursion and emits
+        -- duplicates; DISTINCT over a UNION ALL subquery avoids that.
+        nodes AS (
+            SELECT DISTINCT node FROM (
+                SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges
+            ) u
+        ),
+        deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+        pr AS (
+            SELECT 0 AS iter, node, CAST(1000000 AS BIGINT) AS rank_q FROM nodes
+          UNION ALL
+            SELECT p.iter + 1, n.node,
+                   CAST(150000 + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT)
+            FROM nodes n
+            JOIN pr p ON p.node = n.node
+            LEFT JOIN (
+                SELECT e.dst AS node, SUM(p2.rank_q // d.deg) AS s
+                FROM edges e JOIN pr p2 ON e.src = p2.node JOIN deg d ON e.src = d.src
+                GROUP BY e.dst
+            ) c ON c.node = n.node
+            WHERE p.iter < 60
+              AND (SELECT MAX(ABS(
+                     CAST(150000 + (85 * COALESCE(c2.s, 0)) // 100 AS BIGINT)
+                     - p3.rank_q))
+                   FROM nodes n2
+                   JOIN pr p3 ON p3.node = n2.node
+                   LEFT JOIN (
+                     SELECT e.dst AS node, SUM(p4.rank_q // d.deg) AS s
+                     FROM edges e JOIN pr p4 ON e.src = p4.node JOIN deg d ON e.src = d.src
+                     GROUP BY e.dst
+                   ) c2 ON c2.node = n2.node) > 1000
+        )
+        SELECT node, rank_q,
+               CAST((SELECT MAX(iter) FROM pr) AS INT) AS iters
+        FROM pr WHERE iter = (SELECT MAX(iter) FROM pr)
+    """,
+)
+def gr02_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gr01's propagation class completed: PageRank iterated to an
+    explicit integer fixpoint (first step moving no node by more than
+    1000 micro-units, i.e. 1e-3) instead of a fixed 2 iterations, with
+    the CONVERGED ITERATION COUNT itself part of the hash-compared
+    result.  The exact-integer trajectory makes until-convergence
+    replayable across engines: the oracle's recursive CTE emits
+    iteration k+1 only while delta(k→k+1) exceeds the tolerance, landing
+    on the same final iteration and identical ranks (dd06's fixpoint
+    shape, applied to value propagation instead of label propagation).
+    Per-iteration cost is one keyed shuffle + an O(nodes) delta join +
+    a 1-row driver round-trip (operators/graph.py)."""
+    from cnics_to_fhir_spark.operators.graph import pagerank_int_converged
+
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    raw = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+    fwd = raw.select(
+        (F.col("o_custkey") * 2).alias("src"), (F.col("l_suppkey") * 2 + 1).alias("dst")
+    )
+    bwd = raw.select(
+        (F.col("l_suppkey") * 2 + 1).alias("src"), (F.col("o_custkey") * 2).alias("dst")
+    )
+    return pagerank_int_converged(fwd.unionAll(bwd), tol_q=1_000, max_iters=60)

