@@ -61,91 +61,78 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # plus the sf1 probe), so entries outside the
 # driver's prefix are locally verified, never silently unchecked.
 _PRIORITY: tuple[str, ...] = (
+    # --- round-5 rotation policy: the driver's 50-entry prefix is the only
+    # independent correctness gate, so every round rotates in entries that
+    # have NEVER been driver-verified (18 this round, marked [new-to-
+    # driver]) while keeping a stable §2-core spine.  Rotated-out entries
+    # (e2e05, f05, f12, f14, p06, p08, j03, a04, w02, aj01, ev01, ann03,
+    # dc02, tx06, ds07, dd08, ds08, st02, dd09, j13, tx07, mm06) were all
+    # driver-green in rounds 1-4 and remain selfcheck-verified at three SFs
+    # every round; each is also exercised through a prefix-resident sibling
+    # (ev01's windowing inside st06; aj01's operator composed both
+    # directions inside aj02; ann03's IVF probe inside ann04-trained cl01
+    # and dd05's cell blocking; the curation family inside e2e07).
     # end-to-end verticals (§3.3 lifecycle, B1-B4, J6, A5)
     "e2e01_conditions_pipeline",
     "e2e02_observations_pipeline",
     "e2e03_medications_pipeline",
     "e2e04_patients_pipeline",
-    "e2e05_corpus_curation",
     # §2.8 scalar-function layer, queried directly (F1-F22)
     "f01_dx_coding_dispatch",
     "f04_med_status",
-    "f05_dx_category_maps",
     "f11_lab_value_typing",
-    "f12_unit_default_refrange",
-    "f14_string_cleanup",
     # §2.2-2.7 relational core
-    "p06_in_list_and_like",
-    "p08_guard_quirk",
     "j01_inner_join_agg",
-    "j03_decorrelated_page",
     "j06_merge_actions",
     "j08_broadcast_membership",
     "a03_first_row_per_group",
-    "a04_last_write_wins",
     "a04b_crosswalk_field_lww",
     "a06_uniqueness_guard",
     "o03_deterministic_sample",
     "w01_topn_per_group",
-    "w02_running_spend",
     "b01_resource_assembly",
-    # flagship scale extensions
-    "aj01_asof_join",
+    # flagship scale extensions (driver-green in prior rounds)
     "rj01_interval_attribution",
-    "ev01_tumbling_window",
     "ev02_sessionization",
     "ann01_cosine_topk",
-    "ann03_ivf_topk",
     "dd01_exact_dedup",
     "dd02_ngram_jaccard",
     "dd05_embedding_neardup",
-    # round-3 flagships (the q-series classics these replaced remain in
-    # the catalog, selfcheck, and bench; these three carry strictly more
-    # novel evidence for the driver's bounded verification window:
-    # full-pipeline LSH replay, real PNG decode, entity resolution)
     "dd03b_minhash_lsh_portable",
     "mm04_real_png_decode",
     "e2e06_entity_resolution",
-    # round-4 flagships: the crosswalk per-field LWW fix (a04b), the
-    # streaming↔batch MERGE equivalence run (st01), and the curation
-    # family (benchmark decontamination, PII redaction, repetition
-    # filters, hash splits, and their composed e2e07 vertical). Rotated
-    # out to make room, all still selfcheck-verified every round at three
-    # SFs: j06b (dup-key variant of prefix-resident j06), dd06 (iterative
-    # components, recursive-CTE-oracled), j02/j07 (variants of
-    # prefix-resident j01/j06), f17 (also driven through b01 + the e2e
-    # pipelines), f20 (also driven through b01 and f24's path
-    # extraction), and u01 (unionByName, also pinned by tests/test_job.py
-    # and exercised by u02).
     "st01_stream_batch_equivalence",
     "dc01_decontaminate",
-    "dc02_pii_redaction",
-    "tx06_repetition_signals",
-    "ds07_hash_split",
     "e2e07_curation_v2",
-    # round-4 continuation: sub-document boilerplate dedup (dd08), the
-    # mixture-epochs op (ds08), and the streaming windowed-agg
-    # equivalence run (st02).  Rotated out to stay at 50 — each remains
-    # selfcheck-verified at three SFs every round and exercised through
-    # siblings: a01 (distinct, also inside j02/e2e04), f08 (map lookup
-    # shape shared with prefix-resident f05), o02 (order+limit, same
-    # shape as prefix-resident w01 top-n and the q-suite orderings).
-    "dd08_boilerplate_removal",
-    "ds08_epoch_mixture",
-    "st02_stream_window_equivalence",
-    # round-4 continuation, second batch: SemDeDup over trained clusters,
-    # dynamic partition pruning (self-asserting plan), the unigram-LM
-    # quality score, and perceptual image dedup over real decoded pixels.
-    # Rotated out to stay at 50 (each remains selfcheck-run at sf0.001/
-    # 0.01/0.1 + the sf1 probe, and each is ALSO exercised inside
-    # prefix-resident e2e entries): p04 (P4 is part of e2e01's filter
-    # stack), a02 (collect_set lives in e2e04's identifier assembly),
-    # a05 (the A5 counter agg runs in every e2e pipeline's merge stage),
-    # j05 (the left-anti delete is e2e04's delete classification path).
-    "dd09_semantic_dedup",
-    "j13_dynamic_partition_pruning",
-    "tx07_unigram_surprise",
-    "mm06_image_phash_dedup",
+    # [new-to-driver] q-suite classics that predate the 50-entry window
+    "q02_min_cost_supplier",
+    "q07_volume_shipping",
+    "q15_top_supplier",
+    # [new-to-driver] window/aggregate family
+    "w04_rank_family",
+    "a16_cube_subtotals",
+    "tx04_heavy_hitters",
+    # [new-to-driver] dataset assembly + mixtures
+    "ds03_greedy_packing",
+    "ds09_temperature_mixture",
+    # [new-to-driver] fuzzy matching + event analytics
+    "dd07_fuzzy_name_match",
+    "ev06_cohort_retention",
+    "ev07_funnel",
+    # [new-to-driver] as-of nearest, bucketed co-located join
+    "aj02_asof_nearest",
+    "j12_bucketed_colocated_join",
+    # [new-to-driver] trained-quantizer clustering + IVF probe
+    "cl01_kmeans_assign",
+    "ann04_ivf_trained_topk",
+    # [new-to-driver] graph propagation: fixed-iter + converged fixpoint
+    "gr01_pagerank_2iter",
+    "gr02_pagerank_converged",
+    # [new-to-driver] streaming: stateful sessions, stream-stream join,
+    # checkpoint-restart recovery (st06 is new this round)
+    "st04_stream_session_equivalence",
+    "st05_stream_stream_join_equivalence",
+    "st06_stream_restart_equivalence",
 )
 
 

@@ -1,13 +1,14 @@
-"""Synthesize an sf1 dataset (10× sf0.1) under /tmp for scale probing.
+"""Synthesize an sfN dataset (COPIES × sf0.1) under /tmp for scale probing.
 
 The driver ships sf0.001/0.01/0.1 only; wall-time there is overhead-bound
 (PLANS.md "Measured scaling"), so data-proportional effects barely show.
-This tool replicates sf0.1 ten times with disjoint key ranges — foreign
-keys offset consistently on both sides, so joins keep their selectivity
-and group counts scale ~10× — giving a fourth point at a genuine 1000×
-span over sf0.001.
+This tool replicates sf0.1 with disjoint key ranges — foreign keys offset
+consistently on both sides, so joins keep their selectivity and group
+counts scale ~COPIES× — giving further points at a genuine 1000×-10000×
+span over sf0.001: 10 copies ⇒ sf1, 100 copies ⇒ sf10.
 
-Usage: python tools/make_sf1.py [out_dir]   (default /tmp/sf1)
+Usage: python tools/make_sf1.py [out_dir] [copies]
+       (defaults: /tmp/sf1 10;  sf10: python tools/make_sf1.py /tmp/sf10 100)
 """
 
 from __future__ import annotations
@@ -68,18 +69,27 @@ def _doc_variant(df, i: int):
 
 
 def _emb_variant(df, i: int):
-    # rotate the vector by i positions: norms and value distribution
-    # unchanged, cross-copy cosine decorrelated
+    # rotate the vector by a copy-dependent number of positions (norms and
+    # value distribution unchanged, cross-copy cosine decorrelated); 7 is
+    # coprime with 64 so rotations stay distinct for 64 copies, and copies
+    # past the rotation cycle additionally negate the vector so no two
+    # copies of the same base vector are near-duplicates at 100 copies
     if i == 0:
         return df
     dim = 64
+    r = (i * 7) % dim
     v = F.col("embedding")
-    rotated = F.concat(F.slice(v, i + 1, dim - i), F.slice(v, 1, i))
+    rotated = F.concat(F.slice(v, r + 1, dim - r), F.slice(v, 1, r)) if r else v
+    if i >= dim:
+        rotated = F.transform(rotated, lambda x: -x)
     return df.withColumn("embedding", rotated)
 
 
 def main() -> None:
+    global COPIES
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
+    if len(sys.argv) > 2:
+        COPIES = int(sys.argv[2])
     spark = build_session("make_sf1")
     t = lambda name: read_table(spark, SRC, name)
 

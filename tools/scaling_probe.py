@@ -1,7 +1,13 @@
-"""Scaling probe: run representative catalog queries across the three
-testdata scale factors (sf0.001 → sf0.1, a 100× data span) in ONE warm
-session and print per-SF wall times plus the log-log scaling exponent
-(1.0 = linear in data size; < 1 = fixed overhead still dominates).
+"""Scaling probe: run representative catalog queries across several scale
+factors in ONE warm session and print per-SF wall times plus the log-log
+scaling exponent between the two largest points (1.0 = linear in data
+size; < 1 = fixed overhead still dominates).
+
+Default span: the three shipped testdata SFs (sf0.001 → sf0.1, 100×).
+Override via SPARK_GRAFT_PROBE_DIRS="sf1=/tmp/sf1:1,sf10=/tmp/sf10:10"
+(comma-separated name=path:sf triples) to probe synthesized datasets —
+e.g. the sf1→sf10 span for entries whose sf0.1→sf1 ratio tracked true
+output growth, separating linear-in-output from superlinear-in-input.
 
 Usage: python tools/scaling_probe.py [query ...]
 """
@@ -19,7 +25,19 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from cnics_to_fhir_spark.plans import catalog
 from cnics_to_fhir_spark.session import build_session
 
-SFS = [("sf0.001", 0.001), ("sf0.01", 0.01), ("sf0.1", 0.1)]
+def _sfs() -> list[tuple[str, float, str]]:
+    spec = os.environ.get("SPARK_GRAFT_PROBE_DIRS")
+    if not spec:
+        return [
+            (n, sf, f"/root/testdata/{n}")
+            for n, sf in [("sf0.001", 0.001), ("sf0.01", 0.01), ("sf0.1", 0.1)]
+        ]
+    out = []
+    for part in spec.split(","):
+        name, rest = part.split("=", 1)
+        path, sf = rest.rsplit(":", 1)
+        out.append((name, float(sf), path))
+    return out
 DEFAULT = [
     "e2e01_conditions_pipeline",
     "q01_pricing_summary",
@@ -33,23 +51,24 @@ DEFAULT = [
 
 def main() -> int:
     names = sys.argv[1:] or DEFAULT
+    sfs = _sfs()
     spark = build_session("scaling", master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
     entries = catalog()
     out = {}
     for name in names:
         e = entries[name]
         times = {}
-        for sf_name, _ in SFS:
-            sf_dir = f"/root/testdata/{sf_name}"
+        for sf_name, _, sf_dir in sfs:
             best = math.inf
             for _ in range(2):  # best-of-2: isolate from JIT/IO warmup
                 t = time.time()
                 e.spark(spark, sf_dir).count()
                 best = min(best, time.time() - t)
             times[sf_name] = round(best, 3)
-        # log-log slope between the two largest SFs (0.01 → 0.1)
-        slope = math.log(times["sf0.1"] / times["sf0.01"]) / math.log(10)
-        out[name] = {**times, "exp_01_to_1": round(slope, 2)}
+        # log-log slope between the two largest SFs
+        (na, fa, _), (nb, fb, _) = sfs[-2], sfs[-1]
+        slope = math.log(times[nb] / times[na]) / math.log(fb / fa)
+        out[name] = {**times, "exp_last_span": round(slope, 2)}
         print(f"# {name}: " + " ".join(f"{k}={v}s" for k, v in times.items()) + f" exp={slope:.2f}")
     print(json.dumps(out))
     return 0
