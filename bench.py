@@ -162,6 +162,19 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = build_session("bench")
 
+    # Prior round's per-query numbers (the committed sidecar, read BEFORE it
+    # is overwritten) drive the end-of-run regression diff: round-over-round
+    # drift gets attributed per query instead of discovered a round later.
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_detail.json")
+    prior: dict[str, float] = {}
+    try:
+        with open(detail_path) as f:
+            prev = json.load(f)
+        if prev.get("sf") == (float(sf) if sf.replace(".", "").isdigit() else sf):
+            prior = prev.get("queries", {})
+    except (OSError, ValueError):
+        pass
+
     entries = catalog()
     # Warmup: force JVM + parquet footer reads once, outside timed region.
     entries["a01_distinct"].spark(spark, sf_dir).count()
@@ -169,24 +182,48 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         e = entries[name]
-        # best-of-2: the second run re-executes the full plan (no caching
-        # anywhere in the engine) but sheds codegen-compile and scheduler
-        # warmup noise — steady-state throughput is what scales.
-        best, n = float("inf"), 0
-        for _ in range(2):
+        # median-of-3: each run re-executes the full plan (no caching
+        # anywhere in the engine); the median sheds both codegen-compile
+        # warmup on run 1 AND one-off scheduler/GC stalls that best-of-N
+        # would hide and single-shot would mistake for a regression —
+        # 80-300 ms noise on sub-second queries made round-over-round drift
+        # unattributable before.
+        runs = []
+        n = 0
+        for _ in range(3):
             # Cold cache per run: dd03 persists its shingle table inside its
             # plan and can't unpersist lazily; leaked cache blocks otherwise
             # bleed memory pressure into later queries (observed: dd05 6.3 s
-            # next to dd03 vs 0.7 s isolated) and make run 2 a cache hit
-            # instead of a re-execution.
+            # next to dd03 vs 0.7 s isolated) and make later runs cache hits
+            # instead of re-executions.
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             # count() executes the whole plan without driver-side
             # materialization of payload columns.
             n = e.spark(spark, sf_dir).count()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(sorted(runs)[1], 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", flush=True)
+
+    # Regression diff vs the prior committed detail (same SF only): flag
+    # >1.3x movers in either direction so a real regression is visible the
+    # round it happens, with noise already filtered by the median.
+    regressions: dict[str, dict[str, float]] = {}
+    for name, t in timings.items():
+        p = prior.get(name)
+        if p and p > 0 and (t / p > 1.3 or t / p < 1 / 1.3):
+            regressions[name] = {"prior": p, "now": t, "ratio": round(t / p, 2)}
+    if prior:
+        common = [k for k in timings if k in prior]
+        print(
+            f"# vs prior detail: {len(common)} common, "
+            f"prior sum {round(sum(prior[k] for k in common), 2)}s -> "
+            f"now {round(sum(timings[k] for k in common), 2)}s, "
+            f"{len(regressions)} movers past 1.3x",
+            flush=True,
+        )
+        for name, r in sorted(regressions.items(), key=lambda kv: -kv[1]["ratio"]):
+            print(f"#   {r['ratio']}x {name}: {r['prior']}s -> {r['now']}s", flush=True)
 
     total = round(sum(timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -199,10 +236,11 @@ def main() -> None:
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
+        "timing": "median_of_3",
         "queries": timings,
+        "regressions_vs_prior": regressions,
         "sf": sf_val,
     }
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_detail.json")
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
     print(f"# per-query detail -> {detail_path}", flush=True)
