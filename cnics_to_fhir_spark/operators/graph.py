@@ -103,3 +103,90 @@ def pagerank_int_converged(
             return ranks.withColumn("iters", F.lit(i).cast("int"))
         ranks = new
     raise RuntimeError(f"pagerank did not converge within {max_iters} iterations")
+
+
+# ---------------------------------------------------------------------------
+# Connected components by alternating star contraction
+# ---------------------------------------------------------------------------
+
+def _canon(e: DataFrame) -> DataFrame:
+    """Canonical undirected edge set: (a, b) with a < b, distinct."""
+    return (
+        e.select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def _sym(e: DataFrame) -> DataFrame:
+    return e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+        e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+
+
+def _nbr_min(sym: DataFrame) -> DataFrame:
+    """m(u) = min(u, min of u's neighborhood) — one keyed shuffle."""
+    return sym.groupBy("u").agg(F.least(F.first("u"), F.min("v")).alias("m"))
+
+
+def connected_components_star(pairs: DataFrame, max_rounds: int = 25) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    contraction (the MapReduce-native CC algorithm: Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) —
+    → (doc_id, cluster_rep) for every id appearing in ``pairs``, identical
+    output contract to ``operators.dedup.duplicate_clusters``.
+
+    Why a second CC algorithm: min-label propagation converges in
+    O(component diameter) rounds — fine for near-clique duplicate groups,
+    a scale hazard for high-diameter graphs (similarity CHAINS: a~b~c~…
+    where only adjacent pairs match — exactly what near-dup thresholds
+    produce on document drift series). Star contraction halves component
+    height per round, converging in O(log² n) rounds regardless of
+    diameter, each round two keyed shuffles (neighborhood-min + regroup).
+
+    Per round: large-star hangs every node's LARGER neighbors onto its
+    neighborhood minimum; small-star then hangs the smaller-or-equal side.
+    The edge set monotonically contracts toward depth-1 stars rooted at
+    component minima; the fixpoint test (edge set unchanged) costs one
+    count + an exceptAll probe on materialized (localCheckpoint'd) edges.
+    The fixpoint is path-independent — same components whatever the round
+    interleaving — so a recursive-CTE reachability oracle (dd06's) checks
+    it independently of the algorithm."""
+    edges = _canon(
+        pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    ).localCheckpoint(eager=True)
+    all_nodes = (
+        edges.select(F.col("a").alias("doc_id"))
+        .unionByName(edges.select(F.col("b").alias("doc_id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        # large-star: emit (v, m(u)) for every neighbor v > u
+        s = _sym(edges)
+        m = _nbr_min(s)
+        ls = _canon(
+            s.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        )
+        # small-star: emit (v, m(u)) for v <= u, plus (u, m(u))
+        s2 = _sym(ls)
+        m2 = _nbr_min(s2)
+        ss = _canon(
+            s2.join(m2, "u")
+            .filter(F.col("v") < F.col("u"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .unionByName(m2.select(F.col("u").alias("a"), F.col("m").alias("b")))
+        ).localCheckpoint(eager=True)
+        unchanged = (
+            ss.count() == edges.count()
+            and ss.exceptAll(edges).limit(1).count() == 0
+        )
+        edges = ss
+        if unchanged:
+            rep = edges.select(F.col("b").alias("doc_id"), F.col("a").alias("cluster_rep"))
+            return all_nodes.join(rep, "doc_id", "left").select(
+                "doc_id", F.coalesce("cluster_rep", "doc_id").alias("cluster_rep")
+            )
+    raise RuntimeError(f"star contraction did not converge in {max_rounds} rounds")

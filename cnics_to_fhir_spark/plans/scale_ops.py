@@ -2880,3 +2880,62 @@ def gr02_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_suppkey") * 2 + 1).alias("src"), (F.col("o_custkey") * 2).alias("dst")
     )
     return pagerank_int_converged(fwd.unionAll(bwd), tol_q=1_000, max_iters=60)
+
+
+# ---------------------------------------------------------------------------
+# dd10 — connected components by star contraction (the O(log²)-round CC)
+# ---------------------------------------------------------------------------
+@query(
+    "dd10_dup_clusters_star",
+    tags="DD-clusters GR CL-iterative J1",
+    oracle="""
+        WITH RECURSIVE base AS (
+            SELECT doc_id AS id,
+                   array_to_string((string_split(text, ' '))[1:4], ' ') AS block,
+                   list_distinct(
+                       CASE WHEN len(string_split(text, ' ')) >= 3
+                            THEN list_transform(
+                                   range(1, len(string_split(text, ' ')) - 1),
+                                   i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))
+                            ELSE [text]
+                       END) AS shingles
+            FROM documents
+        ),
+        pairs AS (
+            SELECT a.id AS id_a, b.id AS id_b
+            FROM base a JOIN base b ON a.block = b.block AND a.id < b.id
+            WHERE FLOOR((CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                  / len(list_distinct(a.shingles || b.shingles)))*1e6 + 0.5)/1e6 >= 0.5
+        ),
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION ALL
+            SELECT id_b AS src, id_a AS dst FROM pairs
+        ),
+        reach AS (
+            SELECT DISTINCT src AS id, src AS r FROM edges
+            UNION
+            SELECT e.dst AS id, reach.r FROM reach JOIN edges e ON e.src = reach.id
+        )
+        SELECT id AS doc_id, MIN(r) AS cluster_rep FROM reach GROUP BY id
+    """,
+)
+def dd10_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dd06's transitive closure recomputed by a DIFFERENT algorithm:
+    alternating large-star / small-star contraction (Kiveris et al.,
+    SoCC'14 — operators/graph.py), which converges in O(log² n) rounds
+    regardless of component diameter, vs min-label propagation's
+    O(diameter).  Same near-dup pair graph, same recursive-CTE
+    reachability oracle: because connected components are
+    path-independent, the oracle checks the RESULT without assuming the
+    algorithm — two independent Spark implementations (dd06, dd10) and
+    one independent SQL closure all land on the identical hash.  The
+    scale case for this variant: near-dup thresholds produce similarity
+    CHAINS (doc drift series) whose diameter grows with corpus size;
+    star contraction's round count doesn't."""
+    pairs = dedup.ngram_jaccard_pairs(
+        table(spark, sf_dir, "documents"), k=3, block_words=4, threshold=0.5
+    )
+    from cnics_to_fhir_spark.operators.graph import connected_components_star
+
+    return connected_components_star(pairs)

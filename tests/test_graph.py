@@ -42,3 +42,31 @@ def test_pagerank_converged_reaches_integer_fixpoint(spark):
     # node by more than the tolerance
     again = pagerank_int_converged(edges, tol_q=1000, max_iters=60).collect()
     assert {r["node"]: r["rank_q"] for r in again} == out
+
+
+def test_star_contraction_matches_label_propagation(spark):
+    """Two independent CC implementations must agree on every component —
+    including a long CHAIN, label propagation's worst case (O(diameter)
+    rounds) and exactly the shape star contraction exists to kill."""
+    from cnics_to_fhir_spark.operators.dedup import duplicate_clusters
+    from cnics_to_fhir_spark.operators.graph import connected_components_star
+
+    # chain 1-2-...-12 (diameter 11), a triangle {20,21,22}, a pair {30,31}
+    chain = [(i, i + 1) for i in range(1, 12)]
+    pairs = chain + [(20, 21), (21, 22), (20, 22), (30, 31)]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    star = {r["doc_id"]: r["cluster_rep"] for r in connected_components_star(df).collect()}
+    prop = {r["doc_id"]: r["cluster_rep"] for r in duplicate_clusters(df).collect()}
+    assert star == prop
+    assert star[12] == 1 and star[22] == 20 and star[31] == 30
+    assert set(star) == set(range(1, 13)) | {20, 21, 22, 30, 31}
+
+
+def test_star_contraction_handles_unordered_and_duplicate_pairs(spark):
+    from cnics_to_fhir_spark.operators.graph import connected_components_star
+
+    df = spark.createDataFrame(
+        [(5, 3), (3, 5), (5, 3), (7, 9), (9, 8)], "id_a long, id_b long"
+    )
+    out = {r["doc_id"]: r["cluster_rep"] for r in connected_components_star(df).collect()}
+    assert out == {3: 3, 5: 3, 7: 7, 8: 7, 9: 7}
