@@ -55,6 +55,27 @@ def kmeans_assign(
     """Run ``iters`` Lloyd iterations from a deterministic init (the k
     lowest-id vectors) and return the final assignment
     (vec_id, cluster, dist — dist rounded 6 dp)."""
+    assigned, _ = kmeans_train(spark, df, vec_col=vec_col, id_col=id_col, k=k, iters=iters)
+    return assigned
+
+
+def kmeans_train(
+    spark: SparkSession,
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 4,
+    iters: int = 2,
+) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
+    """``kmeans_assign`` plus the trained centroid matrix: → (assignment
+    DataFrame, [(cid, centroid_vector), ...]).  The centroid list is what
+    multi-probe search needs (ann06) — k×dim floats, driver-resident by
+    design (the same matrix that round-trips the driver per iteration).
+
+    The returned centroids are the ones that PRODUCED the final
+    assignment (pre-final-recompute): probe selection against any other
+    matrix would disagree with the cell the corpus was indexed under —
+    and with the oracle, which unrolls exactly ``iters`` assign steps."""
     vectors = df.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
     )
@@ -68,8 +89,12 @@ def kmeans_assign(
         return spark.createDataFrame(rows, "cid int, cv array<double>")
 
     assigned = None
-    for _ in range(iters):
+    used_rows = centroid_rows
+    for step in range(iters):
+        used_rows = centroid_rows
         assigned = _assign(vectors, centroid_df(centroid_rows))
+        if step + 1 == iters:
+            break  # the final recompute would never be consumed
         means = (
             assigned.select("cid", F.posexplode("v").alias("idx", "val"))
             .groupBy("cid", "idx")
@@ -81,8 +106,9 @@ def kmeans_assign(
         )
         centroid_rows = [(r["cid"], list(r["cv"])) for r in means]
 
-    return assigned.select(
+    out = assigned.select(
         "vec_id",
         F.col("cid").alias("cluster"),
         stable_round(F.col("dist"), 6).alias("dist"),
     )
+    return out, used_rows

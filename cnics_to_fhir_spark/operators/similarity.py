@@ -141,6 +141,80 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def ivf_topk_multiprobe(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    nprobe: int = 2,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """IVF with nprobe > 1: each query probes its ``nprobe`` NEAREST coarse
+    cells (by squared distance to the trained centroids, ties on cid) —
+    the standard production recall knob over ``ivf_topk``'s nprobe=1.
+
+    Scale shape: the centroid table is k rows (driver-resident by design,
+    the k-means training already round-trips it); the per-query probe list
+    comes from a broadcast nested-loop over those k rows + a window, then
+    EXPLODES to nprobe rows per query — so the probe join stays a cell
+    equi-join (bucket-by-cell ⇒ shuffle-free), just with nprobe× the
+    query-side rows; the corpus side still never replicates or shuffles.
+    Fully deterministic (same distance expansion + rounding as the
+    quantizer), hence SQL-replayable: ann06's oracle extends ann04's
+    unrolled training with an rn <= nprobe probe set."""
+    spark = corpus.sparkSession
+    cent = spark.createDataFrame(centroids, "cid int, cv array<double>")
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_norm"),
+    )
+    w = Window.partitionBy("query_id").orderBy("dist", "cid")
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn(
+            "dist",
+            # rounded to the 1e-6 grid before ranking (oracle mirrors with
+            # FLOOR(d*1e6+0.5)/1e6): Spark sums the dot-product terms in
+            # array order, DuckDB in its own — an unrounded rank-2 probe
+            # boundary flips on float-summation noise between engines
+            stable_round(
+                dot(F.col("q_vec"), F.col("q_vec"))
+                - 2 * dot(F.col("q_vec"), F.col("cv"))
+                + dot(F.col("cv"), F.col("cv")),
+                6,
+            ),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "q_vec", "q_norm", F.col("cid").alias("cell"))
+    )
+    c = ensure_min_parallelism(corpus, id_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(cell_col).alias("cell"),
+        F.col(vec_col).cast("array<double>").alias("c_vec"),
+        norm(F.col(vec_col)).alias("c_norm"),
+    )
+    scored = (
+        c.join(F.broadcast(probes), on="cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            stable_round(
+                cosine_with_norms(
+                    F.col("q_vec"), F.col("c_vec"), F.col("q_norm"), F.col("c_norm")
+                ),
+                6,
+            ).alias("cosine_sim"),
+        )
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rank", F.row_number().over(wk)).filter(F.col("rank") <= k)
+
+
 def _plane_weight(plane: int, dim_index: Column, portable: bool = False) -> Column:
     """Deterministic pseudo-random hyperplane weight in [-1, 1):
     xxhash64(plane, dim) scaled; or, when ``portable``, the md5-derived

@@ -2939,3 +2939,88 @@ def dd10_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cnics_to_fhir_spark.operators.graph import connected_components_star
 
     return connected_components_star(pairs)
+
+
+# ---------------------------------------------------------------------------
+# ann06 — multi-probe IVF (nprobe=2, the production recall knob)
+# ---------------------------------------------------------------------------
+@query(
+    "ann06_ivf_multiprobe_topk",
+    tags="ANN-ivf CL-iterative J1 W",
+    oracle="""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        c0 AS (
+            SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid,
+                   list_transform(v, x -> FLOOR(x*1e6 + 0.5)/1e6) AS cv
+            FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 4)
+        ),
+        a0 AS (
+            SELECT vec_id, v, cid FROM (
+                SELECT e.vec_id, e.v, c.cid,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                           list_dot_product(e.v, e.v) - 2*list_dot_product(e.v, c.cv)
+                             + list_dot_product(c.cv, c.cv), c.cid) AS rn
+                FROM e CROSS JOIN c0 c
+            ) WHERE rn = 1
+        ),
+        c1 AS (
+            SELECT cid, list(m ORDER BY idx) AS cv FROM (
+                SELECT a.cid, t.idx, FLOOR(AVG(a.v[CAST(t.idx AS INT) + 1])*1e6 + 0.5)/1e6 AS m
+                FROM a0 a, range(64) t(idx)
+                GROUP BY a.cid, t.idx
+            ) GROUP BY cid
+        ),
+        cells AS (
+            SELECT vec_id, v, cid FROM (
+                SELECT e.vec_id, e.v, c.cid,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                           list_dot_product(e.v, e.v) - 2*list_dot_product(e.v, c.cv)
+                             + list_dot_product(c.cv, c.cv), c.cid) AS rn
+                FROM e CROSS JOIN c1 c
+            ) WHERE rn = 1
+        ),
+        probes AS (
+            -- probe distance rounded to the 1e-6 grid before ranking,
+            -- mirroring the Spark side: the rank-2 boundary otherwise
+            -- flips on float-summation order between engines
+            SELECT vec_id AS query_id, v AS qv, cid FROM (
+                SELECT e.vec_id, e.v, c.cid,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                           FLOOR((list_dot_product(e.v, e.v) - 2*list_dot_product(e.v, c.cv)
+                             + list_dot_product(c.cv, c.cv))*1e6 + 0.5)/1e6, c.cid) AS rn
+                FROM (SELECT * FROM e WHERE vec_id < 8) e CROSS JOIN c1 c
+            ) WHERE rn <= 2
+        ),
+        scored AS (
+            SELECT p.query_id, c.vec_id AS neighbor_id,
+                   FLOOR((list_dot_product(p.qv, c.v)
+                         / (SQRT(list_dot_product(p.qv, p.qv)) * SQRT(list_dot_product(c.v, c.v))))*1e6 + 0.5)/1e6 AS cosine_sim
+            FROM probes p
+            JOIN cells c ON p.cid = c.cid AND c.vec_id <> p.query_id
+        )
+        SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+            SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cosine_sim DESC, neighbor_id) AS INTEGER) AS rank
+            FROM scored
+        ) WHERE rank <= 5
+    """,
+)
+def ann06_ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ann04 with nprobe=2: every query searches its TWO nearest trained
+    cells instead of one — the standard IVF recall knob (recall rises
+    because true neighbors straddling a cell boundary become reachable;
+    cost rises by exactly nprobe× on the query side while the corpus side
+    still never replicates or shuffles).  The oracle extends ann04's
+    unrolled k-means training with an rn <= 2 probe set, so training,
+    probe selection, and search are all hash-checked end to end
+    (operators/similarity.py ivf_topk_multiprobe)."""
+    from cnics_to_fhir_spark.operators import clustering, similarity
+
+    emb = table(spark, sf_dir, "embeddings")
+    assigned, centroids = clustering.kmeans_train(spark, emb, k=4, iters=2)
+    indexed = emb.join(assigned.select("vec_id", F.col("cluster").alias("cell")), "vec_id")
+    return similarity.ivf_topk_multiprobe(
+        indexed, indexed.filter(F.col("vec_id") < 8), centroids, nprobe=2, k=5
+    )

@@ -261,3 +261,28 @@ def test_semantic_dedup_honors_custom_column_names(spark):
     assert sorted(out) == [1, 2, 3]
     assert out[1]["is_dup"] is False and out[2]["is_dup"] is True
     assert out[3]["is_dup"] is False
+
+
+def test_multiprobe_recall_dominates_single_probe(spark):
+    """nprobe=2 must recover at least the recall of nprobe=1 against the
+    brute-force answer — the whole point of the knob — and each query's
+    candidate pool must span two cells' worth of neighbors."""
+    from cnics_to_fhir_spark.operators import clustering
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 8)
+    assigned, cents = clustering.kmeans_train(spark, emb, k=4, iters=2)
+    indexed = emb.join(assigned.select("vec_id", F.col("cluster").alias("cell")), "vec_id")
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in similarity.cosine_topk(emb, q, k=5).collect()}
+    one = {(r["query_id"], r["neighbor_id"])
+           for r in similarity.ivf_topk(indexed, indexed.filter(F.col("vec_id") < 8),
+                                        k=5, cell_col="cell").collect()}
+    two = {(r["query_id"], r["neighbor_id"])
+           for r in similarity.ivf_topk_multiprobe(
+               indexed, indexed.filter(F.col("vec_id") < 8), cents, nprobe=2, k=5
+           ).collect()}
+    r1 = len(exact & one) / len(exact)
+    r2 = len(exact & two) / len(exact)
+    assert r2 >= r1, f"nprobe=2 recall {r2} below nprobe=1 {r1}"
+    assert len(two) == len(one) == len(exact)  # both return full top-5 sets
