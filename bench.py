@@ -115,7 +115,8 @@ HEADLINE = [
     "mm06_image_phash_dedup",
     "j12_bucketed_colocated_join",
     "j13_dynamic_partition_pruning",
-    # Iterative ops (dd06, cl01, ann04, dd09 — k-means training loop) and
+    # Iterative ops (dd06, cl01, ann04, dd09, and the round-5 additions
+    # gr02/dd10/ann06 — k-means or fixpoint loops) and
     # streaming-equivalence runs
     # (st01/st02/st03 — micro-batch scheduling overhead, not data path) are
     # deliberately NOT headline: their wall time at toy SFs is driver-loop
