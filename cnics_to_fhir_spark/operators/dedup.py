@@ -178,6 +178,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     persist_shingles: bool = True,
     portable: bool = False,
+    materialize: bool = False,
 ) -> DataFrame:
     """MinHash → band buckets → equi-join candidates → exact-Jaccard verify.
 
@@ -185,6 +186,11 @@ def minhash_lsh_pairs(
     ``portable=True`` swaps xxhash64 for the md5-derived portable hash so
     an external engine can replay the full pipeline (see
     dd03b_minhash_lsh_portable); same plan shape, same shuffles.
+
+    ``materialize=True`` collects the (slim, ids+score) pair rows and
+    unpersists the shingle cache before returning — the lazy result
+    otherwise pins corpus-sized cached blocks for as long as callers hold
+    it (e2e07's cache-lifetime rule; the catalog entries use this).
     """
     rows = num_hashes // bands
     # The band join + pair dedup run over (id, band_id, band_hash) rows only
@@ -236,7 +242,13 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    return _verify_jaccard(candidates, shingled, threshold)
+    out = _verify_jaccard(candidates, shingled, threshold)
+    if persist_shingles and materialize:
+        pair_rows = out.collect()
+        schema = out.schema
+        shingled.unpersist()
+        return df.sparkSession.createDataFrame(pair_rows, schema)
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -76,7 +76,12 @@ def dd03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rows-only: xxhash64 signatures are not DuckDB-expressible; pytest pins
     semantics on fixtures."""
     return dedup.minhash_lsh_pairs(
-        table(spark, sf_dir, "documents"), num_hashes=32, bands=8, k=3, threshold=0.5
+        table(spark, sf_dir, "documents"),
+        num_hashes=32,
+        bands=8,
+        k=3,
+        threshold=0.5,
+        materialize=True,  # unpersist the shingle cache before returning
     )
 
 
@@ -147,6 +152,7 @@ def dd03b_minhash_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=3,
         threshold=0.5,
         portable=True,
+        materialize=True,  # unpersist the shingle cache before returning
     )
 
 
