@@ -2808,12 +2808,17 @@ def gr01_pagerank_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "gr02_pagerank_converged",
     tags="GR CL-iterative J1 A5",
     oracle="""
+        -- Helper CTEs are MATERIALIZED: DuckDB otherwise re-derives the
+        -- multi-million-row edge join inside every recursion step (>10 min
+        -- at sf1; 3.5 min materialized). The stop rule lives in a QUALIFY
+        -- over the step's own window, so the contribution join runs ONCE
+        -- per iteration instead of twice.
         WITH RECURSIVE
-        raw AS (
+        raw AS MATERIALIZED (
             SELECT DISTINCT o.o_custkey AS ck, l.l_suppkey AS sk
             FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
         ),
-        edges AS (
+        edges AS MATERIALIZED (
             SELECT node_pair.src, node_pair.dst FROM (
                 SELECT ck*2 AS src, sk*2+1 AS dst FROM raw
                 UNION ALL
@@ -2823,35 +2828,29 @@ def gr01_pagerank_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         -- NOTE: under WITH RECURSIVE a helper CTE whose body is a bare
         -- UNION is parsed as (anchor UNION step) recursion and emits
         -- duplicates; DISTINCT over a UNION ALL subquery avoids that.
-        nodes AS (
+        nodes AS MATERIALIZED (
             SELECT DISTINCT node FROM (
                 SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges
             ) u
         ),
-        deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+        deg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
         pr AS (
             SELECT 0 AS iter, node, CAST(1000000 AS BIGINT) AS rank_q FROM nodes
           UNION ALL
-            SELECT p.iter + 1, n.node,
-                   CAST(150000 + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT)
-            FROM nodes n
-            JOIN pr p ON p.node = n.node
-            LEFT JOIN (
-                SELECT e.dst AS node, SUM(p2.rank_q // d.deg) AS s
-                FROM edges e JOIN pr p2 ON e.src = p2.node JOIN deg d ON e.src = d.src
-                GROUP BY e.dst
-            ) c ON c.node = n.node
-            WHERE p.iter < 60
-              AND (SELECT MAX(ABS(
-                     CAST(150000 + (85 * COALESCE(c2.s, 0)) // 100 AS BIGINT)
-                     - p3.rank_q))
-                   FROM nodes n2
-                   JOIN pr p3 ON p3.node = n2.node
-                   LEFT JOIN (
-                     SELECT e.dst AS node, SUM(p4.rank_q // d.deg) AS s
-                     FROM edges e JOIN pr p4 ON e.src = p4.node JOIN deg d ON e.src = d.src
-                     GROUP BY e.dst
-                   ) c2 ON c2.node = n2.node) > 1000
+            SELECT iter, node, new_rank FROM (
+                SELECT p.iter + 1 AS iter, n.node,
+                       CAST(150000 + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS new_rank,
+                       p.rank_q AS old_rank
+                FROM nodes n
+                JOIN pr p ON p.node = n.node
+                LEFT JOIN (
+                    SELECT e.dst AS node, SUM(p2.rank_q // d.deg) AS s
+                    FROM edges e JOIN pr p2 ON e.src = p2.node JOIN deg d ON e.src = d.src
+                    GROUP BY e.dst
+                ) c ON c.node = n.node
+                WHERE p.iter < 100
+            ) s
+            QUALIFY MAX(ABS(new_rank - old_rank)) OVER () > 1000
         )
         SELECT node, rank_q,
                CAST((SELECT MAX(iter) FROM pr) AS INT) AS iters
@@ -2885,7 +2884,12 @@ def gr02_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     bwd = raw.select(
         (F.col("l_suppkey") * 2 + 1).alias("src"), (F.col("o_custkey") * 2).alias("dst")
     )
-    return pagerank_int_converged(fwd.unionAll(bwd), tol_q=1_000, max_iters=60)
+    # max_iters is a runaway guard, not a semantic bound: hub (supplier)
+    # nodes carry ~150x the initial mass (customer/supplier degree ratio),
+    # so the absolute 1e-3 tolerance takes ~59 iterations to damp at both
+    # sf0.01 and sf1 — 100 keeps headroom over the measured points while
+    # still failing fast on a genuine non-convergence bug.
+    return pagerank_int_converged(fwd.unionAll(bwd), tol_q=1_000, max_iters=100)
 
 
 # ---------------------------------------------------------------------------
