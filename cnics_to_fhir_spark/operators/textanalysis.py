@@ -254,3 +254,91 @@ def unigram_surprise(
             F.expr("sum_nll_q div n_tokens").alias("avg_nll_q"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training (tokenizer-learning over the corpus)
+# ---------------------------------------------------------------------------
+
+BPE_SEP = "\x1f"  # unit separator: never appears in text tokens (filtered)
+
+
+def _bpe_wrap(word: Column) -> Column:
+    """word → sentinel-wrapped symbol string: 'low' → '␟l␟␟o␟␟w␟'.
+
+    Each symbol is individually wrapped in the separator, so a merge
+    (A, B) is the LITERAL replace '␟A␟␟B␟' → '␟AB␟' — and because the
+    replacement re-emits both boundary sentinels, left-to-right
+    non-overlapping string replace reproduces greedy BPE application
+    exactly ('␟a␟␟a␟␟a␟␟a␟' → '␟aa␟␟aa␟'), identically in Spark and any
+    SQL engine with a literal replace().  Single-wrapping would break the
+    greedy chain (the consumed trailing sentinel can't start the next
+    match) and can also match across symbol boundaries."""
+    return F.concat(
+        F.lit(BPE_SEP), F.concat_ws(BPE_SEP + BPE_SEP, F.split(word, "")), F.lit(BPE_SEP)
+    )
+
+
+def _bpe_pairs(syms: Column) -> Column:
+    """Adjacent symbol pairs of a wrapped string, overlaps included
+    (classical BPE counts every adjacent occurrence)."""
+    arr = F.split(F.substring(syms, F.lit(2), F.length(syms) - 2), BPE_SEP + BPE_SEP)
+    # zip(arr[:-1], arr[1:]) — empty for single-symbol words (a
+    # sequence(1, 0) formulation would emit Spark's DESCENDING [1, 0] and
+    # index out of bounds there)
+    return F.zip_with(
+        F.slice(arr, 1, F.size(arr) - 1),
+        F.slice(arr, 2, F.size(arr) - 1),
+        lambda a, b: F.struct(a.alias("lhs"), b.alias("rhs")),
+    )
+
+
+def bpe_learn_merges(
+    df: DataFrame, text_col: str = "text", n_merges: int = 3
+) -> DataFrame:
+    """Learn the first ``n_merges`` BPE merges over the corpus —
+    → (merge_round, lhs, rhs, pair_count), one row per learned merge,
+    ties broken (count DESC, lhs ASC, rhs ASC) so the trajectory is
+    deterministic and SQL-replayable (tx08's oracle unrolls the rounds).
+
+    The distributed shape is the real tokenizer-training shape: pair
+    statistics aggregate over the WORD VOCABULARY weighted by word
+    frequency (vocabulary-bounded shuffle, corpus-sized only on the one
+    initial word count), and each round's winner is a 1-row driver
+    round-trip — k-means' economics applied to tokenizer training.
+    Merge application is a codegen'd literal replace on the wrapped
+    symbol string (see _bpe_wrap), no UDFs anywhere."""
+    words = (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .filter((F.col("w") != "") & (~F.col("w").contains(BPE_SEP)))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("n", _bpe_wrap(F.col("w")).alias("s"))
+        .localCheckpoint(eager=True)
+    )
+    merges = []
+    for r in range(1, n_merges + 1):
+        top = (
+            words.select("n", F.explode(_bpe_pairs(F.col("s"))).alias("p"))
+            .groupBy(F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs"))
+            .agg(F.sum("n").alias("pair_count"))
+            .orderBy(F.col("pair_count").desc(), F.col("lhs"), F.col("rhs"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        lhs, rhs, cnt = top[0]["lhs"], top[0]["rhs"], top[0]["pair_count"]
+        merges.append((r, lhs, rhs, cnt))
+        words = words.select(
+            "n",
+            F.replace(
+                F.col("s"),
+                F.lit(BPE_SEP + lhs + BPE_SEP + BPE_SEP + rhs + BPE_SEP),
+                F.lit(BPE_SEP + lhs + rhs + BPE_SEP),
+            ).alias("s"),
+        )
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        merges, "merge_round int, lhs string, rhs string, pair_count bigint"
+    )

@@ -3034,3 +3034,88 @@ def ann06_ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk_multiprobe(
         indexed, indexed.filter(F.col("vec_id") < 8), centroids, nprobe=2, k=5
     )
+
+
+# ---------------------------------------------------------------------------
+# tx08 — BPE merge training (tokenizer learning as a corpus computation)
+# ---------------------------------------------------------------------------
+@query(
+    "tx08_bpe_merge_training",
+    tags="TX A5 CL-iterative",
+    oracle="""
+        -- Unrolled 3-round BPE merge training; the sentinel-wrapped symbol
+        -- string makes greedy merge application a literal replace() with
+        -- identical semantics in both engines (see operators/textanalysis.py
+        -- _bpe_wrap).
+        WITH words AS (
+            SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM (
+                SELECT UNNEST(string_split(text, ' ')) AS w FROM documents
+            ) WHERE w <> '' AND NOT contains(w, chr(31))
+            GROUP BY w
+        ),
+        s0 AS (
+            SELECT n, chr(31) || array_to_string(string_split(w, ''),
+                   chr(31)||chr(31)) || chr(31) AS s
+            FROM words
+        ),
+        p1 AS (
+            SELECT pr.lhs AS lhs, pr.rhs AS rhs,
+                   CAST(SUM(n) AS BIGINT) AS pair_count FROM (
+                SELECT n, UNNEST(list_transform(range(1, len(arr)),
+                       i -> {'lhs': arr[i], 'rhs': arr[i+1]})) AS pr
+                FROM (SELECT n, string_split(s[2:len(s)-1],
+                             chr(31)||chr(31)) AS arr FROM s0)
+            ) GROUP BY pr.lhs, pr.rhs
+        ),
+        m1 AS (SELECT lhs, rhs, pair_count FROM p1
+                 ORDER BY pair_count DESC, lhs, rhs LIMIT 1),
+        s1 AS (
+            SELECT n, replace(s, chr(31)||m.lhs||chr(31)||chr(31)||m.rhs||chr(31),
+                                 chr(31)||m.lhs||m.rhs||chr(31)) AS s
+            FROM s0, m1 m),
+        p2 AS (
+            SELECT pr.lhs AS lhs, pr.rhs AS rhs,
+                   CAST(SUM(n) AS BIGINT) AS pair_count FROM (
+                SELECT n, UNNEST(list_transform(range(1, len(arr)),
+                       i -> {'lhs': arr[i], 'rhs': arr[i+1]})) AS pr
+                FROM (SELECT n, string_split(s[2:len(s)-1],
+                             chr(31)||chr(31)) AS arr FROM s1)
+            ) GROUP BY pr.lhs, pr.rhs
+        ),
+        m2 AS (SELECT lhs, rhs, pair_count FROM p2
+                 ORDER BY pair_count DESC, lhs, rhs LIMIT 1),
+        s2 AS (
+            SELECT n, replace(s, chr(31)||m.lhs||chr(31)||chr(31)||m.rhs||chr(31),
+                                 chr(31)||m.lhs||m.rhs||chr(31)) AS s
+            FROM s1, m2 m),
+        p3 AS (
+            SELECT pr.lhs AS lhs, pr.rhs AS rhs,
+                   CAST(SUM(n) AS BIGINT) AS pair_count FROM (
+                SELECT n, UNNEST(list_transform(range(1, len(arr)),
+                       i -> {'lhs': arr[i], 'rhs': arr[i+1]})) AS pr
+                FROM (SELECT n, string_split(s[2:len(s)-1],
+                             chr(31)||chr(31)) AS arr FROM s2)
+            ) GROUP BY pr.lhs, pr.rhs
+        ),
+        m3 AS (SELECT lhs, rhs, pair_count FROM p3
+                 ORDER BY pair_count DESC, lhs, rhs LIMIT 1)
+        SELECT 1 AS merge_round, lhs, rhs, pair_count FROM m1
+        UNION ALL SELECT 2, lhs, rhs, pair_count FROM m2
+        UNION ALL SELECT 3, lhs, rhs, pair_count FROM m3
+    """,
+)
+def tx08_bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the first 3 BPE merges over the document corpus — REAL
+    tokenizer training (pair statistics -> argmax merge -> greedy apply ->
+    repeat), not the fixed regex tokenization of tx02.  Distributed shape:
+    pair counts aggregate over the word VOCABULARY weighted by frequency
+    (vocabulary-bounded shuffle; the corpus is touched once for the word
+    count), each round's winning merge is a 1-row driver round-trip, and
+    merge application is a codegen'd literal replace on a sentinel-wrapped
+    symbol string whose left-to-right non-overlap reproduces greedy BPE
+    exactly on both engines.  Ties break (count DESC, lhs, rhs) so the
+    whole trajectory — including the learned merges themselves — is
+    hash-compared against the oracle's unrolled rounds."""
+    from cnics_to_fhir_spark.operators.textanalysis import bpe_learn_merges
+
+    return bpe_learn_merges(table(spark, sf_dir, "documents"), n_merges=3)

@@ -89,3 +89,27 @@ def test_unigram_surprise_orders_rarity(spark):
     # 16 tokens total, 'common' appears 12x -> surprise floor(ln(16/12)*1e6)
     assert out[1]["avg_nll_q"] == math.floor((math.log(16) - math.log(12)) * 1e6)
     assert out[4]["n_tokens"] == 4 and out[4]["sum_nll_q"] == 4 * out[4]["avg_nll_q"]
+
+
+def test_bpe_learn_merges_hand_computed(spark):
+    """'low low lower aaaa': round-1 pairs tie at 3 ((a,a),(l,o),(o,w)) →
+    lexicographic tiebreak picks (a,a); greedy application then leaves
+    only ONE aa-aa pair in 'aaaa' (non-overlapping), so round 2 is (l,o)
+    and round 3 the merged symbol ('lo','w') — the classic BPE trajectory,
+    deterministic across engines."""
+    from cnics_to_fhir_spark.operators.textanalysis import bpe_learn_merges
+
+    df = spark.createDataFrame([(1, "low low lower aaaa")], "doc_id long, text string")
+    got = [
+        (r["merge_round"], r["lhs"], r["rhs"], r["pair_count"])
+        for r in bpe_learn_merges(df, n_merges=3).orderBy("merge_round").collect()
+    ]
+    assert got == [(1, "a", "a", 3), (2, "l", "o", 3), (3, "lo", "w", 3)]
+
+
+def test_bpe_single_char_words_no_pairs(spark):
+    from cnics_to_fhir_spark.operators.textanalysis import bpe_learn_merges
+
+    df = spark.createDataFrame([(1, "a b c a b")], "doc_id long, text string")
+    # no word has 2+ symbols → no pairs → zero merges learned
+    assert bpe_learn_merges(df, n_merges=3).count() == 0
