@@ -88,8 +88,8 @@ def kmeans_train(
     def centroid_df(rows):
         return spark.createDataFrame(rows, "cid int, cv array<double>")
 
-    assigned = None
-    used_rows = centroid_rows
+    if iters < 1:
+        raise ValueError("kmeans_train needs iters >= 1")
     for step in range(iters):
         used_rows = centroid_rows
         assigned = _assign(vectors, centroid_df(centroid_rows))

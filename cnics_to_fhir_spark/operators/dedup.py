@@ -191,6 +191,9 @@ def minhash_lsh_pairs(
     unpersists the shingle cache before returning — the lazy result
     otherwise pins corpus-sized cached blocks for as long as callers hold
     it (e2e07's cache-lifetime rule; the catalog entries use this).
+    Honesty note on the driver round-trip: pair COUNT is O(near-dup
+    pairs), not O(1) — bounded at the verification scale factors; a
+    production run materializes to a sink instead of the driver.
     """
     rows = num_hashes // bands
     # The band join + pair dedup run over (id, band_id, band_hash) rows only
@@ -243,10 +246,11 @@ def minhash_lsh_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     out = _verify_jaccard(candidates, shingled, threshold)
-    if persist_shingles and materialize:
+    if materialize:
         pair_rows = out.collect()
         schema = out.schema
-        shingled.unpersist()
+        if persist_shingles:
+            shingled.unpersist()
         return df.sparkSession.createDataFrame(pair_rows, schema)
     return out
 

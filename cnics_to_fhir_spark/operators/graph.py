@@ -155,9 +155,12 @@ def connected_components_star(pairs: DataFrame, max_rounds: int = 25) -> DataFra
     edges = _canon(
         pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
     ).localCheckpoint(eager=True)
+    # node universe from the RAW pairs, not the canonical edges: a
+    # degenerate self-pair (x, x) contributes no edge but its id must
+    # still get a row (cluster_rep = itself), matching duplicate_clusters
     all_nodes = (
-        edges.select(F.col("a").alias("doc_id"))
-        .unionByName(edges.select(F.col("b").alias("doc_id")))
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
         .distinct()
         .localCheckpoint(eager=True)
     )

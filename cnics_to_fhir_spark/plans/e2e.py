@@ -721,8 +721,11 @@ def e2e07_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
                 prec.bitwiseAND(F.lit(511)).alias("bin_offset"),
             )
             # Materialize before unpersisting (the lazy plan references both
-            # caches); result rows are slim fixed-width tuples, not corpus
-            # text, so the driver round-trip is bounded like j12/j13's.
+            # caches). Honesty note: this collects one slim fixed-width row
+            # per KEPT document — O(corpus count), not O(1) like j12/j13's
+            # aggregate rows — bounded at the verification scale factors; a
+            # production run would write the packed corpus to a sink and
+            # unpersist after that action instead.
             rows = out.collect()
             schema = out.schema
         finally:

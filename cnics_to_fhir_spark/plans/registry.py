@@ -63,8 +63,10 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 _PRIORITY: tuple[str, ...] = (
     # --- round-5 rotation policy: the driver's 50-entry prefix is the only
     # independent correctness gate, so every round rotates in entries that
-    # have NEVER been driver-verified (18 this round, marked [new-to-
-    # driver]) while keeping a stable §2-core spine.  Rotated-out entries
+    # have NEVER been driver-verified (20 this round, marked [new-to-
+    # driver]) while keeping a stable §2-core spine; the list below is
+    # exactly 50 so every prefix slot is curated, none filled by
+    # registration-order accident.  Rotated-out entries
     # (e2e05, f05, f12, f14, p06, p08, j03, a04, w02, aj01, ev01, ann03,
     # dc02, tx06, ds07, dd08, ds08, st02, dd09, j13, tx07, mm06) were all
     # driver-green in rounds 1-4 and remain selfcheck-verified at three SFs
@@ -133,6 +135,9 @@ _PRIORITY: tuple[str, ...] = (
     "st04_stream_session_equivalence",
     "st05_stream_stream_join_equivalence",
     "st06_stream_restart_equivalence",
+    # q-suite classics, driver-green in rounds 1-2, completing the 50
+    "q01_pricing_summary",
+    "q03_shipping_priority",
 )
 
 

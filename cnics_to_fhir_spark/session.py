@@ -66,10 +66,13 @@ def session_conf(spark: SparkSession, conf: dict[str, str]):
     override (bucketed-join broadcast disable, streaming state-store
     partition pinning, ...)."""
     prev: dict[str, str | None] = {}
-    for k, v in conf.items():
-        prev[k] = spark.conf.get(k, None)
-        spark.conf.set(k, str(v))
     try:
+        # the set loop runs INSIDE the try: if a later key's set() throws
+        # (e.g. CANNOT_MODIFY_CONFIG on a static conf), the earlier keys
+        # already recorded in ``prev`` still restore
+        for k, v in conf.items():
+            prev[k] = spark.conf.get(k, None)
+            spark.conf.set(k, str(v))
         yield
     finally:
         for k, old in prev.items():

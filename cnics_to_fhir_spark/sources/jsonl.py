@@ -74,9 +74,12 @@ def quarantine_lines(
     if CORRUPT_COL not in schema.fieldNames():
         schema = T.StructType(list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())])
     # Blank/whitespace-only lines are silently skipped by Spark's JSON file
-    # source (never routed to _corrupt_record), so they must not be
-    # quarantined here either — filter them out before the from_json probe.
-    raw = spark.read.text(path).filter(F.length(F.trim(F.col("value"))) > 0)
+    # source, so they must never reach the quarantine. On current Spark,
+    # from_json happens to yield a NULL corrupt column for such lines
+    # anyway; this filter makes the exclusion explicit rather than relying
+    # on that version-specific behavior (rlike, not trim: trim strips
+    # spaces only, not tabs).
+    raw = spark.read.text(path).filter(~F.col("value").rlike(r"^\s*$"))
     parsed = F.from_json(
         F.col("value"), schema, {"columnNameOfCorruptRecord": CORRUPT_COL}
     )

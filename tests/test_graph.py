@@ -70,3 +70,15 @@ def test_star_contraction_handles_unordered_and_duplicate_pairs(spark):
     )
     out = {r["doc_id"]: r["cluster_rep"] for r in connected_components_star(df).collect()}
     assert out == {3: 3, 5: 3, 7: 7, 8: 7, 9: 7}
+
+
+def test_star_contraction_keeps_self_pair_ids(spark):
+    """A degenerate self-pair contributes no edge but its id must still
+    get a row — same contract as duplicate_clusters."""
+    from cnics_to_fhir_spark.operators.dedup import duplicate_clusters
+    from cnics_to_fhir_spark.operators.graph import connected_components_star
+
+    df = spark.createDataFrame([(7, 7), (1, 2)], "id_a long, id_b long")
+    star = {r["doc_id"]: r["cluster_rep"] for r in connected_components_star(df).collect()}
+    prop = {r["doc_id"]: r["cluster_rep"] for r in duplicate_clusters(df).collect()}
+    assert star == prop == {7: 7, 1: 1, 2: 1}

@@ -65,11 +65,14 @@ def main() -> int:
                 e.spark(spark, sf_dir).count()
                 best = min(best, time.time() - t)
             times[sf_name] = round(best, 3)
-        # log-log slope between the two largest SFs
-        (na, fa, _), (nb, fb, _) = sfs[-2], sfs[-1]
-        slope = math.log(times[nb] / times[na]) / math.log(fb / fa)
-        out[name] = {**times, "exp_last_span": round(slope, 2)}
-        print(f"# {name}: " + " ".join(f"{k}={v}s" for k, v in times.items()) + f" exp={slope:.2f}")
+        # log-log slope between the two largest SFs (needs >= 2 points)
+        if len(sfs) >= 2:
+            (na, fa, _), (nb, fb, _) = sfs[-2], sfs[-1]
+            slope = round(math.log(times[nb] / times[na]) / math.log(fb / fa), 2)
+        else:
+            slope = None
+        out[name] = {**times, "exp_last_span": slope}
+        print(f"# {name}: " + " ".join(f"{k}={v}s" for k, v in times.items()) + f" exp={slope}")
     print(json.dumps(out))
     return 0
 
