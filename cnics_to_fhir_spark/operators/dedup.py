@@ -124,6 +124,72 @@ def _verify_jaccard(pairs: DataFrame, shingled: DataFrame, threshold: float) -> 
     )
 
 
+def incremental_jaccard_pairs(
+    corpus: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    block_words: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental near-dup detection: pairs for a NEW ``batch`` against an
+    already-deduplicated ``corpus`` plus within-batch pairs — the steady-
+    state production shape, where re-verifying corpus x corpus every
+    ingest would redo almost all the work for no new information.
+
+    Output: (id_a, id_b, jaccard_sim, cross) with id_a < id_b always and
+    ``cross`` true for batch-vs-corpus pairs; corpus x corpus pairs are
+    structurally excluded (never generated, not filtered out).
+
+    Scale shape: the candidate join touches the corpus only through its
+    (id, block) projection keyed on the block — at 100 TB the corpus side
+    is pre-bucketed by block so each ingest shuffles ONLY the batch
+    (bucket-join, corpus stationary), and the verify stage re-attaches
+    shingles by id exactly like ngram_jaccard_pairs. Work per ingest is
+    O(batch-related candidates), independent of corpus-internal
+    similarity."""
+    corpus = ensure_min_parallelism(corpus, id_col)
+
+    def blocks(df):
+        return df.select(
+            F.col(id_col).alias("id"),
+            F.array_join(
+                F.slice(F.split(F.col(text_col), " "), 1, block_words), " "
+            ).alias("block"),
+        )
+
+    def shingles(df):
+        return df.select(
+            F.col(id_col).alias("id"),
+            F.array_distinct(word_shingles(F.col(text_col), k)).alias("shingles"),
+        )
+
+    cb, bb = blocks(corpus), blocks(batch)
+    cross = (
+        bb.select(F.col("id").alias("id_x"), "block")
+        .join(cb.select(F.col("id").alias("id_y"), "block"), on="block")
+        .select(
+            F.least("id_x", "id_y").alias("id_a"),
+            F.greatest("id_x", "id_y").alias("id_b"),
+            F.lit(True).alias("cross"),
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
+    )
+    within = (
+        bb.select(F.col("id").alias("id_a"), "block")
+        .join(bb.select(F.col("id").alias("id_b"), "block"), on="block")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.lit(False).alias("cross"))
+    )
+    pairs = cross.unionByName(within).dropDuplicates(["id_a", "id_b", "cross"])
+    sh = shingles(corpus).unionByName(shingles(batch))
+    verified = _verify_jaccard(pairs.select("id_a", "id_b"), sh, threshold)
+    return verified.join(pairs, on=["id_a", "id_b"]).select(
+        "id_a", "id_b", "jaccard_sim", "cross"
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

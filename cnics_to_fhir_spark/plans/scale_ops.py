@@ -3119,3 +3119,54 @@ def tx08_bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cnics_to_fhir_spark.operators.textanalysis import bpe_learn_merges
 
     return bpe_learn_merges(table(spark, sf_dir, "documents"), n_merges=3)
+
+
+# ---------------------------------------------------------------------------
+# dd11 — incremental dedup (new batch vs already-deduped corpus)
+# ---------------------------------------------------------------------------
+@query(
+    "dd11_incremental_dedup",
+    tags="DD J1",
+    oracle="""
+        WITH base AS (
+            SELECT doc_id AS id,
+                   doc_id % 10 = 0 AS in_batch,
+                   array_to_string((string_split(text, ' '))[1:4], ' ') AS block,
+                   list_distinct(
+                       CASE WHEN len(string_split(text, ' ')) >= 3
+                            THEN list_transform(
+                                   range(1, len(string_split(text, ' ')) - 1),
+                                   i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))
+                            ELSE [text]
+                       END) AS shingles
+            FROM documents
+        )
+        SELECT a.id AS id_a, b.id AS id_b,
+               FLOOR((CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                     / len(list_distinct(a.shingles || b.shingles)))*1e6 + 0.5)/1e6
+                   AS jaccard_sim,
+               (a.in_batch <> b.in_batch) AS cross_pair
+        FROM base a JOIN base b ON a.block = b.block AND a.id < b.id
+        WHERE (a.in_batch OR b.in_batch)
+          AND FLOOR((CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                    / len(list_distinct(a.shingles || b.shingles)))*1e6 + 0.5)/1e6 >= 0.5
+    """,
+)
+def dd11_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Steady-state ingest dedup: a new batch (10% of docs by id bucket)
+    near-dup-checked against the already-deduplicated corpus plus itself,
+    with corpus x corpus pairs STRUCTURALLY never generated — re-verifying
+    the corpus against itself on every ingest is the cost the incremental
+    shape exists to avoid.  The operator's corpus-side candidate join
+    touches only the (id, block) projection (pre-bucketed by block in
+    production, so an ingest shuffles only the batch); the oracle filters
+    the symmetric pair space to batch-involving pairs, which must equal
+    the structurally-incremental result exactly (operators/dedup.py
+    incremental_jaccard_pairs)."""
+    docs = table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    out = dedup.incremental_jaccard_pairs(
+        corpus, batch, k=3, block_words=4, threshold=0.5
+    )
+    return out.select("id_a", "id_b", "jaccard_sim", F.col("cross").alias("cross_pair"))

@@ -286,3 +286,33 @@ def test_multiprobe_recall_dominates_single_probe(spark):
     r2 = len(exact & two) / len(exact)
     assert r2 >= r1, f"nprobe=2 recall {r2} below nprobe=1 {r1}"
     assert len(two) == len(one) == len(exact)  # both return full top-5 sets
+
+
+def test_incremental_dedup_excludes_corpus_pairs(spark):
+    """Batch-vs-corpus and within-batch pairs are found; corpus-vs-corpus
+    pairs are structurally absent even when those docs are near-dups."""
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (3, "the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+            (5, "completely different text about spark engines here"),
+        ],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog"),   # dup of 1 & 3
+            (12, "the quick brown fox jumps over the lazy dog"),   # dup of 10
+            (14, "unrelated new document entirely"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        (r["id_a"], r["id_b"]): r["cross"]
+        for r in dedup.incremental_jaccard_pairs(corpus, batch, threshold=0.5).collect()
+    }
+    assert out[(1, 10)] is True and out[(1, 12)] is True    # batch vs corpus
+    assert out[(3, 10)] is True and out[(3, 12)] is True
+    assert out[(10, 12)] is False                            # within batch
+    assert (1, 3) not in out  # corpus-internal near-dup NOT re-verified
+    assert not any(a == 14 or b == 14 for a, b in out)
