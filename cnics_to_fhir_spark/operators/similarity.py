@@ -141,6 +141,57 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def hard_negative_mining(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    lo: float = 0.2,
+    hi: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Contrastive training-pair mining: for each query, the top-k
+    SEMI-HARD negatives — neighbors with cosine in [lo, hi), i.e. similar
+    enough to be informative gradients but below the near-duplicate
+    threshold that would make them false negatives (the standard
+    sentence-embedding mining recipe).  Output: (query_id, neighbor_id,
+    cosine_sim, rank), rank over the band by similarity DESC then id.
+
+    Scale shape = ann01's: the query set broadcasts, the corpus never
+    shuffles, the band filter runs scan-side before the per-query top-k
+    window; at mining scale (every doc a query) swap the broadcast for
+    the IVF cell join (ann03/ann06) — the band/rank logic is unchanged."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_norm"),
+    )
+    c = ensure_min_parallelism(corpus, id_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col)).alias("c_norm"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            stable_round(
+                cosine_with_norms(
+                    F.col("q_vec"), F.col("c_vec"), F.col("q_norm"), F.col("c_norm")
+                ),
+                6,
+            ).alias("cosine_sim"),
+        )
+        .filter((F.col("cosine_sim") >= lo) & (F.col("cosine_sim") < hi))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def ivf_topk_multiprobe(
     corpus: DataFrame,
     queries: DataFrame,

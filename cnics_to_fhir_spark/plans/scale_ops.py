@@ -3170,3 +3170,45 @@ def dd11_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus, batch, k=3, block_words=4, threshold=0.5
     )
     return out.select("id_a", "id_b", "jaccard_sim", F.col("cross").alias("cross_pair"))
+
+
+# ---------------------------------------------------------------------------
+# mn01 — contrastive hard-negative mining (training-pair generation)
+# ---------------------------------------------------------------------------
+@query(
+    "mn01_hard_negative_mining",
+    tags="ANN MN W",
+    oracle="""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   FLOOR((list_dot_product(q.v, c.v)
+                         / (SQRT(list_dot_product(q.v, q.v))
+                            * SQRT(list_dot_product(c.v, c.v))))*1e6 + 0.5)/1e6
+                       AS cosine_sim
+            FROM (SELECT * FROM e WHERE vec_id < 8) q
+            JOIN e c ON c.vec_id <> q.vec_id
+        )
+        SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+            SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cosine_sim DESC, neighbor_id) AS INTEGER) AS rank
+            FROM scored WHERE cosine_sim >= 0.2 AND cosine_sim < 0.9
+        ) WHERE rank <= 5
+    """,
+)
+def mn01_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-hard negative mining for contrastive training: per query the
+    top-5 neighbors with cosine in [0.2, 0.9) — informative negatives
+    above the easy-negative floor, below the near-duplicate ceiling that
+    would poison the loss with false negatives.  Broadcast-query brute
+    scan (corpus never shuffles; see operators/similarity.py for the IVF
+    swap at full-corpus mining scale), band filter scan-side, per-query
+    top-k window."""
+    from cnics_to_fhir_spark.operators import similarity
+
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.hard_negative_mining(
+        emb, emb.filter(F.col("vec_id") < 8), k=5, lo=0.2, hi=0.9
+    )

@@ -316,3 +316,22 @@ def test_incremental_dedup_excludes_corpus_pairs(spark):
     assert out[(10, 12)] is False                            # within batch
     assert (1, 3) not in out  # corpus-internal near-dup NOT re-verified
     assert not any(a == 14 or b == 14 for a, b in out)
+
+
+def test_hard_negative_mining_band_semantics(spark):
+    """Negatives come only from the [lo, hi) band: near-dups (>= hi) and
+    easy negatives (< lo) are both excluded, top-k ranked within band."""
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.999, 0.04]),   # cosine ~0.999 → near-dup, excluded
+        (2, [0.8, 0.6]),      # cosine 0.8 → semi-hard, kept
+        (3, [0.6, 0.8]),      # cosine 0.6 → semi-hard, kept
+        (4, [0.0, 1.0]),      # cosine 0.0 → easy negative, excluded
+        (5, [-1.0, 0.0]),     # cosine -1 → excluded
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = similarity.hard_negative_mining(
+        df, df.filter(F.col("vec_id") == 0), k=5, lo=0.2, hi=0.9
+    ).orderBy("rank").collect()
+    assert [r["neighbor_id"] for r in out] == [2, 3]
+    assert all(0.2 <= r["cosine_sim"] < 0.9 for r in out)
