@@ -3212,3 +3212,48 @@ def mn01_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.hard_negative_mining(
         emb, emb.filter(F.col("vec_id") < 8), k=5, lo=0.2, hi=0.9
     )
+
+
+# ---------------------------------------------------------------------------
+# dd12 — cross-document duplicated spans (ExactSubstr at shingle resolution)
+# ---------------------------------------------------------------------------
+@query(
+    "dd12_duplicated_spans",
+    tags="DD W A5 J1",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS a FROM documents
+        ),
+        grams AS (
+            SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                   md5(array_to_string(list_slice(a, i, i + 7), ' ')) AS g
+            FROM toks, UNNEST(range(1, len(a) - 8 + 2)) AS u(i)
+            WHERE len(a) >= 8
+        ),
+        dup AS (
+            SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2
+        ),
+        marked AS (SELECT doc_id, pos FROM grams JOIN dup USING (g)),
+        isl AS (
+            SELECT doc_id, pos,
+                   pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+            FROM marked
+        )
+        SELECT doc_id,
+               CAST(MIN(pos) AS BIGINT) AS span_start,
+               CAST(MAX(pos) - MIN(pos) + 8 AS BIGINT) AS span_len_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_dup_grams
+        FROM isl GROUP BY doc_id, grp
+    """,
+)
+def dd12_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document EXACT duplication at span granularity (the ExactSubstr
+    half of the Lee et al. dedup pair; dd08 is its line-frequency
+    boilerplate cousin): positions whose 8-gram recurs in >=2 distinct
+    docs, merged into maximal spans per doc via gaps-and-islands.  One
+    gram-keyed count agg (shingle-volume, map-side partials) + one
+    doc-keyed islands window — linear in corpus shingles, no doc pairs
+    (operators/dedup.py duplicated_spans)."""
+    from cnics_to_fhir_spark.operators.dedup import duplicated_spans
+
+    return duplicated_spans(table(spark, sf_dir, "documents"), k=8, min_docs=2)

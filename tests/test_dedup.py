@@ -335,3 +335,31 @@ def test_hard_negative_mining_band_semantics(spark):
     ).orderBy("rank").collect()
     assert [r["neighbor_id"] for r in out] == [2, 3]
     assert all(0.2 <= r["cosine_sim"] < 0.9 for r in out)
+
+
+def test_duplicated_spans_islands(spark):
+    # Docs 1 and 2 share tokens 1-9 (two overlapping duplicated 8-gram
+    # positions -> one maximal span); doc 3 shares nothing 8 tokens long.
+    shared = "a b c d e f g h i"
+    rows = [
+        (1, shared + " x1 y1 z1"),
+        (2, shared + " x2 y2 z2"),
+        (3, "p q r s t u v w x y z unique tail here now ok"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    spans = dedup.duplicated_spans(df, k=8, min_docs=2).collect()
+    got = {(r["doc_id"], r["span_start"], r["span_len_tokens"], r["n_dup_grams"]) for r in spans}
+    assert got == {(1, 1, 9, 2), (2, 1, 9, 2)}
+
+
+def test_duplicated_spans_gap_splits_islands(spark):
+    # Shared 8-gram prefix AND suffix with a differing middle -> two spans.
+    a = "a b c d e f g h MID1 MID1b q r s t u v w x"
+    b = "a b c d e f g h MID2 MID2b q r s t u v w x"
+    df = spark.createDataFrame([(1, a), (2, b)], ["doc_id", "text"])
+    spans = dedup.duplicated_spans(df, k=8, min_docs=2).collect()
+    per_doc = {}
+    for r in spans:
+        per_doc.setdefault(r["doc_id"], []).append((r["span_start"], r["span_len_tokens"]))
+    assert sorted(per_doc[1]) == [(1, 8), (11, 8)]
+    assert sorted(per_doc[2]) == [(1, 8), (11, 8)]
