@@ -61,3 +61,49 @@ def point_in_interval_join(
         & (pts[point_col] < itv[end_col])
     )
     return pts.join(itv, cond, how).drop("__bucket")
+
+
+def interval_overlap_join(
+    a: DataFrame,
+    b: DataFrame,
+    *,
+    a_start: str,
+    a_end: str,
+    b_start: str,
+    b_end: str,
+    bucket_seconds: int,
+    how: str = "inner",
+) -> DataFrame:
+    """Interval × interval overlap join (half-open: a_start < b_end AND
+    b_start < a_end) with no equi key, as a bucketized hash join.
+
+    BOTH sides replicate to every width-W bucket they cover; a qualifying
+    pair shares every bucket the overlap region touches, so to emit each
+    pair exactly once the join is anchored to the single bucket containing
+    ``greatest(a_start, b_start)`` — that instant lies inside both
+    intervals whenever they overlap, so the anchor bucket is always among
+    the shared copies.  Replication is ``len/W + 1`` per row: choose W
+    near the typical interval length of the LONGER side and the blowup
+    stays ≤ 2×.  The residual overlap predicate runs as a post-join
+    filter; no nested-loop or cartesian node exists in the plan
+    (tests/test_intervals.py asserts equality with the naive theta join
+    and the plan shape).
+    """
+    if bucket_seconds <= 0:
+        raise ValueError("bucket_seconds must be positive")
+    w = F.lit(int(bucket_seconds))
+    aa = a.withColumn(
+        "__ba",
+        F.explode(F.sequence(F.floor(F.col(a_start) / w), F.floor(F.col(a_end) / w))),
+    )
+    bb = b.withColumn(
+        "__bb",
+        F.explode(F.sequence(F.floor(F.col(b_start) / w), F.floor(F.col(b_end) / w))),
+    )
+    cond = (
+        (aa["__ba"] == bb["__bb"])
+        & (aa[a_start] < bb[b_end])
+        & (bb[b_start] < aa[a_end])
+        & (aa["__ba"] == F.floor(F.greatest(aa[a_start], bb[b_start]) / w))
+    )
+    return aa.join(bb, cond, how).drop("__ba", "__bb")

@@ -3257,3 +3257,76 @@ def dd12_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cnics_to_fhir_spark.operators.dedup import duplicated_spans
 
     return duplicated_spans(table(spark, sf_dir, "documents"), k=8, min_docs=2)
+
+
+# ---------------------------------------------------------------------------
+# rj02 — interval×interval overlap join (no equi key, bucketized both sides)
+# ---------------------------------------------------------------------------
+@query(
+    "rj02_interval_overlap_join",
+    tags="RJ J1 A5 EV",
+    oracle="""
+        WITH spans AS (
+            SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+                   CAST(MIN(FLOOR(EPOCH(ts))) AS BIGINT) AS a_start,
+                   CAST(MAX(FLOOR(EPOCH(ts))) + 1 AS BIGINT) AS a_end
+            FROM events GROUP BY 1, 2
+        ),
+        inc AS (
+            SELECT CAST(FLOOR(EPOCH(date_trunc('hour', ts))) AS BIGINT) AS i_start,
+                   CAST(FLOOR(EPOCH(date_trunc('hour', ts))) + 3600 AS BIGINT) AS i_end,
+                   CAST(COUNT(*) AS BIGINT) AS n_errors
+            FROM events WHERE event_type = 'error'
+            GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        )
+        SELECT a.user_id, a.day, b.i_start, b.n_errors,
+               CAST(LEAST(a.a_end, b.i_end) - GREATEST(a.a_start, b.i_start)
+                    AS BIGINT) AS overlap_seconds
+        FROM spans a JOIN inc b
+          ON a.a_start < b.i_end AND b.i_start < a.a_end
+    """,
+)
+def rj02_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlap join between two interval sets with NO equi key — per-user
+    daily activity spans × high-error incident hours, yielding who was
+    active during each incident and for how long.  Both sides bucketize to
+    W = 1 day (≤2 copies each: spans are ≤ a day, incidents an hour) and
+    hash-join on the bucket; each pair is emitted exactly once by
+    anchoring to the bucket of greatest(a_start, b_start)
+    (operators/intervals.py interval_overlap_join — the naive plan is a
+    nested-loop over spans×incidents)."""
+    from cnics_to_fhir_spark.operators.intervals import interval_overlap_join
+
+    e = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts"),
+        F.col("ts").cast("long").alias("es"),
+        "event_type",
+    )
+    spans = e.groupBy("user_id", F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
+        F.min("es").alias("a_start"), (F.max("es") + 1).alias("a_end")
+    )
+    inc = (
+        e.filter(F.col("event_type") == "error")
+        .groupBy(F.date_trunc("hour", F.col("ts")).cast("long").alias("i_start"))
+        .agg(F.count(F.lit(1)).alias("n_errors"))
+        .filter(F.col("n_errors") >= 2)
+        .select("i_start", (F.col("i_start") + 3600).alias("i_end"), "n_errors")
+    )
+    return interval_overlap_join(
+        spans,
+        inc,
+        a_start="a_start",
+        a_end="a_end",
+        b_start="i_start",
+        b_end="i_end",
+        bucket_seconds=86400,
+    ).select(
+        "user_id",
+        "day",
+        "i_start",
+        "n_errors",
+        (F.least(F.col("a_end"), F.col("i_end")) - F.greatest(F.col("a_start"), F.col("i_start")))
+        .cast("long")
+        .alias("overlap_seconds"),
+    )

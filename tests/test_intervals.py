@@ -77,3 +77,47 @@ def test_rejects_nonpositive_bucket(spark, frames):
         point_in_interval_join(
             points, intervals, point_col="p", start_col="s", end_col="e", bucket_seconds=0
         )
+
+
+def test_interval_overlap_join_matches_naive_theta(spark):
+    from cnics_to_fhir_spark.operators.intervals import interval_overlap_join
+
+    a = spark.createDataFrame(
+        [(1, 0, 100), (2, 50, 250), (3, 300, 301), (4, 1000, 1200)],
+        ["a_id", "a_start", "a_end"],
+    )
+    b = spark.createDataFrame(
+        [(10, 90, 160), (11, 240, 330), (12, 299, 300), (13, 1100, 1101)],
+        ["b_id", "b_start", "b_end"],
+    )
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in interval_overlap_join(
+            a, b, a_start="a_start", a_end="a_end",
+            b_start="b_start", b_end="b_end", bucket_seconds=60,
+        ).collect()
+    }
+    naive = {
+        (r["a_id"], r["b_id"])
+        for r in a.join(
+            b, (a["a_start"] < b["b_end"]) & (b["b_start"] < a["a_end"])
+        ).collect()
+    }
+    assert got == naive
+    assert (1, 10) in got and (2, 11) in got and (3, 11) in got and (4, 13) in got
+    assert (3, 12) not in got  # b ends exactly at a's start: half-open, no overlap
+
+
+def test_interval_overlap_join_no_nested_loop(spark):
+    from cnics_to_fhir_spark.operators.intervals import interval_overlap_join
+
+    a = spark.createDataFrame([(1, 0, 10)], ["a_id", "a_start", "a_end"])
+    b = spark.createDataFrame([(2, 5, 15)], ["b_id", "b_start", "b_end"])
+    plan = (
+        interval_overlap_join(
+            a, b, a_start="a_start", a_end="a_end",
+            b_start="b_start", b_end="b_end", bucket_seconds=10,
+        )
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
