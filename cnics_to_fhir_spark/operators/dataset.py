@@ -388,3 +388,84 @@ def temperature_mixture(
     (all weights = 100); skewed corpora upsample the tail."""
     w = temperature_weights(df, source_col)
     return epoch_upsample(df, w, source_col=source_col, key_col=key_col, default_weight=100)
+
+
+# ---------------------------------------------------------------------------
+# Exact global rank / NTILE without a single-partition window
+# ---------------------------------------------------------------------------
+
+def global_rank(
+    df: DataFrame, order_cols: list[str], npartitions: int | None = None
+) -> tuple[DataFrame, int]:
+    """Exact global row_number over ``order_cols`` — WITHOUT the
+    single-partition window Spark would plan for ``row_number() OVER
+    (ORDER BY ...)`` (a serial sort of the whole corpus on one task,
+    the canonical scale-killer).
+
+    Two-pass range-partitioned rank: (1) ``repartitionByRange`` on the
+    order key gives non-overlapping sorted ranges in partition-id order
+    (pinned with localCheckpoint — swap for reliable checkpoint on a real
+    cluster, same note as dd06); (2) per-partition counts round-trip the
+    driver (npartitions rows, bounded) to become prefix offsets, and a
+    per-PARTITION row_number plus the offset is the exact global rank.
+    Every stage is parallel; ``order_cols`` must be a total order (include
+    a unique id) for a deterministic result.  → (df + ``__rank``, total).
+    """
+    spark = df.sparkSession
+    n = npartitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    cols = [F.col(c) for c in order_cols]
+    r = (
+        df.repartitionByRange(n, *cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = {
+        row["__pid"]: row["cnt"]
+        for row in r.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    if not counts:
+        return r.drop("__pid").withColumn("__rank", F.lit(0).cast("long")), 0
+    off_expr = F.create_map(
+        *[x for pid in sorted(offsets) for x in (F.lit(pid), F.lit(offsets[pid]))]
+    )
+    w = Window.partitionBy("__pid").orderBy(*cols)
+    ranked = r.withColumn(
+        "__rank",
+        F.row_number().over(w).cast("long") + off_expr[F.col("__pid")].cast("long"),
+    )
+    return ranked.drop("__pid"), acc
+
+
+def global_ntile(
+    df: DataFrame,
+    order_cols: list[str],
+    n_buckets: int,
+    bucket_col: str = "bucket",
+    npartitions: int | None = None,
+) -> DataFrame:
+    """Exact ``NTILE(n_buckets) OVER (ORDER BY order_cols)`` at corpus
+    scale, built on ``global_rank``: the SQL-standard allocation (the
+    first ``total mod n`` buckets take ``ceil(total/n)`` rows, the rest
+    ``floor``) applied to the exact rank in closed-form integer
+    arithmetic — value-identical to the engines' native NTILE, which
+    cannot be used directly because it serializes onto one task."""
+    ranked, total = global_rank(df, order_cols, npartitions)
+    if total == 0:
+        return ranked.withColumn(bucket_col, F.lit(None).cast("long")).drop("__rank")
+    q, rem = divmod(total, n_buckets)
+    rank = F.col("__rank")
+    if q == 0:
+        bucket = rank
+    elif rem == 0:
+        bucket = F.expr(f"(__rank - 1) div {q}") + 1
+    else:
+        cut = rem * (q + 1)
+        bucket = (
+            F.when(rank <= cut, F.expr(f"(__rank - 1) div {q + 1}") + 1)
+            .otherwise(F.lit(rem) + F.expr(f"(__rank - {cut} - 1) div {q}") + 1)
+        )
+    return ranked.withColumn(bucket_col, bucket.cast("long")).drop("__rank")

@@ -3330,3 +3330,64 @@ def rj02_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("overlap_seconds"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ds10 — CCNet head/middle/tail quality buckets via scale-safe exact NTILE
+# ---------------------------------------------------------------------------
+@query(
+    "ds10_quality_buckets",
+    tags="DS TX W A5",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
+        ),
+        t2 AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+        vocab AS (SELECT tok, COUNT(*) AS cnt FROM t2 GROUP BY tok),
+        tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS n_total FROM vocab),
+        scored AS (
+            SELECT tok,
+                   CAST(FLOOR((ln(n_total) - ln(CAST(cnt AS DOUBLE))) * 1e6) AS BIGINT) AS llq
+            FROM vocab, tot
+        ),
+        docs AS (
+            SELECT doc_id, CAST(SUM(llq) // COUNT(*) AS BIGINT) AS avg_nll_q
+            FROM t2 JOIN scored USING (tok) GROUP BY doc_id
+        ),
+        tiled AS (
+            SELECT doc_id, avg_nll_q,
+                   CAST(NTILE(3) OVER (ORDER BY avg_nll_q, doc_id) AS BIGINT) AS bucket
+            FROM docs
+        )
+        SELECT doc_id, avg_nll_q, bucket,
+               CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                           ELSE 'tail' END AS band
+        FROM tiled
+    """,
+)
+def ds10_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's corpus split: score every doc with the corpus-trained
+    unigram LM (tx07's integer micro-nat surprise), then cut the corpus
+    into exact NTILE(3) head/middle/tail bands by perplexity.  The
+    point of the entry is operators/dataset.py global_ntile — the naive
+    ``NTILE() OVER (ORDER BY ...)`` plans an all-corpus sort on ONE task;
+    here a range repartition + per-partition counts (driver-bounded) +
+    per-partition row_number produce the value-identical bucketing with
+    every stage parallel, verified against the engine-native NTILE in the
+    oracle."""
+    from cnics_to_fhir_spark.operators.dataset import global_ntile
+    from cnics_to_fhir_spark.operators.textanalysis import unigram_surprise
+
+    docs = unigram_surprise(table(spark, sf_dir, "documents")).select(
+        "doc_id", "avg_nll_q"
+    )
+    tiled = global_ntile(docs, ["avg_nll_q", "doc_id"], 3)
+    return tiled.select(
+        "doc_id",
+        "avg_nll_q",
+        "bucket",
+        F.when(F.col("bucket") == 1, "head")
+        .when(F.col("bucket") == 2, "middle")
+        .otherwise("tail")
+        .alias("band"),
+    )

@@ -224,3 +224,26 @@ def test_temperature_weights_balance_direction(spark):
     eq = spark.createDataFrame([(i, f"s{i%2}") for i in range(40)], ["doc_id", "source"])
     assert dataset.temperature_weights(eq) == {"s0": 100, "s1": 100}
     assert dataset.temperature_mixture(eq).count() == 40
+
+
+def test_global_rank_is_exact_total_order(spark):
+    from cnics_to_fhir_spark.operators.dataset import global_rank
+
+    df = spark.range(200).select((F.col("id") * 13 % 50).alias("s"), "id")
+    ranked, total = global_rank(df, ["s", "id"], npartitions=8)
+    rows = sorted((r["s"], r["id"], r["__rank"]) for r in ranked.collect())
+    assert total == 200
+    assert [r[2] for r in rows] == list(range(1, 201))
+
+
+def test_global_ntile_edges(spark):
+    from cnics_to_fhir_spark.operators.dataset import global_ntile
+
+    # fewer rows than buckets: every row its own bucket, in order
+    small = spark.createDataFrame([(5, 1), (3, 2), (9, 3)], ["s", "id"])
+    got = {r["id"]: r["bucket"] for r in global_ntile(small, ["s", "id"], 7).collect()}
+    assert got == {2: 1, 1: 2, 3: 3}
+    # empty input: no rows, bucket column present
+    empty = spark.createDataFrame([], "s int, id int")
+    out = global_ntile(empty, ["s", "id"], 3)
+    assert out.count() == 0 and "bucket" in out.columns
