@@ -8,7 +8,7 @@ whole-stage codegen directly over the parquet scan with full column pruning
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from cnics_to_fhir_spark.functions.numeric import stable_round
@@ -341,4 +341,97 @@ def bpe_learn_merges(
     spark = df.sparkSession
     return spark.createDataFrame(
         merges, "merge_round int, lhs string, rhs string, pair_count bigint"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Trained Naive-Bayes language ID (corpus-trained, integer micro-nats)
+# ---------------------------------------------------------------------------
+
+def nb_langid(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    label_col: str = "lang",
+    test_mod: int = 5,
+) -> DataFrame:
+    """Multinomial Naive-Bayes language identification TRAINED on the
+    corpus's own labels (the fasttext-style classifier of a curation
+    pipeline, reduced to its distributed essence): docs with
+    ``id % test_mod != 0`` train add-one-smoothed per-(lang, token)
+    likelihoods; the held-out rest are scored and argmin-classified.
+    → (doc_id, pred_lang, total_cost, lang, correct) per test doc.
+
+    Determinism design (tx07's trick applied to a classifier): each
+    (lang, token) negative log-likelihood quantizes ONCE to integer
+    micro-nats — ``floor((ln(T_l + V) − ln(c + 1))·1e6)`` — so per-doc
+    scores are order-independent integer sums on both engines, and the
+    argmin tie-breaks (cost, lang) totally.
+
+    Scale shape: model state is vocabulary-bounded, never corpus-bounded —
+    one (lang, token)-keyed count agg (map-side partials), one 5-row lang
+    total, one scalar vocab size; scoring is a token-keyed join of test
+    tokens against the cost table (AQE broadcasts a small model; a
+    web-scale vocab shuffles — both correct) + a doc-keyed sum.  The only
+    driver round-trips are Spark-internal scalar crossJoins; no collect.
+    """
+    is_test = F.col(id_col) % test_mod == 0
+    train, test = df.filter(~is_test), df.filter(is_test)
+    tr_toks = train.select(
+        F.col(label_col).alias("lang"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    counts = tr_toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("c"))
+    lang_tot = tr_toks.groupBy("lang").agg(F.count(F.lit(1)).alias("t_l"))
+    vstats = counts.select("tok").distinct().agg(F.count(F.lit(1)).alias("v"))
+    micro = lambda col: F.floor(col * 1e6).cast("long")  # noqa: E731
+    cost_tbl = (
+        counts.join(lang_tot, "lang")
+        .crossJoin(vstats)
+        .select(
+            "lang",
+            "tok",
+            micro(F.log(F.col("t_l") + F.col("v")) - F.log(F.col("c") + 1)).alias("cost"),
+        )
+    )
+    defaults = lang_tot.crossJoin(vstats).select(
+        "lang", micro(F.log(F.col("t_l") + F.col("v"))).alias("cost0")
+    )
+    d_l = train.groupBy(F.col(label_col).alias("lang")).agg(
+        F.count(F.lit(1)).alias("d_l")
+    )
+    priors = d_l.crossJoin(d_l.agg(F.sum("d_l").alias("d"))).select(
+        "lang", micro(F.log(F.col("d")) - F.log(F.col("d_l"))).alias("prior_cost")
+    )
+    te_toks = test.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    scored = (
+        te_toks.crossJoin(F.broadcast(lang_tot.select("lang")))
+        .join(cost_tbl, ["lang", "tok"], "left")
+        .join(F.broadcast(defaults), "lang")
+        .select("id", "lang", F.coalesce(F.col("cost"), F.col("cost0")).alias("cost"))
+    )
+    totals = (
+        scored.groupBy("id", "lang")
+        .agg(F.sum("cost").alias("tok_cost"))
+        .join(F.broadcast(priors), "lang")
+        .select("id", "lang", (F.col("tok_cost") + F.col("prior_cost")).alias("total_cost"))
+    )
+    w = Window.partitionBy("id").orderBy("total_cost", "lang")
+    pred = (
+        totals.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("id", F.col("lang").alias("pred_lang"), "total_cost")
+    )
+    return (
+        pred.join(test.select(F.col(id_col).alias("id"), F.col(label_col)), "id")
+        .select(
+            F.col("id").alias(id_col),
+            "pred_lang",
+            "total_cost",
+            label_col,
+            (F.col("pred_lang") == F.col(label_col)).alias("correct"),
+        )
     )

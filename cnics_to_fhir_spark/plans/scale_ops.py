@@ -3391,3 +3391,81 @@ def ds10_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("tail")
         .alias("band"),
     )
+
+
+# ---------------------------------------------------------------------------
+# tx09 — trained Naive-Bayes language ID (vocabulary-bounded model state)
+# ---------------------------------------------------------------------------
+@query(
+    "tx09_nb_langid",
+    tags="TX A5 J1 W",
+    oracle="""
+        WITH train AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+        test AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+        tr AS (
+            SELECT lang, UNNEST(string_split(text, ' ')) AS tok FROM train
+        ),
+        tr2 AS (SELECT lang, tok FROM tr WHERE tok <> ''),
+        counts AS (SELECT lang, tok, COUNT(*) AS c FROM tr2 GROUP BY 1, 2),
+        lt AS (SELECT lang, COUNT(*) AS t_l FROM tr2 GROUP BY 1),
+        vs AS (SELECT COUNT(DISTINCT tok) AS v FROM tr2),
+        cost_tbl AS (
+            SELECT c.lang, c.tok,
+                   CAST(FLOOR((ln(lt.t_l + vs.v) - ln(c.c + 1)) * 1e6) AS BIGINT) AS cost
+            FROM counts c JOIN lt USING (lang), vs
+        ),
+        defaults AS (
+            SELECT lang, CAST(FLOOR(ln(t_l + v) * 1e6) AS BIGINT) AS cost0
+            FROM lt, vs
+        ),
+        dl AS (SELECT lang, COUNT(*) AS d_l FROM train GROUP BY 1),
+        pri AS (
+            SELECT lang,
+                   CAST(FLOOR((ln((SELECT SUM(d_l) FROM dl)) - ln(d_l)) * 1e6) AS BIGINT)
+                       AS prior_cost
+            FROM dl
+        ),
+        te AS (
+            SELECT doc_id AS id, UNNEST(string_split(text, ' ')) AS tok FROM test
+        ),
+        te2 AS (SELECT id, tok FROM te WHERE tok <> ''),
+        scored AS (
+            SELECT te2.id, l.lang, COALESCE(ct.cost, d.cost0) AS cost
+            FROM te2
+            CROSS JOIN (SELECT lang FROM lt) l
+            LEFT JOIN cost_tbl ct ON ct.lang = l.lang AND ct.tok = te2.tok
+            JOIN defaults d ON d.lang = l.lang
+        ),
+        totals AS (
+            SELECT id, lang, SUM(cost) AS tok_cost FROM scored GROUP BY 1, 2
+        ),
+        tot2 AS (
+            SELECT t.id, t.lang, CAST(t.tok_cost + p.prior_cost AS BIGINT) AS total_cost
+            FROM totals t JOIN pri p USING (lang)
+        ),
+        pred AS (
+            SELECT id, lang AS pred_lang, total_cost,
+                   ROW_NUMBER() OVER (PARTITION BY id ORDER BY total_cost, lang) AS rn
+            FROM tot2
+        )
+        SELECT p.id AS doc_id, p.pred_lang, p.total_cost, t.lang,
+               p.pred_lang = t.lang AS correct
+        FROM pred p JOIN test t ON t.doc_id = p.id
+        WHERE p.rn = 1
+    """,
+)
+def tx09_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-TRAINED language classifier (the lightweight stand-in for a
+    fasttext quality/langid model in a curation stack): add-one-smoothed
+    multinomial NB learned from the 80% train split's (lang, token)
+    counts, argmin-scored over the held-out 20% in integer micro-nats.
+    Model state is vocabulary-bounded (never corpus-bounded); scoring is
+    one token-keyed join plus a doc-keyed sum
+    (operators/textanalysis.py nb_langid).  The synthetic corpus draws
+    text independently of its lang label, so accuracy here sits near the
+    majority-class prior by construction — the oracle pins the training
+    and scoring arithmetic, and the separable-fixture pytest pins that
+    the classifier learns when signal exists."""
+    from cnics_to_fhir_spark.operators.textanalysis import nb_langid
+
+    return nb_langid(table(spark, sf_dir, "documents"))

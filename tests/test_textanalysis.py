@@ -113,3 +113,22 @@ def test_bpe_single_char_words_no_pairs(spark):
     df = spark.createDataFrame([(1, "a b c a b")], "doc_id long, text string")
     # no word has 2+ symbols → no pairs → zero merges learned
     assert bpe_learn_merges(df, n_merges=3).count() == 0
+
+
+def test_nb_langid_learns_separable_signal(spark):
+    from cnics_to_fhir_spark.operators.textanalysis import nb_langid
+
+    # Strongly separable vocabularies; ids chosen so each lang appears in
+    # both the train (id % 5 != 0) and test (id % 5 == 0) splits.
+    rows = []
+    for base, (lang, words) in enumerate(
+        [("en", "the cat sat on the mat"), ("es", "el gato se sienta en la estera")]
+    ):
+        for i in range(10):
+            rows.append((base * 10 + i, words, lang))
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = nb_langid(df).collect()
+    assert len(out) == 4  # ids 0,5 (en) and 10,15 (es)
+    assert all(r["correct"] for r in out)
+    preds = {r["doc_id"]: r["pred_lang"] for r in out}
+    assert preds[0] == "en" and preds[10] == "es"
