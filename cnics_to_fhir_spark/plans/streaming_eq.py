@@ -592,3 +592,89 @@ def st06_stream_restart_equivalence(spark: SparkSession, sf_dir: str) -> DataFra
     out_schema = "window_start timestamp, event_type string, n bigint, total_value double"
     emitted = spark.createDataFrame(rows_a + rows_b, out_schema)
     return emitted.filter(F.col("event_type") != "__sentinel__")
+
+
+@query(
+    "st07_stream_incremental_dedup_state",
+    tags="2.10 DD STREAM J5",
+    oracle="""
+        SELECT md5(LOWER(TRIM(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint,
+               CAST(MIN(doc_id) AS BIGINT) AS keeper_id
+        FROM documents GROUP BY 1
+    """,
+)
+def st07_stream_incremental_dedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dd11's production shape under the oracle: streaming ingest dedup
+    against an ACCUMULATING KEEPER TABLE.  Three ordered micro-batches
+    (originals split by id range, then an exact copy of every doc under
+    +1M ids) run through ``foreachBatch``: within-batch min-id dedup →
+    left-anti join against the state table on fingerprint → append the
+    genuinely-new keepers.  The final table must hold exactly one row per
+    corpus fingerprint with the GLOBAL min doc_id as keeper — cross-batch
+    duplicates suppressed by table state (not watermark expiry — st03
+    covers that form), within-batch ones by the pre-append agg.
+
+    Determinism: batches are id-RANGE slices in mtime order, so the first
+    batch containing a fingerprint also carries its smallest id; copies
+    arrive last under larger ids — hence keeper ≡ corpus-wide min and the
+    declarative oracle replays the whole streaming run.  At 100 TB the
+    state table is the bucketed store dd11 documents (ingest shuffles
+    only the batch; the anti-join probes the fingerprint-keyed table),
+    and the append is per-micro-batch atomic exactly as here."""
+    import time as _time
+
+    from cnics_to_fhir_spark.operators.textanalysis import fingerprint
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    median = docs.agg(F.expr("percentile_approx(doc_id, 0.5)")).first()[0]
+    copies = docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+
+    db = scratch_name(spark, "st07_state")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    state_tbl = f"{db}.keepers"
+    spark.createDataFrame([], "fingerprint string, keeper_id long").write.saveAsTable(
+        state_tbl
+    )
+    tmp = tempfile.mkdtemp(prefix="st07-")
+    try:
+        src, chk = os.path.join(tmp, "src"), os.path.join(tmp, "chk")
+        docs.filter(F.col("doc_id") < median).coalesce(1).write.parquet(src)
+        _time.sleep(1.1)  # strictly later mtimes ⇒ ordered micro-batches
+        docs.filter(F.col("doc_id") >= median).coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)
+        copies.coalesce(1).write.mode("append").parquet(src)
+
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+        def upsert(batch: DataFrame, epoch_id: int) -> None:
+            fresh = (
+                batch.select(fingerprint(F.col("text")).alias("fingerprint"), "doc_id")
+                .groupBy("fingerprint")
+                .agg(F.min("doc_id").alias("keeper_id"))
+            )
+            seen = batch.sparkSession.table(state_tbl).select("fingerprint")
+            (
+                fresh.join(seen, "fingerprint", "left_anti")
+                .write.mode("append")
+                .saveAsTable(state_tbl)
+            )
+
+        with _state_partitions(spark):
+            q = (
+                stream.writeStream.foreachBatch(upsert)
+                .option("checkpointLocation", chk)
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+        rows = spark.table(state_tbl).collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    return spark.createDataFrame(rows, "fingerprint string, keeper_id long")
