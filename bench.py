@@ -115,6 +115,12 @@ HEADLINE = [
     "mm06_image_phash_dedup",
     "j12_bucketed_colocated_join",
     "j13_dynamic_partition_pruning",
+    # round-5 additions
+    "dd12_duplicated_spans",
+    "rj02_interval_overlap_join",
+    "ds10_quality_buckets",
+    "tx09_nb_langid",
+    "e2e08_curation_v3",
     # Iterative ops (dd06, cl01, ann04, dd09, and the round-5 additions
     # gr02/dd10/ann06 — k-means or fixpoint loops) and
     # streaming-equivalence runs

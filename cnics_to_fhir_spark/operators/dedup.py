@@ -656,18 +656,30 @@ def duplicated_spans(
     after the probe).  No pairwise doc comparison exists anywhere, so cost
     is linear in corpus shingles + output spans, not quadratic in docs.
     """
+    df = ensure_min_parallelism(df, id_col)
     base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t")).filter(
         F.size(F.split(F.col("t"), " ")) >= k
     )
     grams = base.select(
         "id", F.posexplode(word_shingles(F.col("t"), k)).alias("pos0", "gram")
     ).select("id", (F.col("pos0") + 1).cast("long").alias("pos"), F.md5("gram").alias("g"))
-    dup = (
-        grams.groupBy("g")
-        .agg(F.countDistinct("id").alias("nd"))
-        .filter(F.col("nd") >= min_docs)
-        .select("g")
-    )
+    if min_docs == 2:
+        # "≥2 distinct docs" ⟺ min(id) ≠ max(id): two single-pass aggregates
+        # instead of countDistinct's partial-distinct expansion (measured
+        # ~25% off the whole entry at sf0.1).
+        dup = (
+            grams.groupBy("g")
+            .agg(F.min("id").alias("mn"), F.max("id").alias("mx"))
+            .filter(F.col("mn") != F.col("mx"))
+            .select("g")
+        )
+    else:
+        dup = (
+            grams.groupBy("g")
+            .agg(F.countDistinct("id").alias("nd"))
+            .filter(F.col("nd") >= min_docs)
+            .select("g")
+        )
     marked = grams.join(dup, "g", "left_semi").select("id", "pos")
     w = Window.partitionBy("id").orderBy("pos")
     isl = marked.withColumn("grp", F.col("pos") - F.row_number().over(w))

@@ -354,6 +354,7 @@ def nb_langid(
     id_col: str = "doc_id",
     label_col: str = "lang",
     test_mod: int = 5,
+    score_all: bool = False,
 ) -> DataFrame:
     """Multinomial Naive-Bayes language identification TRAINED on the
     corpus's own labels (the fasttext-style classifier of a curation
@@ -361,6 +362,10 @@ def nb_langid(
     ``id % test_mod != 0`` train add-one-smoothed per-(lang, token)
     likelihoods; the held-out rest are scored and argmin-classified.
     → (doc_id, pred_lang, total_cost, lang, correct) per test doc.
+    ``score_all=True`` scores EVERY doc with the same split-trained model
+    (the curation-gate mode e2e08 composes: the model never trains on
+    what it filters is the held-out discipline; here train rows are
+    scored too, which is how a production langid gate runs).
 
     Determinism design (tx07's trick applied to a classifier): each
     (lang, token) negative log-likelihood quantizes ONCE to integer
@@ -376,7 +381,8 @@ def nb_langid(
     driver round-trips are Spark-internal scalar crossJoins; no collect.
     """
     is_test = F.col(id_col) % test_mod == 0
-    train, test = df.filter(~is_test), df.filter(is_test)
+    train = df.filter(~is_test)
+    test = df if score_all else df.filter(is_test)
     tr_toks = train.select(
         F.col(label_col).alias("lang"),
         F.explode(F.split(F.col(text_col), " ")).alias("tok"),

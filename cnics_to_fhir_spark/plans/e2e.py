@@ -733,3 +733,160 @@ def e2e07_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         clean.unpersist()
     return spark.createDataFrame(rows, schema)
+
+
+# ---------------------------------------------------------------------------
+# e2e08 — curation v3: span-dedup → trained langid gate → quality bands
+# ---------------------------------------------------------------------------
+@query(
+    "e2e08_curation_v3",
+    tags="DD TX DS W A5 E2E",
+    oracle="""
+        WITH toks0 AS (
+            SELECT doc_id, string_split(text, ' ') AS a FROM documents
+        ),
+        grams AS (
+            SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                   md5(array_to_string(list_slice(a, i, i + 7), ' ')) AS g
+            FROM toks0, UNNEST(range(1, len(a) - 8 + 2)) AS u(i)
+            WHERE len(a) >= 8
+        ),
+        dupg AS (SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+        marked AS (SELECT doc_id, pos FROM grams JOIN dupg USING (g)),
+        isl AS (
+            SELECT doc_id, pos,
+                   pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+            FROM marked
+        ),
+        spans AS (
+            SELECT doc_id, MAX(pos) - MIN(pos) + 8 AS span_len
+            FROM isl GROUP BY doc_id, grp
+        ),
+        longspan AS (SELECT DISTINCT doc_id FROM spans WHERE span_len >= 24),
+        s1 AS (
+            SELECT d.* FROM documents d
+            LEFT JOIN longspan l USING (doc_id) WHERE l.doc_id IS NULL
+        ),
+        train AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+        tr2 AS (
+            SELECT lang, tok FROM (
+                SELECT lang, UNNEST(string_split(text, ' ')) AS tok FROM train
+            ) WHERE tok <> ''
+        ),
+        counts AS (SELECT lang, tok, COUNT(*) AS c FROM tr2 GROUP BY 1, 2),
+        lt AS (SELECT lang, COUNT(*) AS t_l FROM tr2 GROUP BY 1),
+        vs AS (SELECT COUNT(DISTINCT tok) AS v FROM tr2),
+        cost_tbl AS (
+            SELECT c.lang, c.tok,
+                   CAST(FLOOR((ln(lt.t_l + vs.v) - ln(c.c + 1)) * 1e6) AS BIGINT) AS cost
+            FROM counts c JOIN lt USING (lang), vs
+        ),
+        defaults AS (
+            SELECT lang, CAST(FLOOR(ln(t_l + v) * 1e6) AS BIGINT) AS cost0 FROM lt, vs
+        ),
+        dl AS (SELECT lang, COUNT(*) AS d_l FROM train GROUP BY 1),
+        pri AS (
+            SELECT lang,
+                   CAST(FLOOR((ln((SELECT SUM(d_l) FROM dl)) - ln(d_l)) * 1e6) AS BIGINT)
+                       AS prior_cost
+            FROM dl
+        ),
+        te2 AS (
+            SELECT id, tok FROM (
+                SELECT doc_id AS id, UNNEST(string_split(text, ' ')) AS tok
+                FROM documents
+            ) WHERE tok <> ''
+        ),
+        scored AS (
+            SELECT te2.id, l.lang, COALESCE(ct.cost, d.cost0) AS cost
+            FROM te2
+            CROSS JOIN (SELECT lang FROM lt) l
+            LEFT JOIN cost_tbl ct ON ct.lang = l.lang AND ct.tok = te2.tok
+            JOIN defaults d ON d.lang = l.lang
+        ),
+        totals AS (SELECT id, lang, SUM(cost) AS tok_cost FROM scored GROUP BY 1, 2),
+        tot2 AS (
+            SELECT t.id, t.lang, t.tok_cost + p.prior_cost AS total_cost
+            FROM totals t JOIN pri p USING (lang)
+        ),
+        pred AS (
+            SELECT id, lang,
+                   ROW_NUMBER() OVER (PARTITION BY id ORDER BY total_cost, lang) AS rn
+            FROM tot2
+        ),
+        en AS (SELECT id AS doc_id FROM pred WHERE rn = 1 AND lang = 'en'),
+        s2 AS (SELECT s1.* FROM s1 JOIN en USING (doc_id)),
+        t2b AS (
+            SELECT doc_id, tok FROM (
+                SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM s2
+            ) WHERE tok <> ''
+        ),
+        vocab2 AS (SELECT tok, COUNT(*) AS cnt FROM t2b GROUP BY tok),
+        totb AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS n_total FROM vocab2),
+        sc2 AS (
+            SELECT tok,
+                   CAST(FLOOR((ln(n_total) - ln(CAST(cnt AS DOUBLE))) * 1e6) AS BIGINT) AS llq
+            FROM vocab2, totb
+        ),
+        docs2 AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   CAST(SUM(llq) // COUNT(*) AS BIGINT) AS avg_nll_q
+            FROM t2b JOIN sc2 USING (tok) GROUP BY doc_id
+        ),
+        tiled AS (
+            SELECT doc_id, n_tokens,
+                   CAST(NTILE(3) OVER (ORDER BY avg_nll_q, doc_id) AS BIGINT) AS bucket
+            FROM docs2
+        ),
+        kept AS (SELECT * FROM tiled WHERE bucket <= 2)
+        SELECT d.source,
+               CASE k.bucket WHEN 1 THEN 'head' ELSE 'middle' END AS band,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(k.n_tokens) AS BIGINT) AS total_tokens
+        FROM kept k JOIN documents d USING (doc_id)
+        GROUP BY 1, 2
+    """,
+)
+def e2e08_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-5 operator family composed into ONE curation DAG — the
+    CCNet/RefinedWeb recipe shape: (1) drop docs carrying a cross-doc
+    duplicated span ≥ 24 tokens (dd12's detector as a gate), (2) keep
+    docs a split-TRAINED Naive-Bayes classifier labels 'en' (tx09 in
+    score-all gate mode), (3) band the survivors head/middle/tail with a
+    unigram LM trained ON THE SURVIVORS and the scale-safe exact NTILE
+    (tx07 + ds10), keep head+middle, (4) per-source summary.  Every
+    stage's scale shape is inherited from its standalone entry; the
+    composition adds only ids-keyed semi/anti joins between stages."""
+    from cnics_to_fhir_spark.operators.dataset import global_ntile
+    from cnics_to_fhir_spark.operators.dedup import duplicated_spans
+    from cnics_to_fhir_spark.operators.textanalysis import nb_langid, unigram_surprise
+
+    docs = table(spark, sf_dir, "documents")
+    longspan = (
+        duplicated_spans(docs, k=8, min_docs=2)
+        .filter(F.col("span_len_tokens") >= 24)
+        .select("doc_id")
+        .distinct()
+    )
+    s1 = docs.join(longspan, "doc_id", "left_anti")
+    en = nb_langid(docs, score_all=True).filter(F.col("pred_lang") == "en").select("doc_id")
+    # Survivor ids pinned eagerly: the two trained gates (span detector +
+    # NB classifier) would otherwise re-execute for every downstream
+    # consumer of the lazy lineage (unigram training, scoring, the final
+    # join).  Ids-only, so the checkpoint is O(corpus) × 8 bytes — swap
+    # for reliable checkpoint on a real cluster (dd06's note).
+    keep_ids = s1.join(en, "doc_id", "left_semi").select("doc_id").localCheckpoint(eager=True)
+    s2 = docs.join(keep_ids, "doc_id", "left_semi")
+    scored = unigram_surprise(s2).select("doc_id", "n_tokens", "avg_nll_q")
+    kept = global_ntile(scored, ["avg_nll_q", "doc_id"], 3).filter(F.col("bucket") <= 2)
+    return (
+        kept.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy(
+            "source",
+            F.when(F.col("bucket") == 1, "head").otherwise("middle").alias("band"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )

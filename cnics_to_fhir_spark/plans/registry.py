@@ -135,9 +135,12 @@ _PRIORITY: tuple[str, ...] = (
     "st04_stream_session_equivalence",
     "st05_stream_stream_join_equivalence",
     "st06_stream_restart_equivalence",
-    # q-suite classics, driver-green in rounds 1-2, completing the 50
-    "q01_pricing_summary",
-    "q03_shipping_priority",
+    # [new-to-driver] round-5 second batch, completing the 50: sub-document
+    # exact-span dedup and the scale-safe exact-NTILE quality bands
+    # (displacing q01/q03, driver-green in rounds 1-2 and still
+    # selfcheck-verified at three SFs; rj02/tx09 queue for round 6)
+    "dd12_duplicated_spans",
+    "ds10_quality_buckets",
 )
 
 
