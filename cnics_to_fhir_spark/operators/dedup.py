@@ -692,3 +692,67 @@ def duplicated_spans(
         )
         .select(F.col("id").alias(id_col), "span_start", "span_len_tokens", "n_dup_grams")
     )
+
+
+# ---------------------------------------------------------------------------
+# Containment near-dup (asymmetric: small doc inside big doc)
+# ---------------------------------------------------------------------------
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    max_df: int = 10,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Asymmetric containment dedup: C(A→B) = |sh(A) ∩ sh(B)| / |sh(A)|
+    over distinct k-word shingle sets — the measure that catches a small
+    document quoted wholesale inside a big one, which Jaccard dilutes
+    below any usable threshold (and which real decontamination pipelines
+    therefore score with containment, not Jaccard).
+    → (id_a, id_b, c_a_in_b, c_b_in_a) for pairs whose larger direction
+    reaches ``threshold``; id_a < id_b.
+
+    Scale shape — inverted-index blocking with a document-frequency cap:
+    candidate pairs come from sharing a shingle whose doc-freq is in
+    [2, max_df], so candidate volume is Σ_g df(g)² over capped shingles
+    (bounded by max_df · index size), never all-pairs; the Zipf-hot
+    shingles that would explode the self-join are excluded.  Recall
+    contract: a contained doc shares EVERY one of its shingles with its
+    container, so a pair is missed only when all its shared shingles are
+    corpus-hot — pure-boilerplate content, exactly what dd08 removes
+    upstream.  The shingle-set rejoin ships arrays only for surviving
+    candidates."""
+    df = ensure_min_parallelism(df, id_col)
+    sh = df.filter(F.size(F.split(F.col(text_col), " ")) >= k).select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(word_shingles(F.col(text_col), k)).alias("s"),
+    )
+    inv = sh.select("id", F.explode("s").alias("g"))
+    rare = (
+        inv.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df_"))
+        .filter((F.col("df_") >= 2) & (F.col("df_") <= max_df))
+        .select("g")
+    )
+    idx = inv.join(rare, "g", "left_semi")
+    cand = (
+        idx.select(F.col("id").alias("id_a"), "g")
+        .join(idx.select(F.col("id").alias("id_b"), "g"), "g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    return (
+        cand.join(sh.select(F.col("id").alias("id_a"), F.col("s").alias("sa")), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"), F.col("s").alias("sb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            stable_round(inter.cast("double") / F.size("sa"), 6).alias("c_a_in_b"),
+            stable_round(inter.cast("double") / F.size("sb"), 6).alias("c_b_in_a"),
+        )
+        .filter(F.greatest(F.col("c_a_in_b"), F.col("c_b_in_a")) >= threshold)
+    )

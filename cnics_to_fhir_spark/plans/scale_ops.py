@@ -3469,3 +3469,48 @@ def tx09_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cnics_to_fhir_spark.operators.textanalysis import nb_langid
 
     return nb_langid(table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# dd13 — containment near-dup (inverted-index blocking, df-capped)
+# ---------------------------------------------------------------------------
+@query(
+    "dd13_containment_pairs",
+    tags="DD J1 A5",
+    oracle="""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+        sh AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(range(1, len(a) - 4 + 2),
+                                 i -> array_to_string(list_slice(a, i, i + 3), ' '))) AS s
+            FROM toks WHERE len(a) >= 4
+        ),
+        inv AS (SELECT doc_id, UNNEST(s) AS g FROM sh),
+        rare AS (SELECT g FROM inv GROUP BY g HAVING COUNT(*) BETWEEN 2 AND 10),
+        idx AS (SELECT i.doc_id, i.g FROM inv i JOIN rare USING (g)),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM idx a JOIN idx b ON a.g = b.g AND a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b, c_a_in_b, c_b_in_a FROM (
+            SELECT c.id_a, c.id_b,
+                   FLOOR(len(list_intersect(sa.s, sb.s)) * 1.0 / len(sa.s) * 1e6 + 0.5)/1e6
+                       AS c_a_in_b,
+                   FLOOR(len(list_intersect(sa.s, sb.s)) * 1.0 / len(sb.s) * 1e6 + 0.5)/1e6
+                       AS c_b_in_a
+            FROM cand c
+            JOIN sh sa ON sa.doc_id = c.id_a
+            JOIN sh sb ON sb.doc_id = c.id_b
+        ) WHERE GREATEST(c_a_in_b, c_b_in_a) >= 0.5
+    """,
+)
+def dd13_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup over 4-word shingle sets —
+    inverted-index candidate generation capped at doc-freq 10 (candidate
+    volume Σ df², hot shingles excluded), exact containment on the
+    survivors (operators/dedup.py containment_pairs).  The measure real
+    decontamination uses: a small doc fully quoted inside a big one
+    scores 1.0 here while its Jaccard vanishes."""
+    from cnics_to_fhir_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(table(spark, sf_dir, "documents"))

@@ -363,3 +363,19 @@ def test_duplicated_spans_gap_splits_islands(spark):
         per_doc.setdefault(r["doc_id"], []).append((r["span_start"], r["span_len_tokens"]))
     assert sorted(per_doc[1]) == [(1, 8), (11, 8)]
     assert sorted(per_doc[2]) == [(1, 8), (11, 8)]
+
+
+def test_containment_catches_what_jaccard_misses(spark):
+    big = ("w%d " % 0) + " ".join(f"w{i}" for i in range(1, 40))
+    small = " ".join(f"w{i}" for i in range(10, 18))  # fully inside big
+    rows = [(1, big), (2, small), (3, "x y z entirely different words here")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {(r["id_a"], r["id_b"]): r for r in dedup.containment_pairs(df, threshold=0.5).collect()}
+    assert (1, 2) in out
+    r = out[(1, 2)]
+    # small's shingles all appear in big: containment 1.0 one way, dilute the other
+    assert r["c_b_in_a"] == 1.0 and r["c_a_in_b"] < 0.2
+    assert not any(3 in k for k in out)
+    # and plain Jaccard on the same pair sits far below the 0.5 threshold
+    jac = {(r["id_a"], r["id_b"]) for r in dedup.ngram_jaccard_pairs(df, k=4, threshold=0.5).collect()}
+    assert (1, 2) not in jac
