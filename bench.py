@@ -121,6 +121,8 @@ HEADLINE = [
     "ds10_quality_buckets",
     "tx09_nb_langid",
     "e2e08_curation_v3",
+    "dd13_containment_pairs",
+    "j14_aqe_skew_split",
     # Iterative ops (dd06, cl01, ann04, dd09, and the round-5 additions
     # gr02/dd10/ann06 — k-means or fixpoint loops) and
     # streaming-equivalence runs

@@ -3514,3 +3514,88 @@ def dd13_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cnics_to_fhir_spark.operators.dedup import containment_pairs
 
     return containment_pairs(table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# j14 — AQE runtime skew-join split, self-asserting (the j09 alternative)
+# ---------------------------------------------------------------------------
+@query(
+    "j14_aqe_skew_split",
+    tags="J1 SKEW AQE A5",
+    oracle="""
+        WITH f AS (
+            SELECT CAST(CASE WHEN l_orderkey % 5 < 3 THEN 0
+                             ELSE l_orderkey % 97 END AS BIGINT) AS k,
+                   l_quantity
+            FROM lineitem
+        ),
+        d AS (
+            SELECT CAST(r AS BIGINT) AS k, CAST(r % 7 AS BIGINT) AS grp
+            FROM range(0, 97) t(r)
+        )
+        SELECT d.grp, CAST(COUNT(*) AS BIGINT) AS n,
+               FLOOR(SUM(f.l_quantity)*1e2 + 0.5)/1e2 AS total_qty
+        FROM f JOIN d USING (k) GROUP BY d.grp
+    """,
+)
+def j14_aqe_skew_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AQE's RUNTIME answer to the hot-key problem j09 solves with a
+    manual salt: 60% of the fact rows share one join key, broadcast is
+    disabled, and the sort-merge join's skewed partition must be SPLIT at
+    runtime (OptimizeSkewedJoin) instead of serializing onto one reducer.
+    The entry executes the join, then ASSERTS the adaptive final plan
+    carries a ``skew=true`` sort-merge join — it fails rather than let a
+    regression quietly reintroduce the straggler — and hash-matches the
+    declarative oracle (a skew split is a physical rewrite; results are
+    row-identical).  Thresholds are scaled down to make toy-SF shuffle
+    partitions cross the skew detector exactly as 100-TB partitions
+    would cross the 256 MB default.
+
+    Two shapes this entry had to get right (both discovered by the
+    assert failing, which is the point of self-asserting entries):
+    OptimizeSkewedJoin splits a skewed REDUCE partition at map-output
+    granularity, so the fact side must come from >1 mapper (the toy
+    single-file scan is one map task — repartition(16) stands in for the
+    thousands of input splits a real corpus has); and the rule only
+    matches join children that are bare shuffle stages, so the dim must
+    reach the join as a plain exchange (a ``distinct`` leaves its final
+    aggregate between shuffle and sort and the rule passes the join by).
+    """
+    from cnics_to_fhir_spark.functions.numeric import stable_round
+    from cnics_to_fhir_spark.session import session_conf
+
+    li = table(spark, sf_dir, "lineitem")
+    with session_conf(
+        spark,
+        {
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.skewJoin.enabled": "true",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "4KB",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "2KB",
+            "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        },
+    ):
+        f = li.repartition(16).select(
+            F.when(F.col("l_orderkey") % 5 < 3, F.lit(0))
+            .otherwise(F.col("l_orderkey") % 97)
+            .cast("long")
+            .alias("k"),
+            "l_quantity",
+        )
+        d = spark.range(0, 97).select(
+            F.col("id").alias("k"), (F.col("id") % 7).cast("long").alias("grp")
+        )
+        joined = (
+            f.join(d, "k")
+            .groupBy("grp")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                stable_round(F.sum("l_quantity"), 2).alias("total_qty"),
+            )
+        )
+        rows = joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        if "skew=true" not in plan:
+            raise AssertionError("adaptive plan did not split the skewed join partition")
+    return spark.createDataFrame(rows, "grp bigint, n bigint, total_qty double")
