@@ -1,0 +1,86 @@
+"""Dataset drift detection between two corpus versions (PSI).
+
+A training pipeline re-ingests its sources continuously; before a new
+crawl joins the mix you compare its per-feature distributions against the
+version the current model was trained on.  The standard monitoring score
+is the Population Stability Index: bin the baseline, histogram both sides
+on the SAME bins, PSI = Σ (p_i − q_i)·ln(p_i/q_i) (add-one smoothed so
+empty bins are defined).  PSI < 0.1 ≈ stable, > 0.25 ≈ retrain-worthy
+drift.
+
+Determinism design (tx07's pattern): per-bin PSI terms are computed from
+integer counts with two float ops (one division pair, one ln of an
+integer-valued product ratio) and quantized to integer micro-units ONCE;
+group PSI is then an order-independent integer sum on any engine.
+
+Scale shape: one baseline min/max agg per group (group-keyed, map-side
+partials), one (group, bin, side) count agg over a scan-fused bin
+expression, a groups×bins spine (tiny cross join) so smoothing sees empty
+bins, and a group-keyed final sum.  Nothing is ever keyed by row; state is
+O(groups × bins).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def psi_drift(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    baseline_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """PSI per ``group_col`` between the ``baseline_col``=true rows and the
+    rest.  Bins are ``n_bins`` equal-width slices of the BASELINE's
+    [min, max] per group (comparison-side values clamp into the edge
+    bins, which is where drift shows up).  → (group, n_base, n_new,
+    psi_q) with psi_q in integer micro-units; groups with a degenerate
+    baseline (min = max) put everything in bin 0."""
+    g, v = F.col(group_col), F.col(value_col)
+    base = df.filter(F.col(baseline_col))
+    stats = base.groupBy(group_col).agg(F.min(v).alias("mn"), F.max(v).alias("mx"))
+    width = (F.col("mx") - F.col("mn")) / F.lit(n_bins)
+    bin_expr = F.when(F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
+        F.greatest(
+            F.lit(0),
+            F.least(F.lit(n_bins - 1), F.floor((v - F.col("mn")) / width).cast("int")),
+        )
+    )
+    binned = (
+        df.join(stats, group_col)
+        .select(g.alias("grp"), F.col(baseline_col).alias("is_base"), bin_expr.alias("b"))
+        .groupBy("grp", "b", "is_base")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    spine = (
+        stats.select(F.col(group_col).alias("grp"))
+        .crossJoin(F.broadcast(df.sparkSession.range(n_bins).select(F.col("id").cast("int").alias("b"))))
+    )
+    cells = (
+        spine.join(binned.filter("is_base").select("grp", "b", F.col("c").alias("c1")), ["grp", "b"], "left")
+        .join(binned.filter(~F.col("is_base")).select("grp", "b", F.col("c").alias("c2")), ["grp", "b"], "left")
+        .select(
+            "grp",
+            "b",
+            (F.coalesce(F.col("c1"), F.lit(0)) + 1).alias("p1"),  # add-one smoothing
+            (F.coalesce(F.col("c2"), F.lit(0)) + 1).alias("p2"),
+        )
+    )
+    tot = cells.groupBy("grp").agg(F.sum("p1").alias("n1"), F.sum("p2").alias("n2"))
+    term = (
+        (F.col("p1") / F.col("n1") - F.col("p2") / F.col("n2"))
+        * (F.log(F.col("p1") * F.col("n2")) - F.log(F.col("p2") * F.col("n1")))
+    )
+    return (
+        cells.join(tot, "grp")
+        .select("grp", "n1", "n2", F.floor(term * 1e6).cast("long").alias("tq"))
+        .groupBy(F.col("grp").alias(group_col))
+        .agg(
+            (F.first("n1") - F.lit(n_bins)).alias("n_base"),
+            (F.first("n2") - F.lit(n_bins)).alias("n_new"),
+            F.sum("tq").alias("psi_q"),
+        )
+    )

@@ -3599,3 +3599,65 @@ def j14_aqe_skew_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         if "skew=true" not in plan:
             raise AssertionError("adaptive plan did not split the skewed join partition")
     return spark.createDataFrame(rows, "grp bigint, n bigint, total_qty double")
+
+
+# ---------------------------------------------------------------------------
+# dq01 — dataset drift between versions (PSI per feature group)
+# ---------------------------------------------------------------------------
+@query(
+    "dq01_drift_psi",
+    tags="DQ A5 J1 TX",
+    oracle="""
+        WITH e AS (
+            SELECT event_type AS grp, value AS v,
+                   ts < TIMESTAMP '2024-01-16 00:00:00' AS is_base
+            FROM events
+        ),
+        stats AS (SELECT grp, MIN(v) AS mn, MAX(v) AS mx FROM e WHERE is_base GROUP BY grp),
+        binned AS (
+            SELECT e.grp, e.is_base,
+                   CASE WHEN s.mx = s.mn THEN 0
+                        ELSE GREATEST(0, LEAST(9,
+                             CAST(FLOOR((e.v - s.mn) / ((s.mx - s.mn)/10)) AS INT))) END AS b,
+                   COUNT(*) AS c
+            FROM e JOIN stats s USING (grp) GROUP BY 1, 2, 3
+        ),
+        spine AS (SELECT s.grp, CAST(r AS INT) AS b FROM stats s, range(0, 10) t(r)),
+        cells AS (
+            SELECT sp.grp, sp.b,
+                   COALESCE(b1.c, 0) + 1 AS p1,
+                   COALESCE(b2.c, 0) + 1 AS p2
+            FROM spine sp
+            LEFT JOIN (SELECT grp, b, c FROM binned WHERE is_base) b1
+                   ON b1.grp = sp.grp AND b1.b = sp.b
+            LEFT JOIN (SELECT grp, b, c FROM binned WHERE NOT is_base) b2
+                   ON b2.grp = sp.grp AND b2.b = sp.b
+        ),
+        tot AS (SELECT grp, SUM(p1) AS n1, SUM(p2) AS n2 FROM cells GROUP BY grp)
+        SELECT c.grp AS event_type,
+               CAST(ANY_VALUE(t.n1) - 10 AS BIGINT) AS n_base,
+               CAST(ANY_VALUE(t.n2) - 10 AS BIGINT) AS n_new,
+               CAST(SUM(CAST(FLOOR((c.p1*1.0/t.n1 - c.p2*1.0/t.n2)
+                         * (ln(c.p1*1.0*t.n2) - ln(c.p2*1.0*t.n1)) * 1e6) AS BIGINT))
+                    AS BIGINT) AS psi_q
+        FROM cells c JOIN tot t USING (grp)
+        GROUP BY 1
+    """,
+)
+def dq01_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift monitoring between two dataset versions: the Population
+    Stability Index of the event-value distribution per event_type,
+    first half of the month (the 'trained-on' crawl) vs the second (the
+    'incoming' crawl).  Baseline-anchored equal-width bins, add-one
+    smoothing over a groups×bins spine so empty bins are defined, PSI
+    terms quantized to integer micro-units from integer counts
+    (operators/drift.py psi_drift — state is O(groups × bins), nothing
+    row-keyed)."""
+    from cnics_to_fhir_spark.operators.drift import psi_drift
+
+    e = table(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        (F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp")).alias("is_base"),
+    )
+    return psi_drift(e, "value", "event_type", "is_base")

@@ -247,3 +247,21 @@ def test_global_ntile_edges(spark):
     empty = spark.createDataFrame([], "s int, id int")
     out = global_ntile(empty, ["s", "id"], 3)
     assert out.count() == 0 and "bucket" in out.columns
+
+
+def test_psi_drift_detects_shift(spark):
+    from cnics_to_fhir_spark.operators.drift import psi_drift
+
+    rows = []
+    # group "stable": identical uniform-ish values both sides
+    for i in range(200):
+        rows.append(("stable", float(i % 50), i < 100))
+    # group "shifted": baseline near 0-50, comparison near 200-250
+    for i in range(200):
+        rows.append(("shifted", float(i % 50) + (0.0 if i < 100 else 200.0), i < 100))
+    df = spark.createDataFrame(rows, ["grp", "v", "is_base"])
+    out = {r["grp"]: r for r in psi_drift(df, "v", "grp", "is_base").collect()}
+    assert out["stable"]["n_base"] == 100 and out["stable"]["n_new"] == 100
+    # micro-units: 0.1 PSI == 100_000
+    assert out["stable"]["psi_q"] < 100_000
+    assert out["shifted"]["psi_q"] > 250_000  # everything clamps to the far bin
