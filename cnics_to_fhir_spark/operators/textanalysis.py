@@ -441,3 +441,58 @@ def nb_langid(
             (F.col("pred_lang") == F.col(label_col)).alias("correct"),
         )
     )
+
+
+def bpe_encode_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_merges: int = 3,
+) -> DataFrame:
+    """Close the tokenizer loop: learn ``n_merges`` BPE merges over the
+    corpus (``bpe_learn_merges``), APPLY them, and report per-document
+    token counts before/after — the number a pretraining pipeline
+    actually budgets on.  → (doc_id, n_words, n_bpe_tokens).
+
+    Scale shape: the merge table is a ``n_merges``-row driver round-trip;
+    application is ``n_merges`` chained literal replaces over the DISTINCT
+    word vocabulary (vocabulary-bounded, never corpus-bounded — the same
+    economics as training), and the per-doc rollup is one token-keyed
+    join plus a doc-keyed sum, both map-side-combinable."""
+    merges = sorted(
+        bpe_learn_merges(df, text_col=text_col, n_merges=n_merges).collect(),
+        key=lambda r: r["merge_round"],
+    )
+    vocab = (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .filter((F.col("w") != "") & (~F.col("w").contains(BPE_SEP)))
+        .distinct()
+        .select("w", _bpe_wrap(F.col("w")).alias("s"))
+    )
+    for m in merges:
+        vocab = vocab.select(
+            "w",
+            F.replace(
+                F.col("s"),
+                F.lit(BPE_SEP + m["lhs"] + BPE_SEP + BPE_SEP + m["rhs"] + BPE_SEP),
+                F.lit(BPE_SEP + m["lhs"] + m["rhs"] + BPE_SEP),
+            ).alias("s"),
+        )
+    wsyms = vocab.select(
+        "w",
+        F.size(
+            F.split(F.substring(F.col("s"), F.lit(2), F.length("s") - 2), BPE_SEP + BPE_SEP)
+        ).cast("long").alias("n_syms"),
+    )
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("w"),
+    ).filter((F.col("w") != "") & (~F.col("w").contains(BPE_SEP)))
+    return (
+        toks.join(wsyms, "w")
+        .groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_syms").cast("long").alias("n_bpe_tokens"),
+        )
+    )

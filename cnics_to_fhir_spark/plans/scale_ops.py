@@ -3661,3 +3661,94 @@ def dq01_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp")).alias("is_base"),
     )
     return psi_drift(e, "value", "event_type", "is_base")
+
+
+# ---------------------------------------------------------------------------
+# tx10 — BPE encode with the learned merges (train → APPLY, per-doc budget)
+# ---------------------------------------------------------------------------
+@query(
+    "tx10_bpe_encode",
+    tags="TX A5 J1 CL-iterative",
+    oracle="""
+        -- tx08's unrolled training, then APPLY: the word column rides along
+        -- the replace chain so the final symbol counts join back per doc.
+        WITH words AS (
+            SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM (
+                SELECT UNNEST(string_split(text, ' ')) AS w FROM documents
+            ) WHERE w <> '' AND NOT contains(w, chr(31))
+            GROUP BY w
+        ),
+        s0 AS (
+            SELECT w, n, chr(31) || array_to_string(string_split(w, ''),
+                   chr(31)||chr(31)) || chr(31) AS s
+            FROM words
+        ),
+        p1 AS (
+            SELECT pr.lhs AS lhs, pr.rhs AS rhs,
+                   CAST(SUM(n) AS BIGINT) AS pair_count FROM (
+                SELECT n, UNNEST(list_transform(range(1, len(arr)),
+                       i -> {'lhs': arr[i], 'rhs': arr[i+1]})) AS pr
+                FROM (SELECT n, string_split(s[2:len(s)-1],
+                             chr(31)||chr(31)) AS arr FROM s0)
+            ) GROUP BY pr.lhs, pr.rhs
+        ),
+        m1 AS (SELECT lhs, rhs FROM p1 ORDER BY pair_count DESC, lhs, rhs LIMIT 1),
+        s1 AS (
+            SELECT w, n, replace(s, chr(31)||m.lhs||chr(31)||chr(31)||m.rhs||chr(31),
+                                    chr(31)||m.lhs||m.rhs||chr(31)) AS s
+            FROM s0, m1 m),
+        p2 AS (
+            SELECT pr.lhs AS lhs, pr.rhs AS rhs,
+                   CAST(SUM(n) AS BIGINT) AS pair_count FROM (
+                SELECT n, UNNEST(list_transform(range(1, len(arr)),
+                       i -> {'lhs': arr[i], 'rhs': arr[i+1]})) AS pr
+                FROM (SELECT n, string_split(s[2:len(s)-1],
+                             chr(31)||chr(31)) AS arr FROM s1)
+            ) GROUP BY pr.lhs, pr.rhs
+        ),
+        m2 AS (SELECT lhs, rhs FROM p2 ORDER BY pair_count DESC, lhs, rhs LIMIT 1),
+        s2 AS (
+            SELECT w, n, replace(s, chr(31)||m.lhs||chr(31)||chr(31)||m.rhs||chr(31),
+                                    chr(31)||m.lhs||m.rhs||chr(31)) AS s
+            FROM s1, m2 m),
+        p3 AS (
+            SELECT pr.lhs AS lhs, pr.rhs AS rhs,
+                   CAST(SUM(n) AS BIGINT) AS pair_count FROM (
+                SELECT n, UNNEST(list_transform(range(1, len(arr)),
+                       i -> {'lhs': arr[i], 'rhs': arr[i+1]})) AS pr
+                FROM (SELECT n, string_split(s[2:len(s)-1],
+                             chr(31)||chr(31)) AS arr FROM s2)
+            ) GROUP BY pr.lhs, pr.rhs
+        ),
+        m3 AS (SELECT lhs, rhs FROM p3 ORDER BY pair_count DESC, lhs, rhs LIMIT 1),
+        s3 AS (
+            SELECT w, n, replace(s, chr(31)||m.lhs||chr(31)||chr(31)||m.rhs||chr(31),
+                                    chr(31)||m.lhs||m.rhs||chr(31)) AS s
+            FROM s2, m3 m),
+        wsyms AS (
+            SELECT w, CAST(len(string_split(s[2:len(s)-1], chr(31)||chr(31)))
+                           AS BIGINT) AS n_syms
+            FROM s3
+        ),
+        te AS (
+            SELECT doc_id, w FROM (
+                SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents
+            ) WHERE w <> '' AND NOT contains(w, chr(31))
+        )
+        SELECT t.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(ws.n_syms) AS BIGINT) AS n_bpe_tokens
+        FROM te t JOIN wsyms ws USING (w)
+        GROUP BY t.doc_id
+    """,
+)
+def tx10_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train 3 BPE merges (tx08's loop) then ENCODE the corpus with them,
+    reporting per-document word and post-merge token counts — the budget
+    number a pretraining pipeline actually plans against.  Application is
+    3 chained codegen'd literal replaces over the DISTINCT vocabulary
+    (vocabulary-bounded like training), one token-keyed join, one
+    doc-keyed sum (operators/textanalysis.py bpe_encode_counts)."""
+    from cnics_to_fhir_spark.operators.textanalysis import bpe_encode_counts
+
+    return bpe_encode_counts(table(spark, sf_dir, "documents"), n_merges=3)

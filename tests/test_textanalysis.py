@@ -132,3 +132,18 @@ def test_nb_langid_learns_separable_signal(spark):
     assert all(r["correct"] for r in out)
     preds = {r["doc_id"]: r["pred_lang"] for r in out}
     assert preds[0] == "en" and preds[10] == "es"
+
+
+def test_bpe_encode_counts_shrinks_tokens(spark):
+    from cnics_to_fhir_spark.operators.textanalysis import bpe_encode_counts
+
+    # 'aaaa' dominates: merges learn (a,a) then (aa,aa) etc.; encoded
+    # length must drop below character count but never below 1 per word.
+    rows = [(i, "aaaa bb aaaa aaaa cd") for i in range(4)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in bpe_encode_counts(df, n_merges=3).collect()}
+    r = out[0]
+    assert r["n_words"] == 5
+    chars = 4 + 2 + 4 + 4 + 2  # pre-merge symbol count
+    assert r["n_bpe_tokens"] < chars
+    assert r["n_bpe_tokens"] >= r["n_words"]
