@@ -41,7 +41,15 @@ def psi_drift(
     baseline (min = max) put everything in bin 0."""
     g, v = F.col(group_col), F.col(value_col)
     base = df.filter(F.col(baseline_col))
-    stats = base.groupBy(group_col).agg(F.min(v).alias("mn"), F.max(v).alias("mx"))
+    # stats and the binned counts are O(groups) / O(groups×bins) rows but
+    # sit under several lineage consumers each — pinning them caps the
+    # corpus at TWO scans (one min/max pass, one binning pass) instead of
+    # re-deriving the whole chain per consumer (10 scans unpinned).
+    stats = (
+        base.groupBy(group_col)
+        .agg(F.min(v).alias("mn"), F.max(v).alias("mx"))
+        .localCheckpoint(eager=True)
+    )
     width = (F.col("mx") - F.col("mn")) / F.lit(n_bins)
     bin_expr = F.when(F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
         F.greatest(
@@ -50,10 +58,11 @@ def psi_drift(
         )
     )
     binned = (
-        df.join(stats, group_col)
+        df.join(F.broadcast(stats), group_col)
         .select(g.alias("grp"), F.col(baseline_col).alias("is_base"), bin_expr.alias("b"))
         .groupBy("grp", "b", "is_base")
         .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
     )
     spine = (
         stats.select(F.col(group_col).alias("grp"))
