@@ -3752,3 +3752,54 @@ def tx10_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cnics_to_fhir_spark.operators.textanalysis import bpe_encode_counts
 
     return bpe_encode_counts(table(spark, sf_dir, "documents"), n_merges=3)
+
+
+# ---------------------------------------------------------------------------
+# w06 — exact corpus-level percentiles without a single-partition sort
+# ---------------------------------------------------------------------------
+@query(
+    "w06_exact_percentiles",
+    tags="W A5 DS",
+    oracle="""
+        WITH o AS (
+            SELECT value,
+                   ROW_NUMBER() OVER (ORDER BY value, event_id) AS r,
+                   COUNT(*) OVER () AS n
+            FROM events
+        )
+        SELECT pct, value FROM (
+            SELECT CAST(50 AS BIGINT) AS pct, value FROM o WHERE r = (50*n + 99)//100
+            UNION ALL
+            SELECT 95, value FROM o WHERE r = (95*n + 99)//100
+            UNION ALL
+            SELECT 99, value FROM o WHERE r = (99*n + 99)//100
+        )
+    """,
+)
+def w06_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT discrete corpus percentiles (p50/p95/p99 of event value) —
+    the ground-truth twin of the a11 approx-percentile sketch, computed
+    withOUT the single-task global sort a naive ``row_number() OVER
+    (ORDER BY ...)`` would plan: ds10's ``global_rank`` (range
+    repartition + driver-bounded partition-count offsets) gives every row
+    its exact rank in parallel, and the percentile targets are integer
+    ranks ``ceil(p·n/100)`` computed in exact integer arithmetic (a
+    float ``0.95·n`` crosses ceil() the wrong way at many n).  Scale:
+    one range shuffle + one npartitions-row driver round-trip; the rank
+    filter prunes to 3 rows."""
+    from cnics_to_fhir_spark.operators.dataset import global_rank
+
+    e = table(spark, sf_dir, "events").select("value", "event_id")
+    ranked, total = global_rank(e, ["value", "event_id"])
+    targets = {p: (p * total + 99) // 100 for p in (50, 95, 99)}
+    by_rank = {}
+    for p, r in targets.items():
+        by_rank.setdefault(r, []).append(p)
+    out = ranked.filter(F.col("__rank").isin(list(by_rank)))
+    rows = []
+    for r, ps in by_rank.items():
+        for p in ps:
+            rows.append((p, r))
+    # one output row per requested percentile even when targets collide
+    pcts = spark.createDataFrame(rows, "pct long, __rank long")
+    return out.join(pcts, "__rank").select("pct", "value")
