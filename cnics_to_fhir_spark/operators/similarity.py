@@ -473,3 +473,80 @@ def quantized_topk(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
     )
     return reranked.withColumn("rank", F.row_number().over(w2)).filter(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) + asymmetric distance computation (ADC)
+# ---------------------------------------------------------------------------
+
+def pq_adc_topk(
+    spark,
+    emb: DataFrame,
+    queries: DataFrame,
+    n_sub: int = 2,
+    dim: int = 64,
+    k_codes: int = 4,
+    topk: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantized top-k search with asymmetric distance — the
+    memory-side half of every billion-scale ANN system (IVF-PQ): split
+    each vector into ``n_sub`` subspaces, k-means a tiny codebook per
+    subspace (Lloyd, lowest-id init — clustering.kmeans_train), encode
+    the corpus as one code PER SUBSPACE, and score a query by summing
+    per-subspace lookup-table distances to the codewords instead of
+    touching the raw vectors.  → (query_id, neighbor_id, adc_dist, rank).
+
+    Scale shape: corpus state after encoding is ``n_sub`` small ints per
+    vector (the raw embedding column is never read again at query time —
+    a 64-dim float corpus compresses ~128×); per query the LUT is
+    ``n_sub × k_codes`` partial distances, broadcast; scoring is
+    ids+codes-only joins plus a per-query top-k window.  Training has
+    cl01's economics (codebooks round-trip the driver, corpus stays
+    put).  ADC distance is approximate by construction — the oracle
+    replays the quantization exactly rather than comparing to exact
+    distances (ann05 pins a recall floor for the rerank pattern)."""
+    from cnics_to_fhir_spark.operators.clustering import kmeans_train
+    from cnics_to_fhir_spark.functions.numeric import stable_round
+
+    if dim % n_sub:
+        raise ValueError("dim must divide evenly into n_sub subspaces")
+    width = dim // n_sub
+    v = F.col(vec_col).cast("array<double>")
+    codes = None
+    luts = []
+    for i in range(n_sub):
+        start = i * width + 1  # F.slice is 1-based
+        sub = emb.select(F.col(id_col), F.slice(v, start, width).alias("sv"))
+        assigned, cents = kmeans_train(
+            spark, sub, vec_col="sv", id_col=id_col, k=k_codes, iters=2
+        )
+        ci = assigned.select("vec_id", F.col("cluster").alias(f"c{i}"))
+        codes = ci if codes is None else codes.join(ci, "vec_id")
+        cent_df = spark.createDataFrame(cents, "cid int, cv array<double>")
+        qi = queries.select(
+            F.col(id_col).alias("query_id"), F.slice(v, start, width).alias("qv")
+        )
+        luts.append(
+            qi.crossJoin(F.broadcast(cent_df)).select(
+                "query_id",
+                F.col("cid").alias(f"c{i}"),
+                (dot(F.col("qv"), F.col("qv"))
+                 - 2 * dot(F.col("qv"), F.col("cv"))
+                 + dot(F.col("cv"), F.col("cv"))).alias(f"p{i}"),
+            )
+        )
+    scored = codes.join(F.broadcast(luts[0]), f"c0")
+    for i in range(1, n_sub):
+        scored = scored.join(F.broadcast(luts[i]), ["query_id", f"c{i}"])
+    adc = stable_round(sum(F.col(f"p{i}") for i in range(n_sub)), 6)
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        scored.select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), adc.alias("adc_dist")
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+    )

@@ -3803,3 +3803,130 @@ def w06_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one output row per requested percentile even when targets collide
     pcts = spark.createDataFrame(rows, "pct long, __rank long")
     return out.join(pcts, "__rank").select("pct", "value")
+
+
+# ---------------------------------------------------------------------------
+# ann07 — product quantization + ADC top-k (the IVF-PQ memory half)
+# ---------------------------------------------------------------------------
+@query(
+    "ann07_pq_adc_topk",
+    tags="ANN-pq CL-iterative J8 W",
+    oracle="""
+        -- cl01's unrolled 2-iteration k-means, once per PQ subspace
+        -- (dims 1-32 and 33-64), then ADC scoring via per-query lookup
+        -- tables against the trained codebooks.
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        e0 AS (SELECT vec_id, list_slice(v, 1, 32) AS sv FROM e),
+        e1 AS (SELECT vec_id, list_slice(v, 33, 64) AS sv FROM e),
+        c00 AS (
+            SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid,
+                   list_transform(sv, x -> FLOOR(x*1e6 + 0.5)/1e6) AS cv
+            FROM (SELECT vec_id, sv FROM e0 ORDER BY vec_id LIMIT 4)
+        ),
+        a00 AS (
+            SELECT vec_id, sv, cid FROM (
+                SELECT e0.vec_id, e0.sv, c.cid,
+                       ROW_NUMBER() OVER (PARTITION BY e0.vec_id ORDER BY
+                           list_dot_product(e0.sv, e0.sv)
+                             - 2*list_dot_product(e0.sv, c.cv)
+                             + list_dot_product(c.cv, c.cv), c.cid) AS rn
+                FROM e0 CROSS JOIN c00 c
+            ) WHERE rn = 1
+        ),
+        c01 AS (
+            SELECT cid, list(m ORDER BY idx) AS cv FROM (
+                SELECT a.cid, t.idx,
+                       FLOOR(AVG(a.sv[CAST(t.idx AS INT) + 1])*1e6 + 0.5)/1e6 AS m
+                FROM a00 a, range(32) t(idx)
+                GROUP BY a.cid, t.idx
+            ) GROUP BY cid
+        ),
+        a01 AS (
+            SELECT vec_id, cid AS c0 FROM (
+                SELECT e0.vec_id, c.cid,
+                       ROW_NUMBER() OVER (PARTITION BY e0.vec_id ORDER BY
+                           list_dot_product(e0.sv, e0.sv)
+                             - 2*list_dot_product(e0.sv, c.cv)
+                             + list_dot_product(c.cv, c.cv), c.cid) AS rn
+                FROM e0 CROSS JOIN c01 c
+            ) WHERE rn = 1
+        ),
+        c10 AS (
+            SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid,
+                   list_transform(sv, x -> FLOOR(x*1e6 + 0.5)/1e6) AS cv
+            FROM (SELECT vec_id, sv FROM e1 ORDER BY vec_id LIMIT 4)
+        ),
+        a10 AS (
+            SELECT vec_id, sv, cid FROM (
+                SELECT e1.vec_id, e1.sv, c.cid,
+                       ROW_NUMBER() OVER (PARTITION BY e1.vec_id ORDER BY
+                           list_dot_product(e1.sv, e1.sv)
+                             - 2*list_dot_product(e1.sv, c.cv)
+                             + list_dot_product(c.cv, c.cv), c.cid) AS rn
+                FROM e1 CROSS JOIN c10 c
+            ) WHERE rn = 1
+        ),
+        c11 AS (
+            SELECT cid, list(m ORDER BY idx) AS cv FROM (
+                SELECT a.cid, t.idx,
+                       FLOOR(AVG(a.sv[CAST(t.idx AS INT) + 1])*1e6 + 0.5)/1e6 AS m
+                FROM a10 a, range(32) t(idx)
+                GROUP BY a.cid, t.idx
+            ) GROUP BY cid
+        ),
+        a11 AS (
+            SELECT vec_id, cid AS c1 FROM (
+                SELECT e1.vec_id, c.cid,
+                       ROW_NUMBER() OVER (PARTITION BY e1.vec_id ORDER BY
+                           list_dot_product(e1.sv, e1.sv)
+                             - 2*list_dot_product(e1.sv, c.cv)
+                             + list_dot_product(c.cv, c.cv), c.cid) AS rn
+                FROM e1 CROSS JOIN c11 c
+            ) WHERE rn = 1
+        ),
+        codes AS (SELECT a01.vec_id, a01.c0, a11.c1 FROM a01 JOIN a11 USING (vec_id)),
+        lut0 AS (
+            SELECT qs.query_id, c.cid AS c0,
+                   list_dot_product(qs.sv, qs.sv) - 2*list_dot_product(qs.sv, c.cv)
+                     + list_dot_product(c.cv, c.cv) AS p0
+            FROM (SELECT vec_id AS query_id, list_slice(v, 1, 32) AS sv
+                  FROM e WHERE vec_id < 8) qs
+            CROSS JOIN c01 c
+        ),
+        lut1 AS (
+            SELECT qs.query_id, c.cid AS c1,
+                   list_dot_product(qs.sv, qs.sv) - 2*list_dot_product(qs.sv, c.cv)
+                     + list_dot_product(c.cv, c.cv) AS p1
+            FROM (SELECT vec_id AS query_id, list_slice(v, 33, 64) AS sv
+                  FROM e WHERE vec_id < 8) qs
+            CROSS JOIN c11 c
+        )
+        SELECT query_id, neighbor_id, adc_dist, CAST(rank AS INT) AS rank FROM (
+            SELECT l0.query_id, cd.vec_id AS neighbor_id,
+                   FLOOR((l0.p0 + l1.p1)*1e6 + 0.5)/1e6 AS adc_dist,
+                   ROW_NUMBER() OVER (PARTITION BY l0.query_id
+                       ORDER BY FLOOR((l0.p0 + l1.p1)*1e6 + 0.5)/1e6,
+                                cd.vec_id) AS rank
+            FROM codes cd
+            JOIN lut0 l0 ON l0.c0 = cd.c0
+            JOIN lut1 l1 ON l1.query_id = l0.query_id AND l1.c1 = cd.c1
+            WHERE cd.vec_id <> l0.query_id
+        ) WHERE rank <= 5
+    """,
+)
+def ann07_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization + asymmetric distance top-k — the memory half
+    of IVF-PQ, the structure that makes billion-vector ANN fit in RAM:
+    corpus state shrinks to one small int per subspace per vector and
+    query scoring never touches raw embeddings (per-query LUT of
+    n_sub×k_codes partial distances, broadcast; ids+codes-only joins).
+    Codebooks train with cl01's Lloyd loop per subspace
+    (operators/similarity.py pq_adc_topk)."""
+    from cnics_to_fhir_spark.operators import similarity
+
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.pq_adc_topk(
+        spark, emb, emb.filter(F.col("vec_id") < 8), topk=5
+    )

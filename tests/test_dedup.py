@@ -379,3 +379,18 @@ def test_containment_catches_what_jaccard_misses(spark):
     # and plain Jaccard on the same pair sits far below the 0.5 threshold
     jac = {(r["id_a"], r["id_b"]) for r in dedup.ngram_jaccard_pairs(df, k=4, threshold=0.5).collect()}
     assert (1, 2) not in jac
+
+
+def test_pq_adc_ranks_identical_vectors_first(spark):
+    from cnics_to_fhir_spark.operators.similarity import pq_adc_topk
+
+    # Three tight clusters of identical 8-dim vectors; the query's own
+    # cluster-mates share its codes, so ADC must rank them first.
+    base = {0: [1.0] * 8, 1: [-1.0] * 8, 2: [0.5, -0.5] * 4}
+    rows = [(c * 10 + i, base[c]) for c in base for i in range(4)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = pq_adc_topk(
+        spark, emb, emb.filter("vec_id = 1"), n_sub=2, dim=8, k_codes=3, topk=3
+    ).collect()
+    got = [(r["neighbor_id"], r["rank"]) for r in sorted(out, key=lambda r: r["rank"])]
+    assert [n for n, _ in got] == [0, 2, 3]  # the other cluster-0 members
