@@ -193,3 +193,50 @@ def connected_components_star(pairs: DataFrame, max_rounds: int = 25) -> DataFra
                 "doc_id", F.coalesce("cluster_rep", "doc_id").alias("cluster_rep")
             )
     raise RuntimeError(f"star contraction did not converge in {max_rounds} rounds")
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting via degree-ordered edge orientation
+# ---------------------------------------------------------------------------
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts over an undirected graph given as (u, v)
+    pairs with u < v — the third distributed-graph primitive next to
+    propagation (gr01/gr02) and components (dd06/dd10).
+
+    The scale lever is the classic degree orientation: direct every edge
+    from its (degree, id)-smaller endpoint to the larger, which makes the
+    edge set a DAG where every out-neighbor has degree ≥ the node's own —
+    so out-degrees are bounded by O(√m) and the wedge self-join generates
+    Σ outdeg² = O(m^1.5) candidate paths instead of the naive Σ deg²
+    (quadratic in the hottest hub's degree).  Each triangle then appears
+    EXACTLY once as src→a, src→b, a→b.  Three hash joins, one explode,
+    one count — no iteration.  → (node, n_triangles), nodes in ≥1
+    triangle."""
+    und = edges.select(F.col("u").alias("n"), F.col("v").alias("m")).unionByName(
+        edges.select(F.col("v").alias("n"), F.col("u").alias("m"))
+    )
+    deg = und.groupBy("n").agg(F.count(F.lit(1)).alias("d"))
+    e = (
+        edges.join(deg.select(F.col("n").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("n").alias("v"), F.col("d").alias("dv")), "v")
+        .select(
+            F.when(
+                F.struct(F.col("du"), F.col("u")) < F.struct(F.col("dv"), F.col("v")),
+                F.col("u"),
+            ).otherwise(F.col("v")).alias("src"),
+            F.when(
+                F.struct(F.col("du"), F.col("u")) < F.struct(F.col("dv"), F.col("v")),
+                F.col("v"),
+            ).otherwise(F.col("u")).alias("dst"),
+        )
+    )
+    w1 = e.select(F.col("src").alias("x"), F.col("dst").alias("y"))
+    w2 = e.select(F.col("src").alias("y"), F.col("dst").alias("z"))
+    w3 = e.select(F.col("src").alias("x"), F.col("dst").alias("z"))
+    tri = w1.join(w2, "y").join(w3, ["x", "z"])
+    return (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )

@@ -3930,3 +3930,63 @@ def ann07_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_adc_topk(
         spark, emb, emb.filter(F.col("vec_id") < 8), topk=5
     )
+
+
+# ---------------------------------------------------------------------------
+# gr03 — triangle counting over the near-dup graph (degree orientation)
+# ---------------------------------------------------------------------------
+@query(
+    "gr03_triangle_count",
+    tags="GR J1 A5 DD",
+    oracle="""
+        WITH base AS (
+            SELECT doc_id AS id,
+                   array_to_string((string_split(text, ' '))[1:4], ' ') AS block,
+                   list_distinct(
+                       CASE WHEN len(string_split(text, ' ')) >= 3
+                            THEN list_transform(
+                                   range(1, len(string_split(text, ' ')) - 1),
+                                   i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))
+                            ELSE [text]
+                       END) AS shingles
+            FROM documents
+        ),
+        edges AS (
+            SELECT a.id AS u, b.id AS v
+            FROM base a JOIN base b ON a.block = b.block AND a.id < b.id
+            WHERE FLOOR((CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                  / len(list_distinct(a.shingles || b.shingles)))*1e6 + 0.5)/1e6 >= 0.5
+        ),
+        und AS (SELECT u AS n, v AS m FROM edges UNION ALL SELECT v, u FROM edges),
+        deg AS (SELECT n, COUNT(*) AS d FROM und GROUP BY n),
+        o AS (
+            SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS src,
+                   CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS dst
+            FROM edges e
+            JOIN deg du ON du.n = e.u
+            JOIN deg dv ON dv.n = e.v
+        ),
+        tri AS (
+            SELECT w1.src AS x, w1.dst AS y, w2.dst AS z
+            FROM o w1
+            JOIN o w2 ON w2.src = w1.dst
+            JOIN o w3 ON w3.src = w1.src AND w3.dst = w2.dst
+        )
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+            SELECT UNNEST([x, y, z]) AS node FROM tri
+        ) GROUP BY node
+    """,
+)
+def gr03_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over dd02's near-dup pair graph — the QA measure
+    behind dd06's clustering assumption (near-dup groups should be
+    triangle-rich near-cliques; a triangle-poor pair graph means chained
+    false merges).  Degree-ordered orientation bounds the wedge self-join
+    at Σ outdeg² = O(m^1.5) regardless of hub degrees
+    (operators/graph.py triangle_counts)."""
+    from cnics_to_fhir_spark.operators.graph import triangle_counts
+
+    pairs = dedup.ngram_jaccard_pairs(
+        table(spark, sf_dir, "documents"), k=3, block_words=4, threshold=0.5
+    ).select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+    return triangle_counts(pairs)

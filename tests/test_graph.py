@@ -82,3 +82,21 @@ def test_star_contraction_keeps_self_pair_ids(spark):
     star = {r["doc_id"]: r["cluster_rep"] for r in connected_components_star(df).collect()}
     prop = {r["doc_id"]: r["cluster_rep"] for r in duplicate_clusters(df).collect()}
     assert star == prop == {7: 7, 1: 1, 2: 1}
+
+
+def test_triangle_counts_k4_and_star(spark):
+    from cnics_to_fhir_spark.operators.graph import triangle_counts
+
+    # K4 on {1,2,3,4}: every node sits in C(3,2)=3 triangles. Star around
+    # 10 has none. Node 5 bridges 1-5, 2-5 forming one extra triangle
+    # (1,2,5).
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+             (10, 11), (10, 12), (10, 13),
+             (1, 5), (2, 5)]
+    df = spark.createDataFrame(edges, ["u", "v"])
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+    assert got[3] == 3 and got[4] == 3
+    assert got[1] == 4 and got[2] == 4  # 3 in K4 + (1,2,5)
+    assert got[5] == 1
+    assert 10 not in got and 11 not in got
+    assert sum(got.values()) % 3 == 0  # every triangle counted thrice
