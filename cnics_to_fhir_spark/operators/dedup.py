@@ -756,3 +756,26 @@ def containment_pairs(
         )
         .filter(F.greatest(F.col("c_a_in_b"), F.col("c_b_in_a")) >= threshold)
     )
+
+
+def plan_lsh_bands(threshold: float, num_hashes: int) -> tuple[int, int]:
+    """Pick (bands, rows) for MinHash-LSH from a target Jaccard threshold —
+    the S-curve planner: collision probability for similarity s is
+    ``1 - (1 - s^rows)^bands``, whose inflection sits near
+    ``(1/bands)^(1/rows)``; choose the divisor pair of ``num_hashes``
+    whose inflection lands closest to the target, biasing ties toward
+    MORE bands (recall over precision — missed dups cost a training run,
+    false candidates only cost a verify join).  Driver-side integer
+    arithmetic; feeds minhash_lsh_pairs(bands=...)."""
+    if not 0 < threshold < 1:
+        raise ValueError("threshold must be in (0, 1)")
+    best = None
+    for bands in range(1, num_hashes + 1):
+        if num_hashes % bands:
+            continue
+        rows = num_hashes // bands
+        inflection = (1.0 / bands) ** (1.0 / rows)
+        key = (abs(inflection - threshold), -bands)
+        if best is None or key < best[0]:
+            best = (key, bands, rows)
+    return best[1], best[2]

@@ -394,3 +394,15 @@ def test_pq_adc_ranks_identical_vectors_first(spark):
     ).collect()
     got = [(r["neighbor_id"], r["rank"]) for r in sorted(out, key=lambda r: r["rank"])]
     assert [n for n, _ in got] == [0, 2, 3]  # the other cluster-0 members
+
+
+def test_plan_lsh_bands_s_curve():
+    # 32 hashes, target 0.5: the planner must land the S-curve inflection
+    # (1/b)^(1/r) near the threshold, and b*r must stay exact.
+    b, r = dedup.plan_lsh_bands(0.5, 32)
+    assert b * r == 32
+    assert abs((1 / b) ** (1 / r) - 0.5) < 0.15
+    # high threshold -> few bands, long rows (precision); low -> many bands
+    b_hi, _ = dedup.plan_lsh_bands(0.9, 32)
+    b_lo, _ = dedup.plan_lsh_bands(0.2, 32)
+    assert b_hi < b <= b_lo

@@ -128,3 +128,22 @@ def test_jsonl_blank_lines_not_quarantined(spark, tmp_path):
     assert sorted(r["doc_id"] for r in clean.collect()) == [1, 2]
     bad = [r["line"] for r in quarantine.collect()]
     assert bad == ["broken{"]  # blanks excluded, real corruption kept
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    # Crawl v1 lacks the column v2 adds; a mergeSchema read must unify
+    # them with nulls backfilled -- the schema-drift path a multi-version
+    # corpus store hits on every re-crawl.
+    p = str(tmp_path / "corpus")
+    spark.createDataFrame([(1, "a")], ["doc_id", "text"]).write.parquet(p)
+    spark.createDataFrame(
+        [(2, "b", "en")], ["doc_id", "text", "lang"]
+    ).write.mode("append").parquet(p)
+    df = spark.read.option("mergeSchema", "true").parquet(p)
+    assert set(df.columns) == {"doc_id", "text", "lang"}
+    rows = {r["doc_id"]: r for r in df.collect()}
+    assert rows[1]["lang"] is None and rows[2]["lang"] == "en"
+    # without mergeSchema Spark picks one footer's schema -- pin that the
+    # option is what makes the union safe
+    plain = spark.read.parquet(p)
+    assert len(plain.columns) <= 3
