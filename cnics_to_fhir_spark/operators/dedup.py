@@ -723,7 +723,8 @@ def containment_pairs(
     container, so a pair is missed only when all its shared shingles are
     corpus-hot — pure-boilerplate content, exactly what dd08 removes
     upstream.  The shingle-set rejoin ships arrays only for surviving
-    candidates."""
+    candidates.  Docs shorter than ``k`` words have no k-shingle and are
+    excluded from both sides of the measure."""
     df = ensure_min_parallelism(df, id_col)
     sh = df.filter(F.size(F.split(F.col(text_col), " ")) >= k).select(
         F.col(id_col).alias("id"),

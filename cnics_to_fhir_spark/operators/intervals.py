@@ -87,7 +87,9 @@ def interval_overlap_join(
     stays ≤ 2×.  The residual overlap predicate runs as a post-join
     filter; no nested-loop or cartesian node exists in the plan
     (tests/test_intervals.py asserts equality with the naive theta join
-    and the plan shape).
+    and the plan shape).  As with ``point_in_interval_join``, column
+    names must not collide across the two inputs — callers select/alias
+    first.
     """
     if bucket_seconds <= 0:
         raise ValueError("bucket_seconds must be positive")
