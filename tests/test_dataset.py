@@ -265,3 +265,19 @@ def test_psi_drift_detects_shift(spark):
     # micro-units: 0.1 PSI == 100_000
     assert out["stable"]["psi_q"] < 100_000
     assert out["shifted"]["psi_q"] > 250_000  # everything clamps to the far bin
+
+
+def test_global_ntile_invariant_to_partition_count(spark):
+    from cnics_to_fhir_spark.operators.dataset import global_ntile
+
+    df = spark.range(500).select((F.col("id") * 7919 % 613).alias("s"), "id")
+    base = {
+        (r["s"], r["id"]): r["bucket"]
+        for r in global_ntile(df, ["s", "id"], 4, npartitions=2).collect()
+    }
+    for n in (3, 8, 64):
+        got = {
+            (r["s"], r["id"]): r["bucket"]
+            for r in global_ntile(df, ["s", "id"], 4, npartitions=n).collect()
+        }
+        assert got == base
