@@ -3990,3 +3990,57 @@ def gr03_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "documents"), k=3, block_words=4, threshold=0.5
     ).select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
     return triangle_counts(pairs)
+
+
+# ---------------------------------------------------------------------------
+# ds11 — length-bucketed batching stats (padding-efficiency planning)
+# ---------------------------------------------------------------------------
+@query(
+    "ds11_length_buckets",
+    tags="DS A5 TX",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id,
+                   CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                        AS BIGINT) AS n
+            FROM documents
+        ),
+        b AS (
+            SELECT doc_id, n,
+                   CAST(1 << length(bin(n - 1)) AS BIGINT) AS capacity
+            FROM t WHERE n > 0
+        )
+        SELECT capacity,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n) AS BIGINT) AS total_tokens,
+               FLOOR((CAST(SUM(n) AS DOUBLE) / (COUNT(*) * capacity))*1e6 + 0.5)/1e6
+                   AS utilization
+        FROM b GROUP BY capacity
+    """,
+)
+def ds11_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching plan: docs binned to power-of-two token
+    capacities (the bucketed-batching trick that cuts padding waste when
+    fixed-shape batches are required), with per-bucket utilization = how
+    full the padded batch actually is.  The bucket boundary is computed
+    in INTEGER arithmetic (bit-length of n−1) — a float log2 crosses the
+    boundary the wrong way exactly at powers of two, where all the mass
+    sits.  One scan-fused projection + one bucket-keyed agg; zero
+    intermediate state."""
+    from cnics_to_fhir_spark.functions.numeric import stable_round
+
+    t = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.filter(F.split(F.col("text"), " "), lambda x: x != "")).cast("long").alias("n"),
+    ).filter(F.col("n") > 0)
+    b = t.select(
+        "n",
+        F.expr("CAST(shiftleft(1L, length(bin(n - 1))) AS BIGINT)").alias("capacity"),
+    )
+    return b.groupBy("capacity").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n").alias("total_tokens"),
+        stable_round(
+            F.sum("n").cast("double") / (F.count(F.lit(1)) * F.col("capacity")), 6
+        ).alias("utilization"),
+    )
