@@ -129,6 +129,7 @@ HEADLINE = [
     "ann07_pq_adc_topk",
     "gr03_triangle_count",
     "ds11_length_buckets",
+    "ev09_zscore_anomaly_days",
     # Iterative ops (dd06, cl01, ann04, dd09, and the round-5 additions
     # gr02/dd10/ann06 — k-means or fixpoint loops) and
     # streaming-equivalence runs

@@ -108,3 +108,47 @@ def gap_filled_hourly(events: DataFrame, value_col: str = "value") -> DataFrame:
             stable_round(F.coalesce("sv", F.lit(0.0)), 2).alias("total_value"),
         )
     )
+
+
+def zscore_anomaly_days(
+    events: DataFrame, z_threshold: float = 2.0
+) -> DataFrame:
+    """Per-user anomalous activity days: each (user, day) event count is
+    z-scored against the USER'S OWN daily distribution; days with
+    |z| ≥ threshold flag (the windowed outlier-detection op every event
+    pipeline runs before trusting volume-derived features).
+
+    Determinism design: the per-user moments are EXACT INTEGER sums
+    (S1 = Σn, S2 = Σn², cnt) — order-independent on any engine — and the
+    float chain (mean, sample variance via S2 − S1²/cnt, z) evaluates
+    the identical expression from those integers on both sides, so the
+    doubles agree to the last ulp and the rounded-grid threshold compare
+    cannot flip.  Users with zero variance produce no rows (no
+    distribution to deviate from).
+
+    Scale: one (user, day)-keyed count, one user-keyed moment agg (both
+    map-side partial), one broadcast-size join back — nothing holds more
+    than O(users) state."""
+    daily = (
+        events.select("user_id", F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .groupBy("user_id", "day")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    mom = daily.groupBy("user_id").agg(
+        F.sum("n").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).alias("s2"),
+        F.count(F.lit(1)).alias("cnt"),
+    ).filter(F.col("cnt") > 1)
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("cnt")) / (F.col("cnt") - 1)
+    z = (F.col("n") - F.col("s1") / F.col("cnt")) / F.sqrt(var)
+    return (
+        daily.join(mom, "user_id")
+        .filter(var > 0)
+        .select(
+            "user_id",
+            "day",
+            F.col("n").alias("n_events"),
+            stable_round(z, 4).alias("z"),
+        )
+        .filter(F.abs(F.col("z")) >= z_threshold)
+    )

@@ -4044,3 +4044,41 @@ def ds11_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n").cast("double") / (F.count(F.lit(1)) * F.col("capacity")), 6
         ).alias("utilization"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ev09 — per-user z-score anomaly days (integer-moment determinism)
+# ---------------------------------------------------------------------------
+@query(
+    "ev09_zscore_anomaly_days",
+    tags="EV A5 J1 DQ",
+    oracle="""
+        WITH daily AS (
+            SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        mom AS (
+            SELECT user_id, CAST(SUM(n) AS BIGINT) AS s1,
+                   CAST(SUM(n*n) AS BIGINT) AS s2,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM daily GROUP BY user_id HAVING COUNT(*) > 1
+        )
+        SELECT user_id, day, n AS n_events, z FROM (
+            SELECT d.user_id, d.day, d.n,
+                   FLOOR(((d.n - s1*1.0/cnt)
+                          / sqrt((s2 - s1*1.0*s1/cnt)/(cnt - 1)))*1e4 + 0.5)/1e4 AS z
+            FROM daily d JOIN mom m USING (user_id)
+            WHERE (s2 - s1*1.0*s1/cnt)/(cnt - 1) > 0
+        ) WHERE ABS(z) >= 2.0
+    """,
+)
+def ev09_zscore_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed outlier detection: each (user, day) event count z-scored
+    against that user's own daily distribution, |z| ≥ 2 flags the day.
+    Per-user moments are exact integer sums (S1, S2, cnt) so the float
+    chain evaluates identically on both engines
+    (operators/events_windows.py zscore_anomaly_days)."""
+    from cnics_to_fhir_spark.operators.events_windows import zscore_anomaly_days
+
+    return zscore_anomaly_days(table(spark, sf_dir, "events"))
