@@ -130,6 +130,7 @@ HEADLINE = [
     "gr03_triangle_count",
     "ds11_length_buckets",
     "ev09_zscore_anomaly_days",
+    "a19_grouping_sets",
     # Iterative ops (dd06, cl01, ann04, dd09, and the round-5 additions
     # gr02/dd10/ann06 — k-means or fixpoint loops) and
     # streaming-equivalence runs

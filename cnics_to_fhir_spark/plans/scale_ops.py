@@ -4082,3 +4082,51 @@ def ev09_zscore_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cnics_to_fhir_spark.operators.events_windows import zscore_anomaly_days
 
     return zscore_anomaly_days(table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# a19 — explicit GROUPING SETS with grouping ids (completes rollup/cube)
+# ---------------------------------------------------------------------------
+@query(
+    "a19_grouping_sets",
+    tags="A5 GS",
+    oracle="""
+        SELECT event_type,
+               strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               CAST(GROUPING(event_type) AS BIGINT) AS g_type,
+               CAST(GROUPING(strftime(date_trunc('day', ts), '%Y-%m-%d')) AS BIGINT) AS g_day,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               FLOOR(SUM(value)*1e2 + 0.5)/1e2 AS total_value
+        FROM events
+        GROUP BY GROUPING SETS ((event_type), (strftime(date_trunc('day', ts), '%Y-%m-%d')),
+                                (event_type, strftime(date_trunc('day', ts), '%Y-%m-%d')))
+    """,
+)
+def a19_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the third member of the multi-granularity
+    aggregation family next to a07's ROLLUP and a16's CUBE: per-type,
+    per-day, and per-(type, day) totals in ONE pass with GROUPING() ids
+    disambiguating genuine NULL keys from subtotal rows.  Same scale
+    shape as any hash agg — Spark expands the sets map-side and partial-
+    aggregates before the one keyed shuffle."""
+    from cnics_to_fhir_spark.functions.numeric import stable_round
+
+    e = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day"),
+        "value",
+    )
+    return (
+        e.groupingSets(
+            [["event_type"], ["day"], ["event_type", "day"]],
+            F.col("event_type"),
+            F.col("day"),
+        )
+        .agg(
+            F.grouping("event_type").cast("long").alias("g_type"),
+            F.grouping("day").cast("long").alias("g_day"),
+            F.count(F.lit(1)).alias("n"),
+            stable_round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select("event_type", "day", "g_type", "g_day", "n", "total_value")
+    )
