@@ -212,7 +212,16 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     (quadratic in the hottest hub's degree).  Each triangle then appears
     EXACTLY once as src→a, src→b, a→b.  Three hash joins, one explode,
     one count — no iteration.  → (node, n_triangles), nodes in ≥1
-    triangle."""
+    triangle.
+
+    The edge list and its oriented form are pinned eagerly (ids-only
+    frames — 16 B/row): edges feed degree + orientation and the oriented
+    set feeds all three wedge-join sides, so an unpinned lineage would
+    re-derive the caller's (possibly expensive) edge computation ~6×
+    (plan audit counted 60 scans over dd02's pair pipeline unpinned, 10
+    pinned).  Swap localCheckpoint for reliable checkpoint on a real
+    cluster, as with dd06."""
+    edges = edges.localCheckpoint(eager=True)
     und = edges.select(F.col("u").alias("n"), F.col("v").alias("m")).unionByName(
         edges.select(F.col("v").alias("n"), F.col("u").alias("m"))
     )
@@ -230,7 +239,7 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
                 F.col("v"),
             ).otherwise(F.col("u")).alias("dst"),
         )
-    )
+    ).localCheckpoint(eager=True)
     w1 = e.select(F.col("src").alias("x"), F.col("dst").alias("y"))
     w2 = e.select(F.col("src").alias("y"), F.col("dst").alias("z"))
     w3 = e.select(F.col("src").alias("x"), F.col("dst").alias("z"))
