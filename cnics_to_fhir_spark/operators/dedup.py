@@ -705,6 +705,7 @@ def containment_pairs(
     k: int = 4,
     max_df: int = 10,
     threshold: float = 0.5,
+    with_cap_count: bool = False,
 ) -> DataFrame:
     """Asymmetric containment dedup: C(A→B) = |sh(A) ∩ sh(B)| / |sh(A)|
     over distinct k-word shingle sets — the measure that catches a small
@@ -724,7 +725,12 @@ def containment_pairs(
     corpus-hot — pure-boilerplate content, exactly what dd08 removes
     upstream.  The shingle-set rejoin ships arrays only for surviving
     candidates.  Docs shorter than ``k`` words have no k-shingle and are
-    excluded from both sides of the measure."""
+    excluded from both sides of the measure.
+
+    No-silent-caps accounting: with ``with_cap_count=True`` every output
+    row carries ``n_capped_shingles`` — the number of distinct shingles
+    the df-cap excluded on THIS run (broadcast 1-row scalar; costs one
+    extra shingle scan + tiny agg, which is why it is opt-in)."""
     df = ensure_min_parallelism(df, id_col)
     sh = df.filter(F.size(F.split(F.col(text_col), " ")) >= k).select(
         F.col(id_col).alias("id"),
@@ -746,7 +752,7 @@ def containment_pairs(
         .distinct()
     )
     inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
-    return (
+    out = (
         cand.join(sh.select(F.col("id").alias("id_a"), F.col("s").alias("sa")), "id_a")
         .join(sh.select(F.col("id").alias("id_b"), F.col("s").alias("sb")), "id_b")
         .select(
@@ -757,6 +763,18 @@ def containment_pairs(
         )
         .filter(F.greatest(F.col("c_a_in_b"), F.col("c_b_in_a")) >= threshold)
     )
+    if with_cap_count:
+        capped = (
+            inv.groupBy("g")
+            .agg(F.count(F.lit(1)).alias("df_"))
+            .agg(
+                F.sum(F.when(F.col("df_") > max_df, 1).otherwise(0))
+                .cast("long")
+                .alias("n_capped_shingles")
+            )
+        )
+        out = out.crossJoin(F.broadcast(capped))
+    return out
 
 
 def plan_lsh_bands(threshold: float, num_hashes: int) -> tuple[int, int]:

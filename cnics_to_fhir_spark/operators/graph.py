@@ -99,7 +99,10 @@ def pagerank_int_converged(
             .agg(F.max(F.abs(F.col("n.rank_q") - F.col("o.rank_q"))).alias("d"))
             .first()["d"]
         )
-        if delta is not None and delta <= tol_q:
+        if delta is None or delta <= tol_q:
+            # delta is None ⇔ the node set is empty (max over zero rows):
+            # an empty graph is trivially converged — return the (empty)
+            # ranks frame rather than exhausting max_iters.
             return ranks.withColumn("iters", F.lit(i).cast("int"))
         ranks = new
     raise RuntimeError(f"pagerank did not converge within {max_iters} iterations")

@@ -43,7 +43,18 @@ def point_in_interval_join(
     columns; all other columns from both sides are carried through. Column
     names must not collide across the two inputs (callers select/alias
     first).
+
+    ``how`` may be 'inner' or 'left' (points are NOT replicated, so
+    left-outer null-extension is exact). 'right'/'outer' would emit one
+    null-extended row per bucket REPLICA of every unmatched interval and
+    are rejected.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            "point_in_interval_join supports how='inner'/'left' only: "
+            "interval bucket replicas duplicate null-extended rows under "
+            "right/full-outer joins"
+        )
     if bucket_seconds <= 0:
         raise ValueError("bucket_seconds must be positive")
     w = F.lit(int(bucket_seconds))
@@ -90,7 +101,19 @@ def interval_overlap_join(
     and the plan shape).  As with ``point_in_interval_join``, column
     names must not collide across the two inputs — callers select/alias
     first.
+
+    Only ``how='inner'`` is supported: both sides are exploded to bucket
+    replicas before the join, so a non-inner join would emit one
+    null-extended row per REPLICA of every unmatched (or
+    non-anchor-bucket) interval — ~(len/W + 1)× duplicated outer rows.
+    Outer semantics would need a post-join replica dedup; unsupported
+    until someone needs it.
     """
+    if how != "inner":
+        raise ValueError(
+            "interval_overlap_join supports how='inner' only: bucket "
+            "replication duplicates null-extended rows under outer joins"
+        )
     if bucket_seconds <= 0:
         raise ValueError("bucket_seconds must be positive")
     w = F.lit(int(bucket_seconds))

@@ -3491,8 +3491,13 @@ def tx09_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand AS (
             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
             FROM idx a JOIN idx b ON a.g = b.g AND a.doc_id < b.doc_id
+        ),
+        capped AS (
+            SELECT CAST(SUM(CASE WHEN df_ > 10 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_capped_shingles
+            FROM (SELECT g, COUNT(*) AS df_ FROM inv GROUP BY g)
         )
-        SELECT id_a, id_b, c_a_in_b, c_b_in_a FROM (
+        SELECT id_a, id_b, c_a_in_b, c_b_in_a, n_capped_shingles FROM (
             SELECT c.id_a, c.id_b,
                    FLOOR(len(list_intersect(sa.s, sb.s)) * 1.0 / len(sa.s) * 1e6 + 0.5)/1e6
                        AS c_a_in_b,
@@ -3501,7 +3506,7 @@ def tx09_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM cand c
             JOIN sh sa ON sa.doc_id = c.id_a
             JOIN sh sb ON sb.doc_id = c.id_b
-        ) WHERE GREATEST(c_a_in_b, c_b_in_a) >= 0.5
+        ) CROSS JOIN capped WHERE GREATEST(c_a_in_b, c_b_in_a) >= 0.5
     """,
 )
 def dd13_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3510,10 +3515,12 @@ def dd13_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     volume Σ df², hot shingles excluded), exact containment on the
     survivors (operators/dedup.py containment_pairs).  The measure real
     decontamination uses: a small doc fully quoted inside a big one
-    scores 1.0 here while its Jaccard vanishes."""
+    scores 1.0 here while its Jaccard vanishes.  No-silent-caps: every
+    row carries ``n_capped_shingles`` — how many distinct shingles the
+    df-cap excluded on this run (oracle-verified constant column)."""
     from cnics_to_fhir_spark.operators.dedup import containment_pairs
 
-    return containment_pairs(table(spark, sf_dir, "documents"))
+    return containment_pairs(table(spark, sf_dir, "documents"), with_cap_count=True)
 
 
 # ---------------------------------------------------------------------------
@@ -4007,7 +4014,8 @@ def gr03_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         b AS (
             SELECT doc_id, n,
-                   CAST(1 << length(bin(n - 1)) AS BIGINT) AS capacity
+                   CAST(CASE WHEN n = 1 THEN 1
+                             ELSE 1 << length(bin(n - 1)) END AS BIGINT) AS capacity
             FROM t WHERE n > 0
         )
         SELECT capacity,
@@ -4035,7 +4043,10 @@ def ds11_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("n") > 0)
     b = t.select(
         "n",
-        F.expr("CAST(shiftleft(1L, length(bin(n - 1))) AS BIGINT)").alias("capacity"),
+        F.expr(
+            "CAST(CASE WHEN n = 1 THEN 1L"
+            " ELSE shiftleft(1L, length(bin(n - 1))) END AS BIGINT)"
+        ).alias("capacity"),
     )
     return b.groupBy("capacity").agg(
         F.count(F.lit(1)).alias("n_docs"),

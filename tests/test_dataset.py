@@ -281,3 +281,41 @@ def test_global_ntile_invariant_to_partition_count(spark):
             for r in global_ntile(df, ["s", "id"], 4, npartitions=n).collect()
         }
         assert got == base
+
+
+def test_ds11_capacity_one_token_doc(spark, tmp_path):
+    """Capacity is the smallest power of two >= n INCLUDING n=1 → 1, not 2
+    (ADVICE r6 scale_ops.py ds11: bin(0) has bit-length 1). Spark entry and
+    DuckDB oracle agree on the fixture."""
+    import duckdb
+
+    from cnics_to_fhir_spark.plans import catalog
+
+    rows = [
+        (1, "one", "en", "s", 3),
+        (2, "two words", "en", "s", 9),
+        (3, "a b c", "en", "s", 5),
+        (4, "w x y z p", "en", "s", 9),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf_dir = str(tmp_path)
+    df.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    ent = catalog()["ds11_length_buckets"]
+    got = {
+        r["capacity"]: (r["n_docs"], r["total_tokens"], r["utilization"])
+        for r in ent.spark(spark, sf_dir).collect()
+    }
+    # n=1 → capacity 1 (full), n=2 → 2 (full), n=3 → 4, n=5 → 8
+    assert got[1] == (1, 1, 1.0)
+    assert got[2] == (1, 2, 1.0)
+    assert got[4] == (1, 3, 0.75)
+    assert got[8] == (1, 5, 0.625)
+    con = duckdb.connect()
+    glob = str(tmp_path / "documents.parquet" / "*.parquet").replace("'", "''")
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{glob}')")
+    oracle = {
+        r[0]: (r[1], r[2], r[3]) for r in con.execute(ent.oracle).fetchall()
+    }
+    assert oracle == got

@@ -406,3 +406,24 @@ def test_plan_lsh_bands_s_curve():
     b_hi, _ = dedup.plan_lsh_bands(0.9, 32)
     b_lo, _ = dedup.plan_lsh_bands(0.2, 32)
     assert b_hi < b <= b_lo
+
+
+def test_containment_cap_count_exposed(spark):
+    """No-silent-caps: with_cap_count surfaces how many distinct shingles
+    the df-cap dropped. Fixture: one shingle shared by 12 docs (> max_df
+    10) is capped out; a rarer pair still pairs up."""
+    hot = "a b c d"  # the single hot 4-shingle
+    rows = [(i, hot) for i in range(100, 112)]  # df(hot)=12 > 10
+    near_a = "p q r s t u"
+    near_b = "p q r s t v"
+    rows += [(1, near_a), (2, near_b)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = dedup.containment_pairs(df, threshold=0.5, with_cap_count=True).collect()
+    assert out, "rare-shingle pair must survive"
+    assert all(r["n_capped_shingles"] == 1 for r in out)
+    assert {(r["id_a"], r["id_b"]) for r in out} == {(1, 2)}
+    # hot-only docs pair with nobody: their only shingle was capped out
+    assert not any(r["id_a"] >= 100 or r["id_b"] >= 100 for r in out)
+    # default path keeps the original 4-column schema
+    cols = dedup.containment_pairs(df, threshold=0.5).columns
+    assert cols == ["id_a", "id_b", "c_a_in_b", "c_b_in_a"]

@@ -100,3 +100,14 @@ def test_triangle_counts_k4_and_star(spark):
     assert got[5] == 1
     assert 10 not in got and 11 not in got
     assert sum(got.values()) % 3 == 0  # every triangle counted thrice
+
+
+def test_pagerank_converged_empty_edges(spark):
+    """An empty graph is trivially converged: iters=0, zero rows — not a
+    RuntimeError after max_iters of NULL deltas (ADVICE r6 graph.py:102)."""
+    from cnics_to_fhir_spark.operators.graph import pagerank_int_converged
+
+    edges = spark.createDataFrame([], "src long, dst long")
+    out = pagerank_int_converged(edges, tol_q=1000, max_iters=5)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["node", "rank_q", "iters"]

@@ -121,3 +121,42 @@ def test_interval_overlap_join_no_nested_loop(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_interval_overlap_join_rejects_outer(spark):
+    from cnics_to_fhir_spark.operators.intervals import interval_overlap_join
+
+    a = spark.createDataFrame([(1, 0, 10)], ["a_id", "a_start", "a_end"])
+    b = spark.createDataFrame([(2, 5, 15)], ["b_id", "b_start", "b_end"])
+    # Bucket replication would duplicate null-extended rows under any
+    # non-inner join (one per replica of an unmatched interval), so the
+    # operator refuses rather than silently over-counting.
+    for how in ("left", "right", "outer", "full"):
+        with pytest.raises(ValueError, match="inner"):
+            interval_overlap_join(
+                a, b, a_start="a_start", a_end="a_end",
+                b_start="b_start", b_end="b_end", bucket_seconds=10, how=how,
+            )
+
+
+def test_point_in_interval_join_left_exact_and_outer_rejected(spark, frames):
+    points, intervals = frames
+    left = point_in_interval_join(
+        points, intervals, point_col="p", start_col="s", end_col="e",
+        bucket_seconds=600, how="left",
+    )
+    # Points are never replicated, so left-outer is exact: every pid
+    # appears, unmatched ones exactly once with a null interval id.
+    rows = left.collect()
+    matched = expected_pairs(points, intervals)
+    got_matched = sorted((r.pid, r.iid) for r in rows if r.iid is not None)
+    assert got_matched == matched
+    unmatched = [r.pid for r in rows if r.iid is None]
+    all_pids = {r.pid for r in points.collect()}
+    assert sorted(unmatched) == sorted(all_pids - {p for p, _ in matched})
+    for how in ("right", "outer", "full"):
+        with pytest.raises(ValueError, match="inner"):
+            point_in_interval_join(
+                points, intervals, point_col="p", start_col="s", end_col="e",
+                bucket_seconds=600, how=how,
+            )
