@@ -61,86 +61,113 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # plus the sf1 probe), so entries outside the
 # driver's prefix are locally verified, never silently unchecked.
 _PRIORITY: tuple[str, ...] = (
-    # --- round-5 rotation policy: the driver's 50-entry prefix is the only
-    # independent correctness gate, so every round rotates in entries that
-    # have NEVER been driver-verified (20 this round, marked [new-to-
-    # driver]) while keeping a stable §2-core spine; the list below is
-    # exactly 50 so every prefix slot is curated, none filled by
-    # registration-order accident.  Rotated-out entries
-    # (e2e05, f05, f12, f14, p06, p08, j03, a04, w02, aj01, ev01, ann03,
-    # dc02, tx06, ds07, dd08, ds08, st02, dd09, j13, tx07, mm06) were all
-    # driver-green in rounds 1-4 and remain selfcheck-verified at three SFs
-    # every round; each is also exercised through a prefix-resident sibling
-    # (ev01's windowing inside st06; aj01's operator composed both
-    # directions inside aj02; ann03's IVF probe inside ann04-trained cl01
-    # and dd05's cell blocking; the curation family inside e2e07).
-    # end-to-end verticals (§3.3 lifecycle, B1-B4, J6, A5)
+    # --- round-6 rotation: the driver's 50-entry prefix is the only
+    # independent correctness gate; this round rotates in 36 entries that
+    # have NEVER been driver-verified (union of CORRECTNESS_r01-r05 keys
+    # vs the catalog left 65 such entries after round 5 — verdict item #1)
+    # while keeping a 14-entry §2-core spine (the reference-parity
+    # verticals + one representative per §2 family). Rotated-out entries
+    # were all driver-green in earlier rounds and remain selfcheck-
+    # verified at sf0.001/sf0.01/sf1 every round. The authoritative
+    # remaining never-driver-verified list is _NEVER_DRIVER_VERIFIED
+    # below (29 entries; clearable in one more rotation).
+    #
+    # §2-core spine (driver-green in prior rounds, kept for reference
+    # parity: B1-B4 verticals, coding dispatch, lab typing, merge,
+    # crosswalk LWW, uniqueness guard, assembly, window, sample, stream).
     "e2e01_conditions_pipeline",
     "e2e02_observations_pipeline",
     "e2e03_medications_pipeline",
     "e2e04_patients_pipeline",
-    # §2.8 scalar-function layer, queried directly (F1-F22)
     "f01_dx_coding_dispatch",
-    "f04_med_status",
     "f11_lab_value_typing",
-    # §2.2-2.7 relational core
     "j01_inner_join_agg",
     "j06_merge_actions",
-    "j08_broadcast_membership",
-    "a03_first_row_per_group",
     "a04b_crosswalk_field_lww",
     "a06_uniqueness_guard",
-    "o03_deterministic_sample",
-    "w01_topn_per_group",
     "b01_resource_assembly",
-    # flagship scale extensions (driver-green in prior rounds)
-    "rj01_interval_attribution",
-    "ev02_sessionization",
-    "ann01_cosine_topk",
-    "dd01_exact_dedup",
-    "dd02_ngram_jaccard",
-    "dd05_embedding_neardup",
-    "dd03b_minhash_lsh_portable",
-    "mm04_real_png_decode",
-    "e2e06_entity_resolution",
+    "w01_topn_per_group",
+    "o03_deterministic_sample",
     "st01_stream_batch_equivalence",
-    "dc01_decontaminate",
-    "e2e07_curation_v2",
-    # [new-to-driver] q-suite classics that predate the 50-entry window
-    "q02_min_cost_supplier",
-    "q07_volume_shipping",
-    "q15_top_supplier",
-    # [new-to-driver] window/aggregate family
-    "w04_rank_family",
-    "a16_cube_subtotals",
-    "tx04_heavy_hitters",
-    # [new-to-driver] dataset assembly + mixtures
-    "ds03_greedy_packing",
-    "ds09_temperature_mixture",
-    # [new-to-driver] fuzzy matching + event analytics
-    "dd07_fuzzy_name_match",
-    "ev06_cohort_retention",
-    "ev07_funnel",
-    # [new-to-driver] as-of nearest, bucketed co-located join
-    "aj02_asof_nearest",
-    "j12_bucketed_colocated_join",
-    # [new-to-driver] trained-quantizer clustering + IVF probe
-    "cl01_kmeans_assign",
-    "ann04_ivf_trained_topk",
-    # [new-to-driver] graph propagation: fixed-iter + converged fixpoint
-    "gr01_pagerank_2iter",
-    "gr02_pagerank_converged",
-    # [new-to-driver] streaming: stateful sessions, stream-stream join,
-    # checkpoint-restart recovery (st06 is new this round)
-    "st04_stream_session_equivalence",
-    "st05_stream_stream_join_equivalence",
-    "st06_stream_restart_equivalence",
-    # [new-to-driver] round-5 second batch, completing the 50: sub-document
-    # exact-span dedup and the scale-safe exact-NTILE quality bands
-    # (displacing q01/q03, driver-green in rounds 1-2 and still
-    # selfcheck-verified at three SFs; rj02/tx09 queue for round 6)
-    "dd12_duplicated_spans",
-    "ds10_quality_buckets",
+    # [new-to-driver] round-5 additions the verdict queued first
+    "rj02_interval_overlap_join",
+    "tx09_nb_langid",
+    "dd13_containment_pairs",
+    "ann07_pq_adc_topk",
+    "gr03_triangle_count",
+    "e2e08_curation_v3",
+    "st07_stream_incremental_dedup_state",
+    "j14_aqe_skew_split",
+    "dq01_drift_psi",
+    "tx10_bpe_encode",
+    "w06_exact_percentiles",
+    "ev09_zscore_anomaly_days",
+    "a19_grouping_sets",
+    "ds11_length_buckets",
+    # [new-to-driver] aggregate family
+    "a07_rollup_subtotals",
+    "a07_rollup_counts",
+    "a08_percentiles",
+    "a08_salted_agg",
+    "a09_percentiles",
+    "a15_string_agg",
+    "a17_histogram",
+    "a18_stat_aggregates",
+    # [new-to-driver] q-suite classics
+    "q08_market_share",
+    "q09_product_profit",
+    "q11_important_stock",
+    "q12_late_shipments",
+    "q13_customer_distribution",
+    "q16_supplier_count",
+    "q20_part_promotion",
+    # [new-to-driver] relational / function / window stragglers
+    "p09_pivot_priority",
+    "p10_not_in_null_semantics",
+    "u02_except_intersect",
+    "f23_higher_order_funcs",
+    "f24_props_json_extract",
+    "w03_time_range_window",
+    "w05_share_of_total",
+)
+
+# Catalog entries that have never appeared in any CORRECTNESS_r0*.json
+# (the driver's independent gate). Recompute after each round:
+#   catalog keys - union(CORRECTNESS_r01..r0N keys).
+# After the round-6 rotation above lands, these 29 remain; rotate them
+# into the prefix next round (rows-only tail last — the driver records a
+# weaker rows-only check for ann02/a10/a11/a14, st03's oracle twin
+# covers it).
+_NEVER_DRIVER_VERIFIED: tuple[str, ...] = (
+    "dd04b_simhash_portable",
+    "dd05b_neardup_refined_cells",
+    "dd10_dup_clusters_star",
+    "dd11_incremental_dedup",
+    "ann02b_lsh_topk_portable",
+    "ann05_quantized_rerank",
+    "ann06_ivf_multiprobe_topk",
+    "mn01_hard_negative_mining",
+    "tx01_text_profile",
+    "tx02_bpe_token_stats",
+    "tx03_rolling_fingerprint",
+    "tx05_tfidf_topk",
+    "tx08_bpe_merge_training",
+    "mm01_binary_metadata",
+    "mm03_frame_sample",
+    "mm05_audio_features",
+    "ds01_stratified_sample",
+    "ds02_chunked_packing",
+    "ds04_deterministic_shuffle",
+    "ds05_weighted_sample",
+    "ds06_sliding_chunks",
+    "ev03_sliding_window",
+    "ev04_gap_filled_rollup",
+    "ev08_transition_matrix",
+    "st03_stream_dedup_equivalence",
+    "ann02_lsh_topk",
+    "a10_approx_distinct",
+    "a11_approx_percentiles",
+    "a14_hll_rollup",
 )
 
 
