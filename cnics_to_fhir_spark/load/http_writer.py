@@ -11,6 +11,11 @@ replayed partition re-POSTs only if the first attempt never landed.
 
 Counters (A5, :309-320) come back through Spark accumulators and — exactly —
 from ``action_counts`` over the plan itself.
+
+Two transport modes: per-row (reference parity — one request per resource)
+and FHIR ``transaction``/``batch`` Bundles (``WriterConfig.bundle_size=N``:
+N plan rows per POST with a per-entry response-status check), which removes
+the per-row HTTP round-trip — the write-path ceiling at 100 TB.
 """
 
 from __future__ import annotations
@@ -30,6 +35,12 @@ class WriterConfig:
     retry_sleep_s: float = 5.0  # :171 (5 s); scaled down in tests
     timeout_s: float = 30.0
     cascade_patient_delete: bool = True  # ?_cascade=delete (:333)
+    # bundle_size > 0 switches to FHIR `transaction`/`batch` Bundle POSTs of
+    # at most this many entries each — N plan rows per HTTP round-trip
+    # instead of one, the write-path ceiling at scale. 0 keeps the
+    # reference-parity per-row mode (cnics_to_fhir.py:531-533).
+    bundle_size: int = 0
+    bundle_type: str = "transaction"  # or "batch" (independent entries)
 
 
 def _send(session, cfg: WriterConfig, method: str, url: str, body: str | None):
@@ -54,18 +65,97 @@ def _send(session, cfg: WriterConfig, method: str, url: str, body: str | None):
     raise RuntimeError(f"{method} {url} failed after {cfg.max_retries} attempts") from last_exc
 
 
+def _entry_url(cfg: WriterConfig, rtype: str, rid: str) -> str:
+    url = f"{rtype}/{rid}"
+    if rtype == "Patient" and cfg.cascade_patient_delete:
+        url += "?_cascade=delete"
+    return url
+
+
+def _bundle_entry(cfg: WriterConfig, row) -> dict:
+    rtype, action = row["resource_type"], row["action"]
+    if action == "insert":
+        return {
+            "resource": json.loads(row["body_json"]),
+            "request": {"method": "POST", "url": rtype},
+        }
+    if action == "update":
+        return {
+            "resource": json.loads(row["body_json"]),
+            "request": {"method": "PUT", "url": f"{rtype}/{row['id']}"},
+        }
+    if action == "delete":
+        return {"request": {"method": "DELETE", "url": _entry_url(cfg, rtype, row["id"])}}
+    raise ValueError(f"unknown action {action!r}")
+
+
+def _post_bundle(session, cfg: WriterConfig, chunk: list, counters) -> None:
+    """POST one transaction/batch Bundle and check EVERY entry's response
+    status — a 200 envelope with a failed entry inside (the `batch` mode
+    contract) must still fail the task, not silently drop writes."""
+    bundle = {
+        "resourceType": "Bundle",
+        "type": cfg.bundle_type,
+        "entry": [_bundle_entry(cfg, row) for row in chunk],
+    }
+    resp = _send(session, cfg, "POST", cfg.base_url, json.dumps(bundle))
+    body = resp.json()
+    entries = body.get("entry") if isinstance(body, dict) else None
+    if (
+        not isinstance(body, dict)
+        or body.get("resourceType") != "Bundle"
+        or not isinstance(entries, list)
+        or len(entries) != len(chunk)
+    ):
+        counters["failed"].add(len(chunk))
+        raise RuntimeError(
+            f"bundle response is not a {len(chunk)}-entry Bundle: "
+            f"{str(body)[:200]}"
+        )
+    bad = []
+    for i, (row, ent) in enumerate(zip(chunk, entries)):
+        status = str(((ent or {}).get("response") or {}).get("status") or "")
+        if status.startswith("2"):
+            counters[row["action"]].add(1)
+        else:
+            counters["failed"].add(1)
+            bad.append((i, row["action"], row["resource_type"], status or "<missing>"))
+    if bad:
+        raise RuntimeError(f"bundle entries failed: {bad[:10]}")
+
+
 def write_action_plan(plan: DataFrame, cfg: WriterConfig) -> dict[str, int]:
     """Execute an action plan against the FHIR endpoint.
 
-    insert → POST /{type}; update → PUT /{type}/{id};
-    delete → DELETE /{type}/{id} (Patient deletes cascade, :333).
-    Returns {action_resource: count} gathered via accumulators.
+    Per-row mode (``bundle_size=0``): insert → POST /{type}; update →
+    PUT /{type}/{id}; delete → DELETE /{type}/{id} (Patient deletes
+    cascade, :333). Bundle mode (``bundle_size=N``): rows are grouped N
+    per ``transaction``/``batch`` Bundle POSTed to the base URL, with a
+    per-entry response-status check — same retry/idempotence semantics
+    (PUT/DELETE replay safely; POSTs are guarded upstream by the merge
+    classification, and a `transaction` bundle is atomic server-side so a
+    retried task re-runs the whole group).
+    Returns {action: count} gathered via accumulators.
     """
     sc = plan.sparkSession.sparkContext
     counters = {
         a: sc.accumulator(0) for a in ("insert", "update", "delete", "failed")
     }
     headers = dict(cfg.headers)
+
+    def run_bundled(rows) -> None:
+        import requests
+
+        session = requests.Session()
+        session.headers.update(headers)
+        chunk: list = []
+        for row in rows:
+            chunk.append(row)
+            if len(chunk) >= cfg.bundle_size:
+                _post_bundle(session, cfg, chunk, counters)
+                chunk = []
+        if chunk:
+            _post_bundle(session, cfg, chunk, counters)
 
     def run_partition(rows) -> None:
         import requests
@@ -83,14 +173,14 @@ def write_action_plan(plan: DataFrame, cfg: WriterConfig) -> dict[str, int]:
                         f"{cfg.base_url}/{rtype}/{row['id']}", row["body_json"],
                     )
                 elif action == "delete":
-                    url = f"{cfg.base_url}/{rtype}/{row['id']}"
-                    if rtype == "Patient" and cfg.cascade_patient_delete:
-                        url += "?_cascade=delete"
-                    _send(session, cfg, "DELETE", url, None)
+                    _send(
+                        session, cfg, "DELETE",
+                        f"{cfg.base_url}/{_entry_url(cfg, rtype, row['id'])}", None,
+                    )
                 counters[action].add(1)
             except Exception:
                 counters["failed"].add(1)
                 raise  # let Spark's task retry handle it (idempotent writes)
 
-    plan.foreachPartition(run_partition)
+    plan.foreachPartition(run_bundled if cfg.bundle_size > 0 else run_partition)
     return {k: v.value for k, v in counters.items()}

@@ -112,7 +112,8 @@ def test_run_job_one_site_end_to_end(spark):
     assert not [r for r in rows if r["resource_type"] == "MedicationRequest"]
 
 
-def test_run_job_write_readback_converges(spark):
+@pytest.mark.parametrize("bundle_size", [0, 3])
+def test_run_job_write_readback_converges(spark, bundle_size):
     """The reference's implicit convergence contract
     (cnics_to_fhir.py:914-925): extract → plan → WRITE to the store →
     re-snapshot the store → run again.  Run 2 must produce ZERO inserts and
@@ -122,7 +123,9 @@ def test_run_job_write_readback_converges(spark):
     run 3's store state == run 2's.  Uses a STATEFUL in-process mock FHIR
     server (POST assigns ids, PUT/DELETE mutate) — the full
     extract→plan→write→re-read loop, not just the mocked method routing of
-    tests/test_writer.py."""
+    tests/test_writer.py.  Parametrized over both writer transports:
+    per-row requests and transaction-Bundle mode (bundle_size=3) — the
+    fixpoint must hold identically under bundled writes."""
     import http.server
     import json as jsonmod
     import threading
@@ -142,9 +145,36 @@ def test_run_job_write_readback_converges(spark):
             self.end_headers()
             self.wfile.write(body)
 
+        def _apply_bundle(self, bundle):
+            out = []
+            for ent in bundle["entry"]:
+                req = ent["request"]
+                method, url = req["method"], req["url"].split("?")[0]
+                with lock:
+                    if method == "POST":
+                        rid = f"srv-{next(seq)}"
+                        store[(url, rid)] = jsonmod.dumps(ent["resource"])
+                        out.append({"response": {"status": "201 Created"}})
+                    elif method == "PUT":
+                        rtype, rid = url.split("/")
+                        store[(rtype, rid)] = jsonmod.dumps(ent["resource"])
+                        out.append({"response": {"status": "200 OK"}})
+                    elif method == "DELETE":
+                        rtype, rid = url.split("/")
+                        store.pop((rtype, rid), None)
+                        out.append({"response": {"status": "200 OK"}})
+            self._reply(
+                {"resourceType": "Bundle", "type": "transaction-response", "entry": out}
+            )
+
         def do_POST(self):
             n = int(self.headers.get("Content-Length") or 0)
             body = self.rfile.read(n).decode()
+            if self.path == "/":
+                parsed = jsonmod.loads(body)
+                assert parsed.get("resourceType") == "Bundle"
+                self._apply_bundle(parsed)
+                return
             rtype = self.path.strip("/")
             with lock:
                 rid = f"srv-{next(seq)}"
@@ -242,7 +272,7 @@ def test_run_job_write_readback_converges(spark):
              "Pro": empty_pro, "Snapshot": snap, **empty}
         return lambda name: t[name]
 
-    cfg = WriterConfig(base_url=base_url, retry_sleep_s=0.01)
+    cfg = WriterConfig(base_url=base_url, retry_sleep_s=0.01, bundle_size=bundle_size)
     try:
         def run_once():
             plan = jobmod.run_job(spark, job, settings, tables_for_site, writer_cfg=cfg)

@@ -123,3 +123,113 @@ def test_writer_exhausted_retries_raises(spark, mock_server):
             _plan(spark),
             WriterConfig(base_url=mock_server, retry_sleep_s=0.001, max_retries=2),
         )
+
+
+class _BundleRecorder(http.server.BaseHTTPRequestHandler):
+    """Bundle-aware mock: POST / with a transaction/batch Bundle applies
+    each entry, logging the sub-request, and replies with a
+    *-response Bundle carrying one response.status per entry.
+    ``fail_entries`` forces specific (method, url) entries to 500 —
+    exercising the per-entry outcome check under a 200 envelope."""
+
+    bundles: list[dict] = []
+    sub_requests: list[tuple[str, str]] = []
+    fail_entries: set[tuple[str, str]] = set()
+    fail_envelope_next: int = 0
+
+    def do_POST(self):
+        n = int(self.headers.get("Content-Length") or 0)
+        body = json.loads(self.rfile.read(n).decode())
+        if _BundleRecorder.fail_envelope_next > 0:
+            _BundleRecorder.fail_envelope_next -= 1
+            self.send_response(500)
+            self.end_headers()
+            self.wfile.write(b"{}")
+            return
+        assert self.path == "/", f"bundles POST to the base, got {self.path}"
+        assert body.get("resourceType") == "Bundle"
+        assert body.get("type") in ("transaction", "batch")
+        _BundleRecorder.bundles.append(body)
+        out = []
+        for ent in body["entry"]:
+            req = ent["request"]
+            key = (req["method"], req["url"])
+            _BundleRecorder.sub_requests.append(key)
+            if key in _BundleRecorder.fail_entries:
+                out.append({"response": {"status": "500 Internal Server Error"}})
+            else:
+                status = "201 Created" if req["method"] == "POST" else "200 OK"
+                out.append({"response": {"status": status}})
+        resp = {
+            "resourceType": "Bundle",
+            "type": f"{body['type']}-response",
+            "entry": out,
+        }
+        self.send_response(200)
+        self.send_header("Content-Type", "application/fhir+json")
+        self.end_headers()
+        self.wfile.write(json.dumps(resp).encode())
+
+    def log_message(self, *args):
+        pass
+
+
+@pytest.fixture()
+def bundle_server():
+    _BundleRecorder.bundles = []
+    _BundleRecorder.sub_requests = []
+    _BundleRecorder.fail_entries = set()
+    _BundleRecorder.fail_envelope_next = 0
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _BundleRecorder)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def test_writer_bundle_mode_routes_and_chunks(spark, bundle_server):
+    counts = write_action_plan(
+        _plan(spark),
+        WriterConfig(base_url=bundle_server, retry_sleep_s=0.01, bundle_size=3),
+    )
+    # 4 rows in one partition, bundle_size=3 → 2 bundles (3 + 1)
+    assert [len(b["entry"]) for b in _BundleRecorder.bundles] == [3, 1]
+    assert set(_BundleRecorder.sub_requests) == {
+        ("POST", "Condition"),
+        ("PUT", "Condition/c9"),
+        ("DELETE", "Condition/c7"),
+        ("DELETE", "Patient/p1?_cascade=delete"),  # cascade survives bundling
+    }
+    # insert/update entries carry the parsed resource, deletes none
+    posted = [e for b in _BundleRecorder.bundles for e in b["entry"]]
+    for e in posted:
+        if e["request"]["method"] in ("POST", "PUT"):
+            assert e["resource"]["resourceType"] == "Condition"
+        else:
+            assert "resource" not in e
+    assert counts == {"insert": 1, "update": 1, "delete": 2, "failed": 0}
+
+
+def test_writer_bundle_per_entry_failure_fails_task(spark, bundle_server):
+    """A 200 envelope with one failed entry inside must raise (batch
+    semantics) and count the failure — never silently drop a write."""
+    _BundleRecorder.fail_entries = {("PUT", "Condition/c9")}
+    with pytest.raises(Exception, match="bundle entries failed"):
+        write_action_plan(
+            _plan(spark),
+            WriterConfig(
+                base_url=bundle_server, retry_sleep_s=0.01,
+                bundle_size=10, bundle_type="batch", max_retries=1,
+            ),
+        )
+
+
+def test_writer_bundle_envelope_retry(spark, bundle_server):
+    """A 500 on the bundle POST itself retries whole-bundle (E1 parity)."""
+    _BundleRecorder.fail_envelope_next = 2
+    counts = write_action_plan(
+        _plan(spark),
+        WriterConfig(base_url=bundle_server, retry_sleep_s=0.01, bundle_size=10),
+    )
+    assert counts["failed"] == 0
+    assert len(_BundleRecorder.bundles) == 1  # the successful third attempt
