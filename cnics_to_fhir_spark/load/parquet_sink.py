@@ -102,3 +102,38 @@ def read_pruned(spark: SparkSession, path: str) -> DataFrame:
     PartitionFilters (directory skip), filters on sort columns hit row-group
     min/max stats via PushedFilters."""
     return spark.read.parquet(path)
+
+
+_MATERIALIZE_SEQ = iter(range(1, 1 << 30))
+
+
+def materialize(df: DataFrame, base: str) -> DataFrame:
+    """Production-shaped mid-pipeline materialization: write ``df`` to a
+    per-application scratch parquet path and read it back.
+
+    The use case is an entry whose result plan references caches it must
+    unpersist before returning (e2e07): collecting to the driver works but
+    ships O(rows) through one process — the sink write keeps every row
+    executor-side (each task writes its own file), and the re-read is a
+    plain distributed scan with no reference to the original lineage, so
+    the caches can drop immediately.  The path is applicationId-suffixed
+    (two concurrent sessions never collide — the j12/j13 scratch-DB rule)
+    plus a per-call sequence number (a re-run of the same entry in one
+    session must not overwrite a frame an earlier caller may still hold).
+    Scratch lives under the system temp dir for the session's lifetime;
+    a production pipeline would point this at durable storage and keep
+    the result as a first-class dataset.
+    """
+    import os
+    import tempfile
+
+    from cnics_to_fhir_spark.session import scratch_name
+
+    spark = df.sparkSession
+    path = os.path.join(
+        tempfile.gettempdir(),
+        scratch_name(spark, f"materialize_{base}"),
+        str(next(_MATERIALIZE_SEQ)),
+    )
+    df.write.mode("error").parquet(path)
+    return spark.read.parquet(path)

@@ -720,19 +720,19 @@ def e2e07_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.shiftright(prec, 9).alias("bin_id"),
                 prec.bitwiseAND(F.lit(511)).alias("bin_offset"),
             )
-            # Materialize before unpersisting (the lazy plan references both
-            # caches). Honesty note: this collects one slim fixed-width row
-            # per KEPT document — O(corpus count), not O(1) like j12/j13's
-            # aggregate rows — bounded at the verification scale factors; a
-            # production run would write the packed corpus to a sink and
-            # unpersist after that action instead.
-            rows = out.collect()
-            schema = out.schema
+            # Materialize before unpersisting (the lazy plan references
+            # both caches) — via a parquet-sink write + re-read, the
+            # production shape: every row stays executor-side (tasks write
+            # their own files, the re-read is a plain scan with no
+            # reference to this lineage), no O(kept-docs) driver transfer.
+            from cnics_to_fhir_spark.load.parquet_sink import materialize
+
+            result = materialize(out, "e2e07")
         finally:
             decont.unpersist()
     finally:
         clean.unpersist()
-    return spark.createDataFrame(rows, schema)
+    return result
 
 
 # ---------------------------------------------------------------------------

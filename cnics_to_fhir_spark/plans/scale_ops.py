@@ -1078,36 +1078,103 @@ def ds02_chunked_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dataset.pack_chunked(table(spark, sf_dir, "documents"), budget=256)
 
 
-@query(
-    "ds03_greedy_packing",
-    tags="DS-pack UDF",
-    oracle="""
-        WITH RECURSIVE t AS (
+def _ds03_oracle(budget: int = 256, levels: int = 20) -> str:
+    """Binary-lifting oracle for greedy first-fit-sequential packing.
+
+    The naive recursive-CTE replay advances ONE row per shard per
+    recursion step — O(max rows per shard) steps, each rebuilding a hash
+    join over the full doc table (~27 min of a full sf1 selfcheck pass;
+    verdict r5 item #3).  This formulation is exact and O(n log n):
+
+    - prefix sums s_rn per shard make "the bin starting at row p ends at
+      the last j with s_j <= s_{p-1} + budget" a single ASOF join
+      (greatest key <= bound; the key is s*BIG + rn so ties on s — zero-
+      token docs — resolve to the LARGEST rn of the tied run, which is
+      what greedy does since those docs never overflow a bin);
+    - g(p) = that end + 1, clamped to >= p+1 (an oversize doc still
+      occupies one bin by itself — the same clamp the recurrence's
+      'else new bin with fill=tok' branch implies);
+    - jump tables j_k(p) = g^(2^k)(p) by ``levels`` self-joins;
+    - each row's bin start = the last orbit point of g (from row 1) that
+      is <= rn, found by the standard binary-lifting walk (w_k CTEs,
+      high bit to low); the step count IS the 0-based bin_id, and
+      bin_fill = s_rn - s_{start-1}.
+
+    ``levels=20`` is exact while bins-per-shard < 2^21 (~2M) — far above
+    any verification SF (sf10: 500k docs total); the oracle is a test
+    artifact, the engine side has no such bound."""
+    jumps = []
+    for k in range(1, levels + 1):
+        jumps.append(
+            f"j{k} AS MATERIALIZED (\n"
+            f"    SELECT a.shard, a.p, COALESCE(b.nxt, a.nxt) AS nxt\n"
+            f"    FROM j{k - 1} a LEFT JOIN j{k - 1} b"
+            f" ON b.shard = a.shard AND b.p = a.nxt\n"
+            f")"
+        )
+    walks = [
+        "w AS (SELECT shard, rn, CAST(1 AS BIGINT) AS pos,"
+        " CAST(0 AS BIGINT) AS cnt FROM t)"
+    ]
+    prev = "w"
+    for k in range(levels, -1, -1):
+        cur = f"w{k}"
+        walks.append(
+            f"{cur} AS (\n"
+            f"    SELECT a.shard, a.rn,\n"
+            f"           CASE WHEN j.nxt <= a.rn THEN j.nxt ELSE a.pos END AS pos,\n"
+            f"           CASE WHEN j.nxt <= a.rn THEN a.cnt + {1 << k}"
+            f" ELSE a.cnt END AS cnt\n"
+            f"    FROM {prev} a JOIN j{k} j ON j.shard = a.shard AND j.p = a.pos\n"
+            f")"
+        )
+        prev = cur
+    return f"""
+        WITH t AS MATERIALIZED (
             SELECT lang AS shard, doc_id,
                    CAST(CASE WHEN length(text) = 0 THEN 0
                              ELSE len(string_split(text, ' ')) END AS BIGINT) AS tok,
-                   ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+                   ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn,
+                   SUM(CAST(CASE WHEN length(text) = 0 THEN 0
+                            ELSE len(string_split(text, ' ')) END AS BIGINT))
+                       OVER (PARTITION BY lang ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS s
             FROM documents
         ),
-        packed AS (
-            SELECT shard, doc_id, tok, rn,
-                   CAST(0 AS BIGINT) AS bin_id, tok AS bin_fill
-            FROM t WHERE rn = 1
-            UNION ALL
-            SELECT t.shard, t.doc_id, t.tok, t.rn,
-                   CASE WHEN p.bin_fill + t.tok <= 256
-                        THEN p.bin_id ELSE p.bin_id + 1 END,
-                   CASE WHEN p.bin_fill + t.tok <= 256
-                        THEN p.bin_fill + t.tok ELSE t.tok END
-            FROM packed p JOIN t ON t.shard = p.shard AND t.rn = p.rn + 1
-        )
-        SELECT shard, doc_id, tok, bin_id, bin_fill FROM packed
-    """,
+        big AS (SELECT MAX(rn) + 1 AS big FROM t),
+        tb AS MATERIALIZED (
+            SELECT shard, rn, s, tok,
+                   s * big + rn AS skey,
+                   (s - tok + {budget}) * big + (big - 1) AS bound
+            FROM t CROSS JOIN big
+        ),
+        j0 AS MATERIALIZED (
+            SELECT p.shard, p.rn AS p,
+                   GREATEST(COALESCE(j.rn, 0) + 1, p.rn + 1) AS nxt
+            FROM tb p ASOF LEFT JOIN tb j
+              ON j.shard = p.shard AND j.skey <= p.bound
+        ),
+        {','.join(jumps)},
+        {','.join(walks)}
+        SELECT t.shard, t.doc_id, t.tok, w.cnt AS bin_id,
+               CAST(t.s - (ts.s - ts.tok) AS BIGINT) AS bin_fill
+        FROM t
+        JOIN {prev} w ON w.shard = t.shard AND w.rn = t.rn
+        JOIN t ts ON ts.shard = t.shard AND ts.rn = w.pos
+    """
+
+
+@query(
+    "ds03_greedy_packing",
+    tags="DS-pack UDF",
+    oracle=_ds03_oracle(),
 )
 def ds03_greedy_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact greedy first-fit-sequential packing (budget 256): the fill
     reset is a true sequential recurrence, so it runs as Arrow-batched
-    applyInPandas per shard; the oracle replays it as a recursive CTE."""
+    applyInPandas per shard; the oracle replays it exactly via the
+    O(n log n) binary-lifting formulation in ``_ds03_oracle`` (the naive
+    one-row-per-step recursive CTE cost ~27 min/sf1 pass)."""
     from cnics_to_fhir_spark.operators import dataset
 
     return dataset.pack_greedy(table(spark, sf_dir, "documents"), budget=256)

@@ -66,15 +66,20 @@ def main() -> int:
         if only and name not in only:
             continue
         n_run += 1
+        import time as _time
+
+        t0 = _time.monotonic()
         try:
             sdf = e.spark(spark, sf_dir).toPandas()
         except Exception as ex:
             failures.append((name, f"SPARK ERROR: {ex}"))
             print(f"FAIL  {name}: spark error {str(ex)[:2000]}")
             continue
+        t_spark = _time.monotonic() - t0
         if e.oracle is None:
-            print(f"ROWS  {name}: {len(sdf)} rows (no oracle)")
+            print(f"ROWS  {name}: {len(sdf)} rows (no oracle) [spark {t_spark:.1f}s]")
             continue
+        t0 = _time.monotonic()
         try:
             odf = con.execute(e.oracle).fetchdf()
         except Exception as ex:
@@ -101,7 +106,10 @@ def main() -> int:
             failures.append((name, "; ".join(problems)))
             print(f"FAIL  {name}: {'; '.join(problems)}")
         else:
-            print(f"OK    {name}: {len(s_n)} rows")
+            print(
+                f"OK    {name}: {len(s_n)} rows "
+                f"[spark {t_spark:.1f}s, oracle {_time.monotonic() - t0:.1f}s]"
+            )
     print(f"\n{n_run - len(failures)}/{n_run} passed ({len(entries)} in catalog)")
     return 1 if failures else 0
 

@@ -427,3 +427,50 @@ def test_containment_cap_count_exposed(spark):
     # default path keeps the original 4-column schema
     cols = dedup.containment_pairs(df, threshold=0.5).columns
     assert cols == ["id_a", "id_b", "c_a_in_b", "c_b_in_a"]
+
+
+def test_pq_adc_top1_recall_pinned(spark):
+    """Adversarial pin (ann05's discipline applied to ann07): the EXACT
+    top-1 neighbor must appear in the ADC top-5 shortlist for >= 0.9 of
+    queries — PQ's actual contract (shortlist-then-rerank; within one
+    cell every member shares codes, so ADC provably cannot order
+    cluster-mates and a strict top-1==top-1 pin would test the id
+    tiebreak, not the quantizer). 16 well-separated clusters (one-hot
+    4-dim prototypes per subspace half), ids 0-3 a diagonal so the
+    lowest-id k-means init starts one centroid in each prototype per
+    subspace."""
+    import random
+
+    from cnics_to_fhir_spark.operators.similarity import cosine_topk, pq_adc_topk
+
+    rng = random.Random(7)
+    protos = [[0.0] * 4 for _ in range(4)]
+    for i in range(4):
+        protos[i][i] = 1.0
+    rows = []
+    vid = 0
+    combos = [(i, i) for i in range(4)] + [
+        (i, j) for i in range(4) for j in range(4) if i != j
+    ]
+    # INTERLEAVED: one point per combo per pass, diagonal combos first —
+    # ids 0-3 then see prototypes 0,1,2,3 in BOTH halves, so the
+    # lowest-id k-means init is non-degenerate per subspace (generating
+    # 5 points per combo consecutively puts ids 0-3 all in combo (0,0)
+    # and Lloyd collapses two codewords onto prototype 0).
+    for _ in range(5):
+        for (a, b) in combos:
+            vec = [x + rng.uniform(-0.05, 0.05) for x in protos[a] + protos[b]]
+            rows.append((vid, vec))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter(F.col("vec_id") % 8 == 0)
+    exact = {
+        r["query_id"]: r["neighbor_id"]
+        for r in cosine_topk(emb, q, k=1).collect()
+    }
+    shortlist: dict[int, set] = {}
+    for r in pq_adc_topk(spark, emb, q, n_sub=2, dim=8, k_codes=4, topk=5).collect():
+        shortlist.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(1 for qid, nid in exact.items() if nid in shortlist.get(qid, set()))
+    recall = hits / len(exact)
+    assert recall >= 0.9, f"exact top-1 in ADC top-5 for only {recall} of queries"

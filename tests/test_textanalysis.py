@@ -147,3 +147,38 @@ def test_bpe_encode_counts_shrinks_tokens(spark):
     chars = 4 + 2 + 4 + 4 + 2  # pre-merge symbol count
     assert r["n_bpe_tokens"] < chars
     assert r["n_bpe_tokens"] >= r["n_words"]
+
+
+def test_nb_langid_beats_majority_prior_on_separable_fixture(spark):
+    """Adversarial pin (verdict r5 #7): the driver-corpus accuracy of tx09
+    approximates the majority prior because synthetic docs share
+    vocabulary across langs. This fixture is SEPARABLE — three languages
+    with disjoint vocabularies, 60/20/20 class skew — so a
+    majority-prior classifier scores exactly 0.6 on the held-out split
+    while a working NB must exploit the likelihoods: accuracy pinned
+    >= 0.9 and > prior + 0.25."""
+    from cnics_to_fhir_spark.operators.textanalysis import nb_langid
+
+    vocab = {
+        "aa": ["alpha", "apple", "anchor", "arrow", "amber", "atlas"],
+        "bb": ["bravo", "berry", "basket", "bridge", "border", "binary"],
+        "cc": ["charlie", "cherry", "candle", "copper", "canyon", "circle"],
+    }
+    rows = []
+    for i in range(50):
+        # 60/20/20 skew assigned per 5-id BLOCK (i//5), never per i%5 —
+        # the held-out split is id%5==0, so any function of i%5 would
+        # collapse the test set to one class. Test ids 0,5,...,45 see
+        # blocks 0..9 → 6 aa / 2 bb / 2 cc, same ratio as the corpus.
+        lang = ("aa", "aa", "aa", "bb", "cc")[(i // 5) % 5]
+        toks = [vocab[lang][(i + j) % 6] for j in range(6)]
+        rows.append((i, " ".join(toks), lang))
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = nb_langid(df)
+    res = out.collect()
+    assert len(res) == 10  # ids 0..45 step 5
+    acc = sum(1 for r in res if r["correct"]) / len(res)
+    prior = sum(1 for r in res if r["lang"] == "aa") / len(res)
+    assert prior == 0.6  # the fixture's skew landed as designed
+    assert acc >= 0.9, f"NB accuracy {acc} on a separable corpus"
+    assert acc > prior + 0.25, f"NB {acc} does not beat the prior {prior}"
