@@ -131,6 +131,10 @@ HEADLINE = [
     "ds11_length_buckets",
     "ev09_zscore_anomaly_days",
     "a19_grouping_sets",
+    # round-6 additions
+    "dq02_ks_drift",
+    "ev10_funnel_latency",
+    "mm07_phash_neardup",
     # Iterative ops (dd06, cl01, ann04, dd09, and the round-5 additions
     # gr02/dd10/ann06 — k-means or fixpoint loops) and
     # streaming-equivalence runs

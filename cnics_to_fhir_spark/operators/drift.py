@@ -93,3 +93,67 @@ def psi_drift(
             F.sum("tq").alias("psi_q"),
         )
     )
+
+
+def ks_drift(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    baseline_col: str,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov distance per group — PSI's
+    bin-free complement (PSI needs a bin count and washes out narrow
+    shifts inside a bin; KS is the sup-norm ECDF gap over EVERY observed
+    value, the classic two-sample drift test).
+    → (group, n_base, n_new, ks_q), ks_q = floor(D · 1e6).
+
+    Determinism: the ECDF gap at each distinct value is the INTEGER
+    cross-multiplication |c1·n2 − c2·n1| (no per-value float), the group
+    max is an integer max, and the single float op — dividing the winning
+    gap by n1·n2 — happens once per group, after the max, then floors to
+    micro-units.  Both engines see identical IEEE doubles.
+
+    Scale shape: one (group, value)-keyed count agg (map-side partials),
+    one running-sum window over the DISTINCT values of each group (the
+    only shuffle whose width is data-dependent — O(distinct values), not
+    O(rows)), a broadcast of the O(groups) totals, and a group-keyed max.
+    Nothing is ever keyed by row id."""
+    from pyspark.sql.window import Window
+
+    counts = df.groupBy(group_col, value_col).agg(
+        F.sum(F.when(F.col(baseline_col), 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(~F.col(baseline_col), 1).otherwise(0)).alias("c2"),
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = counts.select(
+        group_col,
+        F.sum("c1").over(w).alias("a1"),
+        F.sum("c2").over(w).alias("a2"),
+    )
+    tot = df.groupBy(group_col).agg(
+        F.sum(F.when(F.col(baseline_col), 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(~F.col(baseline_col), 1).otherwise(0)).alias("n2"),
+    )
+    gap = F.abs(F.col("a1") * F.col("n2") - F.col("a2") * F.col("n1"))
+    return (
+        cum.join(F.broadcast(tot), group_col)
+        .groupBy(group_col)
+        .agg(
+            F.first("n1").alias("n_base"),
+            F.first("n2").alias("n_new"),
+            F.floor(
+                F.max(gap).cast("double")
+                / (F.first("n1") * F.first("n2")).cast("double")
+                * 1e6
+            )
+            .cast("long")
+            .alias("ks_q"),
+        )
+        # a one-sided group has no ECDF to compare — drop it rather than
+        # emit a NULL/inf score (mirrored in the dq02 oracle's HAVING)
+        .filter((F.col("n_base") > 0) & (F.col("n_new") > 0))
+    )

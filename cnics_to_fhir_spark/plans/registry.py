@@ -70,7 +70,8 @@ _PRIORITY: tuple[str, ...] = (
     # were all driver-green in earlier rounds and remain selfcheck-
     # verified at sf0.001/sf0.01/sf1 every round. The authoritative
     # remaining never-driver-verified list is _NEVER_DRIVER_VERIFIED
-    # below (29 entries; clearable in one more rotation).
+    # below (29 from rounds 1-5 + the 3 new round-6 entries = 32;
+    # clearable in one more 36-slot rotation).
     #
     # §2-core spine (driver-green in prior rounds, kept for reference
     # parity: B1-B4 verticals, coding dispatch, lab typing, merge,
@@ -134,11 +135,16 @@ _PRIORITY: tuple[str, ...] = (
 # Catalog entries that have never appeared in any CORRECTNESS_r0*.json
 # (the driver's independent gate). Recompute after each round:
 #   catalog keys - union(CORRECTNESS_r01..r0N keys).
-# After the round-6 rotation above lands, these 29 remain; rotate them
+# After the round-6 rotation above lands, these remain (29 carried +
+# 3 new-this-round); rotate them
 # into the prefix next round (rows-only tail last — the driver records a
 # weaker rows-only check for ann02/a10/a11/a14, st03's oracle twin
 # covers it).
 _NEVER_DRIVER_VERIFIED: tuple[str, ...] = (
+    # round-6 additions (new this round, by definition never driven)
+    "dq02_ks_drift",
+    "ev10_funnel_latency",
+    "mm07_phash_neardup",
     "dd04b_simhash_portable",
     "dd05b_neardup_refined_cells",
     "dd10_dup_clusters_star",

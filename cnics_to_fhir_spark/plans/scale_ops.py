@@ -2753,6 +2753,19 @@ def mm06_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: payload bytes are born and die inside one narrow mapInPandas
     pass (only (doc_id, phash) ever shuffles — 16 bytes/row); the dedup
     is the dd01 hash-groupBy shape."""
+    ph = _phash_frame(spark, sf_dir)
+    return ph.groupBy("phash").agg(
+        F.min("doc_id").alias("keeper_id"),
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+    )
+
+
+def _phash_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, phash) via the REAL encode→decode→average-hash loop of
+    mm06 (synthesized 16×12×3 images, one perturbed pixel per doc, PNG
+    round-trip through functions/mediacodec, 36-bit block-mean hash in
+    exact integer arithmetic). Shared by mm06 (exact dedup) and mm07
+    (banded hamming near-dup)."""
     from collections.abc import Iterator
 
     W, H, C = 16, 12, 3
@@ -2790,11 +2803,7 @@ def mm06_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=["doc_id", "phash"])
 
     d = table(spark, sf_dir, "documents").select("doc_id")
-    ph = d.mapInPandas(gen_phash, schema="doc_id long, phash long")
-    return ph.groupBy("phash").agg(
-        F.min("doc_id").alias("keeper_id"),
-        F.count(F.lit(1)).cast("long").alias("n_members"),
-    )
+    return d.mapInPandas(gen_phash, schema="doc_id long, phash long")
 
 
 # ---------------------------------------------------------------------------
@@ -4207,4 +4216,278 @@ def a19_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             stable_round(F.sum("value"), 2).alias("total_value"),
         )
         .select("event_type", "day", "g_type", "g_day", "n", "total_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# dq02 — exact two-sample Kolmogorov–Smirnov drift (PSI's bin-free twin)
+# ---------------------------------------------------------------------------
+@query(
+    "dq02_ks_drift",
+    tags="DQ A5 W J1",
+    oracle="""
+        WITH e AS (
+            SELECT event_type AS grp, value AS v,
+                   ts < TIMESTAMP '2024-01-16 00:00:00' AS is_base
+            FROM events
+        ),
+        counts AS (
+            SELECT grp, v,
+                   SUM(CASE WHEN is_base THEN 1 ELSE 0 END) AS c1,
+                   SUM(CASE WHEN is_base THEN 0 ELSE 1 END) AS c2
+            FROM e GROUP BY grp, v
+        ),
+        cum AS (
+            SELECT grp,
+                   SUM(c1) OVER (PARTITION BY grp ORDER BY v
+                                 ROWS UNBOUNDED PRECEDING) AS a1,
+                   SUM(c2) OVER (PARTITION BY grp ORDER BY v
+                                 ROWS UNBOUNDED PRECEDING) AS a2
+            FROM counts
+        ),
+        tot AS (
+            SELECT grp,
+                   SUM(CASE WHEN is_base THEN 1 ELSE 0 END) AS n1,
+                   SUM(CASE WHEN is_base THEN 0 ELSE 1 END) AS n2
+            FROM e GROUP BY grp
+        )
+        SELECT c.grp AS event_type,
+               CAST(ANY_VALUE(t.n1) AS BIGINT) AS n_base,
+               CAST(ANY_VALUE(t.n2) AS BIGINT) AS n_new,
+               CAST(FLOOR(CAST(MAX(ABS(c.a1*t.n2 - c.a2*t.n1)) AS DOUBLE)
+                          / CAST(ANY_VALUE(t.n1)*ANY_VALUE(t.n2) AS DOUBLE)
+                          * 1e6) AS BIGINT) AS ks_q
+        FROM cum c JOIN tot t USING (grp)
+        GROUP BY c.grp
+        HAVING ANY_VALUE(t.n1) > 0 AND ANY_VALUE(t.n2) > 0
+    """,
+)
+def dq02_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample KS distance of the event-value distribution per
+    event_type, first half-month (trained-on) vs second (incoming) —
+    dq01's PSI catches mass moving BETWEEN its 10 bins; KS is bin-free
+    (sup-norm ECDF gap over every observed value) and catches narrow
+    shifts PSI's binning averages away.  The per-value gap is the exact
+    integer cross-multiplication |c1·n2 − c2·n1|; one float division per
+    group after the integer max, floored once to micro-units
+    (operators/drift.py ks_drift; scale notes there — the widest shuffle
+    is O(distinct values), never O(rows))."""
+    from cnics_to_fhir_spark.operators.drift import ks_drift
+
+    e = table(spark, sf_dir, "events").select(
+        F.col("event_type"),
+        F.col("value"),
+        (F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp")).alias("is_base"),
+    )
+    return ks_drift(e, value_col="value", group_col="event_type", baseline_col="is_base")
+
+
+# ---------------------------------------------------------------------------
+# ev10 — funnel transition latency percentiles (exact, integer microseconds)
+# ---------------------------------------------------------------------------
+@query(
+    "ev10_funnel_latency",
+    tags="EV W A5 J1",
+    oracle="""
+        WITH s1 AS (
+            SELECT user_id, MIN(ts) AS t1 FROM events
+            WHERE event_type = 'signup' GROUP BY user_id
+        ),
+        s2 AS (
+            SELECT e.user_id, MIN(e.ts) AS t2
+            FROM events e JOIN s1 ON e.user_id = s1.user_id
+            WHERE e.event_type = 'click' AND e.ts > s1.t1
+            GROUP BY e.user_id
+        ),
+        s3 AS (
+            SELECT e.user_id, MIN(e.ts) AS t3
+            FROM events e JOIN s2 ON e.user_id = s2.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+            GROUP BY e.user_id
+        ),
+        d AS (
+            SELECT '1_signup_to_click' AS transition, s1.user_id,
+                   epoch_us(s2.t2) - epoch_us(s1.t1) AS delta_us
+            FROM s1 JOIN s2 USING (user_id)
+            UNION ALL
+            SELECT '2_click_to_purchase', s2.user_id,
+                   epoch_us(s3.t3) - epoch_us(s2.t2)
+            FROM s2 JOIN s3 USING (user_id)
+        ),
+        r AS (
+            SELECT transition, delta_us,
+                   ROW_NUMBER() OVER (PARTITION BY transition
+                                      ORDER BY delta_us, user_id) AS rn,
+                   COUNT(*) OVER (PARTITION BY transition) AS n
+            FROM d
+        )
+        SELECT transition,
+               CAST(ANY_VALUE(n) AS BIGINT) AS n_users,
+               CAST(MAX(CASE WHEN rn = CAST(CEIL(0.5*n) AS BIGINT)
+                        THEN delta_us END) AS BIGINT) AS p50_us,
+               CAST(MAX(CASE WHEN rn = CAST(CEIL(0.9*n) AS BIGINT)
+                        THEN delta_us END) AS BIGINT) AS p90_us,
+               CAST(MAX(delta_us) AS BIGINT) AS max_us
+        FROM r GROUP BY transition
+    """,
+)
+def ev10_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ev07's funnel extended with the question a product team actually
+    asks: HOW LONG between stages — exact p50/p90/max of the
+    step-to-step latency per transition.  Deltas are integer
+    microseconds (unix_micros both sides — an epoch-seconds diff would
+    truncate before subtracting and disagree across engines); the
+    percentile is exact rank selection (value at row ceil(p·n) of the
+    (delta, user_id)-ordered transition — w06's discipline, so no
+    interpolation mode can diverge).  Every join/agg keys on user_id
+    until the final O(transitions) rollup; the percentile window is
+    O(funnel survivors), never O(events)."""
+    e = table(spark, sf_dir, "events")
+    s1 = e.filter(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min("ts").alias("t1")
+    )
+    s2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    d = (
+        s1.join(s2, "user_id")
+        .select(
+            F.lit("1_signup_to_click").alias("transition"),
+            "user_id",
+            (F.unix_micros(F.col("t2")) - F.unix_micros(F.col("t1"))).alias("delta_us"),
+        )
+        .unionByName(
+            s2.join(s3, "user_id").select(
+                F.lit("2_click_to_purchase").alias("transition"),
+                "user_id",
+                (F.unix_micros(F.col("t3")) - F.unix_micros(F.col("t2"))).alias("delta_us"),
+            )
+        )
+    )
+    w = Window.partitionBy("transition").orderBy("delta_us", "user_id")
+    wn = Window.partitionBy("transition")
+    r = d.select(
+        "transition",
+        "delta_us",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    rank = lambda p: F.ceil(F.lit(p) * F.col("n")).cast("long")  # noqa: E731
+    return r.groupBy("transition").agg(
+        F.first("n").cast("long").alias("n_users"),
+        F.max(F.when(F.col("rn") == rank(0.5), F.col("delta_us"))).cast("long").alias("p50_us"),
+        F.max(F.when(F.col("rn") == rank(0.9), F.col("delta_us"))).cast("long").alias("p90_us"),
+        F.max("delta_us").cast("long").alias("max_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# mm07 — perceptual NEAR-dup across image groups (banded hamming, exact
+# recall by pigeonhole)
+# ---------------------------------------------------------------------------
+@query(
+    "mm07_phash_neardup",
+    tags="MM DD J1 A5",
+    oracle="""
+        WITH px AS (
+            SELECT d.doc_id,
+                   x, y, c,
+                   ((x*17 + y*29 + c*41 + d.doc_id % 50) % 256
+                    + CASE WHEN (y*16 + x)*3 + c = d.doc_id % 576
+                           THEN (d.doc_id // 50) % 3 ELSE 0 END) % 256 AS v
+            FROM documents d,
+                 UNNEST(range(0, 16)) AS tx(x),
+                 UNNEST(range(0, 12)) AS ty(y),
+                 UNNEST(range(0, 3)) AS tc(c)
+        ),
+        blocks AS (
+            SELECT doc_id, (y//4)*4 + (x//4) AS blk, c, SUM(v) AS bs
+            FROM px GROUP BY doc_id, (y//4)*4 + (x//4), c
+        ),
+        tot AS (SELECT doc_id, SUM(v) AS ts FROM px GROUP BY doc_id),
+        ph AS (
+            SELECT b.doc_id,
+                   CAST(SUM(CASE WHEN b.bs*36 > t.ts
+                            THEN CAST(1 AS BIGINT) << CAST(b.blk*3 + b.c AS INT)
+                            ELSE 0 END) AS BIGINT) AS phash
+            FROM blocks b JOIN tot t USING (doc_id)
+            GROUP BY b.doc_id
+        ),
+        reps AS (
+            SELECT phash, MIN(doc_id) AS keeper_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_members
+            FROM ph GROUP BY phash
+        )
+        SELECT a.keeper_id AS keeper_a, b.keeper_id AS keeper_b,
+               CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming,
+               a.n_members AS n_a, b.n_members AS n_b
+        FROM reps a JOIN reps b ON a.keeper_id < b.keeper_id
+        WHERE bit_count(xor(a.phash, b.phash)) BETWEEN 1 AND 2
+    """,
+)
+def mm07_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual NEAR-dup across exact-dup groups: mm06 collapses
+    byte-identical hashes; this finds hash pairs within hamming ≤ 2 —
+    the 'same image, tiny edit' class exact grouping misses.
+
+    Scale shape — dedup-first then banded join, both load-bearing:
+    (1) the O(n²) trap is collapsed away BEFORE any pairing: docs group
+    to distinct (phash, keeper, count) rows first (corpus → O(distinct
+    hashes), the dd01 shape), so the pair join runs on signatures,
+    never documents; (2) the signature join is banded — the 36-bit hash
+    splits into 3 bands of 12 bits, pairs must share one band's value —
+    and by pigeonhole 3 bands with threshold 2 is EXACT: two hashes
+    within hamming ≤ 2 differ in at most 2 bands, so at least one band
+    matches (recall 1.0 — a guarantee, unlike MinHash-LSH's S-curve).
+    The oracle does the recall-free all-pairs join over distinct
+    signatures instead, proving the banded plan loses nothing.  The
+    exact hamming runs as a residual bit_count(xor) predicate."""
+    ph = _phash_frame(spark, sf_dir)
+    reps = ph.groupBy("phash").agg(
+        F.min("doc_id").alias("keeper_id"),
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+    )
+    bands = reps.select(
+        "phash",
+        "keeper_id",
+        "n_members",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.shiftright(F.col("phash"), 12 * i).bitwiseAND(F.lit(0xFFF)).alias("bv"),
+                )
+                for i in range(3)
+            ])
+        ).alias("bk"),
+    ).select("phash", "keeper_id", "n_members", "bk.band", "bk.bv")
+    a, b = bands.alias("a"), bands.alias("b")
+    ham = F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.keeper_id") < F.col("b.keeper_id")),
+        )
+        .filter(ham.between(1, 2))
+        .select(
+            F.col("a.keeper_id").alias("keeper_a"),
+            F.col("b.keeper_id").alias("keeper_b"),
+            ham.cast("long").alias("hamming"),
+            F.col("a.n_members").alias("n_a"),
+            F.col("b.n_members").alias("n_b"),
+        )
+        .distinct()
     )
