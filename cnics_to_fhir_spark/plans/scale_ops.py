@@ -4454,9 +4454,17 @@ def mm07_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     signatures instead, proving the banded plan loses nothing.  The
     exact hamming runs as a residual bit_count(xor) predicate."""
     ph = _phash_frame(spark, sf_dir)
-    reps = ph.groupBy("phash").agg(
-        F.min("doc_id").alias("keeper_id"),
-        F.count(F.lit(1)).cast("long").alias("n_members"),
+    # Pin the signature table: it is O(distinct hashes) — tiny — and both
+    # sides of the band self-join consume it; unpinned, the self-join
+    # re-runs the whole encode→decode codec pass (the expensive half of
+    # the entry) once per side (plan audit showed arrow_py=2).
+    reps = (
+        ph.groupBy("phash")
+        .agg(
+            F.min("doc_id").alias("keeper_id"),
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+        )
+        .localCheckpoint(eager=True)
     )
     bands = reps.select(
         "phash",
