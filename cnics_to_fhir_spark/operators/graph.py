@@ -83,6 +83,12 @@ def pagerank_int_converged(
     driver round-trip (the max-delta check — dd06's fixpoint pattern);
     ``localCheckpoint`` truncates lineage so long runs don't accumulate a
     60-deep plan."""
+    # Pin the EDGE LIST too, not just nodes/deg: callers typically derive
+    # edges from a join (gr02: orders⋈lineitem→distinct→union) and an
+    # unpinned edge frame re-runs that derivation EVERY iteration — at
+    # sf1 that was ~60 replays of a 6M-row join (244 s), vs one keyed
+    # shuffle per iteration pinned (the r6 sf1-selfcheck hotspot).
+    edges = edges.localCheckpoint(eager=True)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
