@@ -19,6 +19,11 @@ from cnics_to_fhir_spark.session import build_session
 
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    """Canonicalize column order and dtypes (timestamps → str, floats
+    rounded, ints → int64, objects → str). Does NOT sort rows — the
+    order-insensitive compare sorts row HASHES instead (sorting a
+    multi-hundred-thousand-row frame of JSON strings was the dominant
+    compare cost at sf1; sorting a uint64 array is ~free)."""
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         s = df[c]
@@ -30,15 +35,24 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = s.astype("int64")
         elif s.dtype == object:
             df[c] = s.astype(str)
+    return df
+
+
+def sort_rows(df: pd.DataFrame) -> pd.DataFrame:
+    """Row-sorted view of a normalized frame — the slow path, used only
+    to produce aligned diffs once a hash mismatch is already known."""
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
 def value_hash(df: pd.DataFrame) -> str:
+    """Order-insensitive multiset digest: hash each row, sort the hash
+    array, digest it. astype(str) first — "1" vs "1.0" must differ, and
+    normalize() has already made matching dtypes identical."""
     import hashlib
 
-    return hashlib.md5(
-        pd.util.hash_pandas_object(df.astype(str), index=False).values.tobytes()
-    ).hexdigest()
+    h = pd.util.hash_pandas_object(df.astype(str), index=False).values.copy()
+    h.sort()
+    return hashlib.md5(h.tobytes()).hexdigest()
 
 
 def main() -> int:
@@ -62,30 +76,29 @@ def main() -> int:
     entries = catalog()
     failures = []
     n_run = 0
-    for name, e in entries.items():
-        if only and name not in only:
-            continue
-        n_run += 1
-        import time as _time
 
-        t0 = _time.monotonic()
-        try:
-            sdf = e.spark(spark, sf_dir).toPandas()
-        except Exception as ex:
-            failures.append((name, f"SPARK ERROR: {ex}"))
-            print(f"FAIL  {name}: spark error {str(ex)[:2000]}")
-            continue
-        t_spark = _time.monotonic() - t0
-        if e.oracle is None:
-            print(f"ROWS  {name}: {len(sdf)} rows (no oracle) [spark {t_spark:.1f}s]")
-            continue
+    # Two-stage pipeline: the main thread drives Spark (the cluster-side
+    # engine), a single consumer thread drives DuckDB + the pandas compare
+    # (driver-side CPU). The two engines share almost no resources, so
+    # wall time drops from sum(spark)+sum(oracle) to ~max of the two —
+    # the difference between a 23-minute and a ~13-minute full sf1 pass.
+    # Queue depth 1 bounds memory to at most two collected results in
+    # flight (sf10 probes include a 37M-row frame). A single consumer
+    # keeps the output ordered and the DuckDB connection on one thread.
+    import queue
+    import threading
+    import time as _time
+
+    q: queue.Queue = queue.Queue(maxsize=1)
+
+    def compare(name, e, sdf, t_spark):
         t0 = _time.monotonic()
         try:
             odf = con.execute(e.oracle).fetchdf()
         except Exception as ex:
             failures.append((name, f"ORACLE ERROR: {ex}"))
             print(f"FAIL  {name}: oracle error {str(ex)[:2000]}")
-            continue
+            return
         s_n, o_n = normalize(sdf), normalize(odf)
         problems = []
         if len(s_n) != len(o_n):
@@ -93,6 +106,7 @@ def main() -> int:
         if list(s_n.columns) != list(o_n.columns):
             problems.append(f"cols spark={list(s_n.columns)} oracle={list(o_n.columns)}")
         elif len(s_n) == len(o_n) and value_hash(s_n) != value_hash(o_n):
+            s_n, o_n = sort_rows(s_n), sort_rows(o_n)
             diff_cols = [
                 c for c in s_n.columns if not s_n[c].astype(str).equals(o_n[c].astype(str))
             ]
@@ -110,6 +124,34 @@ def main() -> int:
                 f"OK    {name}: {len(s_n)} rows "
                 f"[spark {t_spark:.1f}s, oracle {_time.monotonic() - t0:.1f}s]"
             )
+
+    def consumer():
+        while True:
+            item = q.get()
+            if item is None:
+                return
+            compare(*item)
+
+    worker = threading.Thread(target=consumer, daemon=True)
+    worker.start()
+    for name, e in entries.items():
+        if only and name not in only:
+            continue
+        n_run += 1
+        t0 = _time.monotonic()
+        try:
+            sdf = e.spark(spark, sf_dir).toPandas()
+        except Exception as ex:
+            failures.append((name, f"SPARK ERROR: {ex}"))
+            print(f"FAIL  {name}: spark error {str(ex)[:2000]}")
+            continue
+        t_spark = _time.monotonic() - t0
+        if e.oracle is None:
+            print(f"ROWS  {name}: {len(sdf)} rows (no oracle) [spark {t_spark:.1f}s]")
+            continue
+        q.put((name, e, sdf, t_spark))
+    q.put(None)
+    worker.join()
     print(f"\n{n_run - len(failures)}/{n_run} passed ({len(entries)} in catalog)")
     return 1 if failures else 0
 
