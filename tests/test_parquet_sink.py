@@ -87,3 +87,24 @@ def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
     assert match_fraction(zpath, "y", 256, 319) <= 0.5
     # and x stays prunable too (x-sorted is better at x, z must still skip)
     assert match_fraction(zpath, "x", 256, 319) <= 0.5
+
+
+def test_materialize_roundtrip_and_isolation(spark):
+    """materialize() must (1) preserve rows exactly, (2) return a frame
+    readable after its source cache is unpersisted/gone, (3) give each
+    call a fresh path so an earlier result stays valid after a re-run."""
+    from pyspark.sql import functions as F
+
+    from cnics_to_fhir_spark.load.parquet_sink import materialize
+
+    src = spark.range(100).select(
+        F.col("id"), (F.col("id") * 2).alias("v")
+    ).persist()
+    first = materialize(src, "t_mat")
+    src.unpersist(blocking=True)
+    assert sorted((r["id"], r["v"]) for r in first.collect()) == [
+        (i, 2 * i) for i in range(100)
+    ]
+    second = materialize(spark.range(5).select(F.col("id"), F.col("id").alias("v")), "t_mat")
+    # first frame still collectable after a second materialize of the same base
+    assert first.count() == 100 and second.count() == 5
