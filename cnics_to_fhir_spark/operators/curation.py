@@ -163,3 +163,86 @@ def pii_redact(
         F.regexp_count(t, F.lit(EMAIL_PATTERN)).cast("long").alias("n_emails"),
         F.regexp_count(t, F.lit(PHONE_PATTERN)).cast("long").alias("n_phones"),
     )
+
+
+def domain_cap(
+    df: DataFrame,
+    cap: int,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 73,
+) -> DataFrame:
+    """Exact per-domain document cap (C4/RefinedWeb-style head-domain
+    suppression): keep at most ``cap`` docs per domain, selected
+    deterministically by a portable 60-bit hash of the id so the sample is
+    reproducible and engine-replayable.
+
+    Scale shape — the naive plan is ``ROW_NUMBER() OVER (PARTITION BY
+    domain ORDER BY hash)``: at 100 TB one hot domain (30% of a web crawl
+    is the head domain) serializes onto one task.  This is the exact
+    two-phase form instead (ds10's global-rank idea applied per domain):
+
+    1. bucket every row by the hash's TOP 10 bits (range-prefix, so bucket
+       order == hash order) and build a (domain × ≤1024)-row histogram —
+       one map-side-combined agg, state O(domains·1024);
+    2. per domain, the cumulative histogram (a window over ≤1024 tiny
+       rows) yields the cutoff bucket and the residual quota inside it;
+       rows in buckets below the cutoff are kept outright, and ONLY the
+       cutoff bucket — ~1/1024 of the domain — pays a row_number window.
+
+    The selection is value-identical to the naive window (bucket is a
+    monotone prefix of the hash; ties break by id within the bucket), so a
+    plain ROW_NUMBER oracle replays it.  Domains under the cap keep all
+    rows.  → (id, domain, n_domain) with n_domain the pre-cap domain size
+    (no silent caps: the accounting column states what the cap saw).
+    """
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    from cnics_to_fhir_spark.operators.dedup import portable_hash
+    from pyspark.sql.window import Window
+
+    h = portable_hash(F.col(id_col).cast("string"), seed=seed)
+    rows = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(domain_col).alias("__dom"),
+        h.alias("__h"),
+    ).withColumn("__bucket", F.shiftright(F.col("__h"), 50))
+
+    hist = rows.groupBy("__dom", "__bucket").agg(F.count(F.lit(1)).alias("__n"))
+    w_cum = (
+        Window.partitionBy("__dom")
+        .orderBy("__bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    hist_cum = hist.withColumn("__cum", F.sum("__n").over(w_cum))
+    totals = hist.groupBy("__dom").agg(F.sum("__n").alias("n_domain"))
+    w_first = Window.partitionBy("__dom").orderBy("__bucket")
+    cuts = (
+        hist_cum.filter(F.col("__cum") >= cap)
+        .withColumn("__rn", F.row_number().over(w_first))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "__dom",
+            F.col("__bucket").alias("__cb"),
+            (F.lit(cap) - (F.col("__cum") - F.col("__n"))).alias("__need"),
+        )
+    )
+
+    joined = rows.join(F.broadcast(cuts), on="__dom", how="left")
+    below = joined.filter(F.col("__cb").isNull() | (F.col("__bucket") < F.col("__cb")))
+    w_at = Window.partitionBy("__dom").orderBy("__h", "__id")
+    at_cut = (
+        joined.filter(F.col("__bucket") == F.col("__cb"))
+        .withColumn("__r", F.row_number().over(w_at))
+        .filter(F.col("__r") <= F.col("__need"))
+        .drop("__r")
+    )
+    kept = below.unionByName(at_cut).select("__id", "__dom")
+    return (
+        kept.join(F.broadcast(totals), on="__dom")
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__dom").alias(domain_col),
+            F.col("n_domain").cast("long").alias("n_domain"),
+        )
+    )

@@ -157,3 +157,33 @@ def ks_drift(
         # emit a NULL/inf score (mirrored in the dq02 oracle's HAVING)
         .filter((F.col("n_base") > 0) & (F.col("n_new") > 0))
     )
+
+
+def version_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    fingerprint_col: str,
+) -> DataFrame:
+    """Row-level change classification between two corpus versions — the
+    audit a pipeline runs before swapping dataset v(N) for v(N+1): one
+    full-outer join on the id, comparing a content fingerprint (hash of
+    the text, NOT the text itself).  → (id, action) with action in
+    {'added', 'removed', 'changed', 'unchanged'}.
+
+    Scale shape: both sides reduce to (id, fingerprint) BEFORE the join —
+    at 100 TB the shuffle carries two ~16-byte columns per row, never the
+    documents; the join is a plain id-keyed sort-merge that AQE handles.
+    The same classify-by-join shape as the FHIR MERGE
+    (operators/merge.py:36), applied to corpus versioning.
+    """
+    o = old.select(F.col(id_col).alias("__id"), F.col(fingerprint_col).alias("__ofp"))
+    n = new.select(F.col(id_col).alias("__id"), F.col(fingerprint_col).alias("__nfp"))
+    j = o.join(n, on="__id", how="full_outer")
+    action = (
+        F.when(F.col("__ofp").isNull(), F.lit("added"))
+        .when(F.col("__nfp").isNull(), F.lit("removed"))
+        .when(F.col("__ofp") != F.col("__nfp"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(F.col("__id").alias(id_col), action.alias("action"))

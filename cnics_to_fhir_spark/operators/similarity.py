@@ -550,3 +550,36 @@ def pq_adc_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= topk)
     )
+
+
+def filtered_ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    allowed_ids: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+) -> DataFrame:
+    """Filtered vector search (the RAG production shape): top-k ONLY among
+    corpus vectors whose id passes a metadata predicate — "nearest docs
+    that are also lang='en' / after 2024 / from this tenant".
+
+    ``allowed_ids`` is a one-column DataFrame of passing ids (the
+    predicate evaluated on the metadata table, ids-only).  The filter is
+    applied as a semi-join BEFORE any vector moves: at 100 TB the
+    metadata predicate prunes on a narrow id column (typically a
+    broadcast or a co-bucketed semi-join on the same id the corpus is
+    already bucketed by), and only surviving vectors enter the IVF cell
+    probe.  Post-filtering — search first, filter the top-k after — is
+    the classic recall bug this operator exists to avoid: a selective
+    predicate leaves fewer than k survivors in the unfiltered top-k.
+    Queries are NOT filtered; the predicate constrains results only.
+    """
+    ids = allowed_ids.select(
+        F.col(allowed_ids.columns[0]).cast("long").alias(id_col)
+    ).distinct()
+    filtered = corpus.join(ids, on=id_col, how="left_semi")
+    return ivf_topk(
+        filtered, queries, k=k, id_col=id_col, vec_col=vec_col, cell_col=cell_col
+    )

@@ -70,7 +70,7 @@ _PRIORITY: tuple[str, ...] = (
     # were all driver-green in earlier rounds and remain selfcheck-
     # verified at sf0.001/sf0.01/sf1 every round. The authoritative
     # remaining never-driver-verified list is _NEVER_DRIVER_VERIFIED
-    # below (29 from rounds 1-5 + the 3 new round-6 entries = 32;
+    # below (29 from rounds 1-5 + the 6 new round-6 entries = 35;
     # clearable in one more 36-slot rotation).
     #
     # §2-core spine (driver-green in prior rounds, kept for reference
@@ -145,6 +145,9 @@ _NEVER_DRIVER_VERIFIED: tuple[str, ...] = (
     "dq02_ks_drift",
     "ev10_funnel_latency",
     "mm07_phash_neardup",
+    "dc03_domain_cap",
+    "ann08_filtered_topk",
+    "dq03_version_diff",
     "dd04b_simhash_portable",
     "dd05b_neardup_refined_cells",
     "dd10_dup_clusters_star",

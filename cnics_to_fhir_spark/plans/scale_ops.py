@@ -4499,3 +4499,154 @@ def mm07_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 additions: domain cap, filtered ANN, dataset version diff
+# ---------------------------------------------------------------------------
+@query(
+    "dc03_domain_cap",
+    tags="DC A5 W O3",
+    oracle="""
+        WITH h AS (
+            SELECT doc_id, source,
+                   CAST(('0x' || substring(
+                       md5('73:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) AS hh
+            FROM documents
+        ),
+        r AS (
+            SELECT doc_id, source,
+                   ROW_NUMBER() OVER (PARTITION BY source ORDER BY hh, doc_id) AS rn,
+                   COUNT(*) OVER (PARTITION BY source) AS n_domain
+            FROM h
+        )
+        SELECT doc_id, source, CAST(n_domain AS BIGINT) AS n_domain
+        FROM r WHERE rn <= 15
+    """,
+)
+def dc03_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head-domain suppression: keep at most 15 docs per source, chosen by
+    a portable hash of the id (reproducible systematic sample).  The
+    engine runs the exact TWO-PHASE form — top-10-bit range-prefix bucket
+    histogram, per-domain cutoff bucket, row_number only inside the
+    cutoff bucket (~1/1024 of the domain) — so no hot domain ever
+    serializes onto one window task; the oracle is the naive per-domain
+    ROW_NUMBER the two-phase plan is provably value-identical to
+    (bucket order is a monotone prefix of the hash order).
+    n_domain is the pre-cap domain size (no silent caps)."""
+    from cnics_to_fhir_spark.operators.curation import domain_cap
+
+    return domain_cap(
+        table(spark, sf_dir, "documents"), cap=15, domain_col="source", id_col="doc_id"
+    )
+
+
+@query(
+    "ann08_filtered_topk",
+    tags="ANN-filtered J1 J7 W",
+    oracle="""
+        WITH allowed AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+        q AS (
+            SELECT vec_id AS query_id, label, CAST(embedding AS DOUBLE[]) AS qv
+            FROM embeddings WHERE vec_id < 8
+        ),
+        c AS (
+            SELECT e.vec_id AS neighbor_id, e.label, CAST(e.embedding AS DOUBLE[]) AS cv
+            FROM embeddings e JOIN allowed a ON e.vec_id = a.doc_id
+        ),
+        scored AS (
+            SELECT q.query_id, c.neighbor_id,
+                   FLOOR((list_dot_product(q.qv, c.cv)
+                         / (SQRT(list_dot_product(q.qv, q.qv)) * SQRT(list_dot_product(c.cv, c.cv))))*1e6 + 0.5)/1e6 AS cosine_sim
+            FROM q JOIN c ON q.label = c.label AND c.neighbor_id <> q.query_id
+        )
+        SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+            SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cosine_sim DESC, neighbor_id) AS INTEGER) AS rank
+            FROM scored
+        ) WHERE rank <= 5
+    """,
+)
+def ann08_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search (RAG shape): IVF top-5 restricted to vectors
+    whose document passes lang='en' — the predicate is an ids-only
+    semi-join applied BEFORE the cell probe (pre-filtering), never a
+    post-filter of an unfiltered top-k (the classic recall bug).
+    Queries themselves are unfiltered."""
+    emb = table(spark, sf_dir, "embeddings")
+    allowed = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("lang") == "en")
+        .select("doc_id")
+    )
+    return similarity.filtered_ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 8), allowed, k=5
+    )
+
+
+@query(
+    "dq03_version_diff",
+    tags="DQ J6 A5",
+    oracle="""
+        WITH v1 AS (
+            SELECT doc_id, source,
+                   md5(CASE WHEN doc_id % 7 = 0 THEN reverse(text) ELSE text END) AS fp
+            FROM documents WHERE doc_id % 13 <> 0
+        ),
+        v2 AS (
+            SELECT doc_id, source, md5(text) AS fp
+            FROM documents WHERE doc_id % 10 <> 0
+        ),
+        d AS (
+            SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+                   COALESCE(v1.source, v2.source) AS source,
+                   CASE WHEN v1.doc_id IS NULL THEN 'added'
+                        WHEN v2.doc_id IS NULL THEN 'removed'
+                        WHEN v1.fp <> v2.fp THEN 'changed'
+                        ELSE 'unchanged' END AS action
+            FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+        )
+        SELECT source, action,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        FROM d GROUP BY source, action
+    """,
+)
+def dq03_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus version audit: v1 (docs with id%13≠0, ids%7=0 carrying an
+    edited text) vs v2 (docs with id%10≠0), classified added / removed /
+    changed / unchanged by an id-keyed full-outer join over (id,
+    md5-fingerprint) pairs — the shuffle carries two narrow columns, never
+    the text — then rolled up per (source, action) with an id-sum
+    checksum.  Same classify-by-join shape as the FHIR MERGE (j06),
+    applied to dataset versioning (operators/drift.py::version_diff)."""
+    from cnics_to_fhir_spark.operators.drift import version_diff
+
+    docs = table(spark, sf_dir, "documents")
+    v1 = docs.filter(F.col("doc_id") % 13 != 0).select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.when(F.col("doc_id") % 7 == 0, F.reverse(F.col("text"))).otherwise(
+                F.col("text")
+            )
+        ).alias("fp"),
+    )
+    v2 = docs.filter(F.col("doc_id") % 10 != 0).select(
+        "doc_id", "source", F.md5(F.col("text")).alias("fp")
+    )
+    actions = version_diff(v1, v2, id_col="doc_id", fingerprint_col="fp")
+    src = (
+        v1.select("doc_id", "source")
+        .unionByName(v2.select("doc_id", "source"))
+        .groupBy("doc_id")
+        .agg(F.first("source").alias("source"))
+    )
+    return (
+        actions.join(src, on="doc_id")
+        .groupBy("source", "action")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+        )
+    )

@@ -129,3 +129,42 @@ def test_remove_boilerplate_noop_when_all_unique(spark):
     for i, text in rows:
         assert out[i]["clean_text"] == text
         assert out[i]["n_removed"] == 0
+
+
+def test_domain_cap_exact_and_accounted(spark):
+    import pytest
+    from pyspark.sql import functions as F
+    from cnics_to_fhir_spark.operators.dedup import portable_hash
+
+    # hot domain: 40 docs; small domain: 3 docs (under the cap of 5)
+    rows = [(i, "hot") for i in range(40)] + [(100 + i, "small") for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = curation.domain_cap(df, cap=5).collect()
+    by_dom = {}
+    for r in out:
+        by_dom.setdefault(r["source"], []).append(r)
+    assert len(by_dom["hot"]) == 5 and len(by_dom["small"]) == 3
+    assert {r["n_domain"] for r in by_dom["hot"]} == {40}
+    assert {r["n_domain"] for r in by_dom["small"]} == {3}
+
+    # two-phase selection ≡ the naive per-domain hash-ordered top-cap
+    hashed = df.select(
+        "doc_id", "source", portable_hash(F.col("doc_id").cast("string"), seed=73).alias("h")
+    ).collect()
+    hot_sorted = sorted(
+        ((r["h"], r["doc_id"]) for r in hashed if r["source"] == "hot")
+    )
+    naive_keep = {doc for _, doc in hot_sorted[:5]}
+    assert {r["doc_id"] for r in by_dom["hot"]} == naive_keep
+
+    with pytest.raises(ValueError):
+        curation.domain_cap(df, cap=0)
+
+
+def test_domain_cap_cap_one(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "doc_id long, source string"
+    )
+    out = curation.domain_cap(df, cap=1).collect()
+    assert sorted(r["source"] for r in out) == ["a", "b"]
+    assert all(r["n_domain"] in (1, 2) for r in out)

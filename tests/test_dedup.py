@@ -474,3 +474,24 @@ def test_pq_adc_top1_recall_pinned(spark):
     hits = sum(1 for qid, nid in exact.items() if nid in shortlist.get(qid, set()))
     recall = hits / len(exact)
     assert recall >= 0.9, f"exact top-1 in ADC top-5 for only {recall} of queries"
+
+
+def test_filtered_ivf_topk_prefilters_not_postfilters(spark):
+    # Cell 1 holds the query plus 3 candidates; only 2 pass the metadata
+    # predicate. Pre-filtering must return BOTH allowed candidates — a
+    # post-filter of the unfiltered top-2 would keep only one (the
+    # classic filtered-search recall bug this operator exists to avoid).
+    rows = [
+        (0, [1.0, 0.0], 1),
+        (1, [0.99, 0.1], 1),   # nearest, NOT allowed
+        (2, [0.9, 0.2], 1),    # allowed
+        (3, [0.0, 1.0], 1),    # allowed, far
+        (4, [1.0, 0.05], 2),   # allowed but wrong cell → pruned by IVF
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    allowed = spark.createDataFrame([(2,), (3,), (4,)], ["doc_id"])
+    out = similarity.filtered_ivf_topk(
+        df, df.filter(F.col("vec_id") == 0), allowed, k=2
+    )
+    neighbors = [r["neighbor_id"] for r in out.orderBy("rank").collect()]
+    assert neighbors == [2, 3]  # 1 excluded by filter, 4 by the cell probe
