@@ -3,6 +3,9 @@ decontamination, PII redaction, repetition filters, hash splits."""
 
 from __future__ import annotations
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
 from cnics_to_fhir_spark.operators import curation, dataset, textanalysis
 
 
@@ -168,3 +171,42 @@ def test_domain_cap_cap_one(spark):
     out = curation.domain_cap(df, cap=1).collect()
     assert sorted(r["source"] for r in out) == ["a", "b"]
     assert all(r["n_domain"] in (1, 2) for r in out)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=500), st.sampled_from("abc")),
+        min_size=1,
+        max_size=80,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(min_value=1, max_value=7),
+)
+def test_domain_cap_matches_naive_window_property(spark, rows, cap):
+    """Two-phase cap ≡ naive per-domain hash-ordered top-cap for ANY id/domain
+    distribution and cap — the provable-identity claim in domain_cap's
+    docstring, checked by hypothesis (ids collide into the same top-10-bit
+    bucket whenever the domain is small, so the cutoff-bucket path and the
+    below-cutoff path both get exercised)."""
+    from pyspark.sql import functions as F
+    from cnics_to_fhir_spark.operators.dedup import portable_hash
+
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = {
+        (r["doc_id"], r["source"], r["n_domain"])
+        for r in curation.domain_cap(df, cap=cap).collect()
+    }
+
+    hashed = df.select(
+        "doc_id", "source", portable_hash(F.col("doc_id").cast("string"), seed=73).alias("h")
+    ).collect()
+    by_dom: dict[str, list[tuple[int, int]]] = {}
+    for r in hashed:
+        by_dom.setdefault(r["source"], []).append((r["h"], r["doc_id"]))
+    want = {
+        (doc, dom, len(items))
+        for dom, items in by_dom.items()
+        for _, doc in sorted(items)[:cap]
+    }
+    assert got == want
