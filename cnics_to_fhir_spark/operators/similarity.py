@@ -489,6 +489,7 @@ def pq_adc_topk(
     topk: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cell_col: str | None = None,
 ) -> DataFrame:
     """Product-quantized top-k search with asymmetric distance — the
     memory-side half of every billion-scale ANN system (IVF-PQ): split
@@ -506,7 +507,18 @@ def pq_adc_topk(
     cl01's economics (codebooks round-trip the driver, corpus stays
     put).  ADC distance is approximate by construction — the oracle
     replays the quantization exactly rather than comparing to exact
-    distances (ann05 pins a recall floor for the rerank pattern)."""
+    distances (ann05 pins a recall floor for the rerank pattern).
+
+    ``cell_col`` turns this into FULL IVF-PQ (nprobe=1, global codebooks):
+    candidates are restricted to the query's coarse cell BEFORE any LUT
+    join — the inverted-list prune composed with the compressed-scoring
+    half.  Codebooks stay global (trained on the whole corpus, not on
+    per-cell residuals — the IVFADC-without-residual variant), so the
+    cell constraint is one extra narrow join: corpus (id, cell) joins the
+    codes on the id they're already keyed by, the query's cell rides the
+    broadcast LUT.  At 100 TB the scored join shrinks from |corpus| to
+    |cell| candidates per query while corpus state stays n_sub ints +
+    one cell id per vector."""
     from cnics_to_fhir_spark.operators.clustering import kmeans_train
     from cnics_to_fhir_spark.functions.numeric import stable_round
 
@@ -537,7 +549,19 @@ def pq_adc_topk(
                  + dot(F.col("cv"), F.col("cv"))).alias(f"p{i}"),
             )
         )
-    scored = codes.join(F.broadcast(luts[0]), f"c0")
+    if cell_col is not None:
+        corpus_cells = emb.select(
+            F.col(id_col).alias("vec_id"), F.col(cell_col).alias("__cell")
+        )
+        query_cells = queries.select(
+            F.col(id_col).alias("query_id"), F.col(cell_col).alias("__cell")
+        )
+        cand = codes.join(corpus_cells, "vec_id").join(
+            F.broadcast(query_cells), "__cell"
+        )
+        scored = cand.join(F.broadcast(luts[0]), ["query_id", "c0"])
+    else:
+        scored = codes.join(F.broadcast(luts[0]), "c0")
     for i in range(1, n_sub):
         scored = scored.join(F.broadcast(luts[i]), ["query_id", f"c{i}"])
     adc = stable_round(sum(F.col(f"p{i}") for i in range(n_sub)), 6)

@@ -3891,13 +3891,11 @@ def w06_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # ann07 — product quantization + ADC top-k (the IVF-PQ memory half)
 # ---------------------------------------------------------------------------
-@query(
-    "ann07_pq_adc_topk",
-    tags="ANN-pq CL-iterative J8 W",
-    oracle="""
-        -- cl01's unrolled 2-iteration k-means, once per PQ subspace
-        -- (dims 1-32 and 33-64), then ADC scoring via per-query lookup
-        -- tables against the trained codebooks.
+# Shared by ann07 (PQ over the whole corpus) and ann09 (full IVF-PQ: same
+# codes + LUTs, candidates constrained to the query's coarse cell):
+# cl01's unrolled 2-iteration k-means, once per PQ subspace (dims 1-32 and
+# 33-64), then per-query ADC lookup tables against the trained codebooks.
+_PQ_ORACLE_CTES = """
         WITH e AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
         ),
@@ -3986,6 +3984,13 @@ def w06_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                   FROM e WHERE vec_id < 8) qs
             CROSS JOIN c11 c
         )
+"""
+
+@query(
+    "ann07_pq_adc_topk",
+    tags="ANN-pq CL-iterative J8 W",
+    oracle=_PQ_ORACLE_CTES
+    + """
         SELECT query_id, neighbor_id, adc_dist, CAST(rank AS INT) AS rank FROM (
             SELECT l0.query_id, cd.vec_id AS neighbor_id,
                    FLOOR((l0.p0 + l1.p1)*1e6 + 0.5)/1e6 AS adc_dist,
@@ -4012,6 +4017,48 @@ def ann07_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     return similarity.pq_adc_topk(
         spark, emb, emb.filter(F.col("vec_id") < 8), topk=5
+    )
+
+
+@query(
+    "ann09_ivfpq_topk",
+    tags="ANN-ivfpq CL-iterative J1 J8 W",
+    oracle=_PQ_ORACLE_CTES
+    + """
+        , labs AS (SELECT vec_id, label FROM embeddings),
+        qlabs AS (SELECT vec_id AS query_id, label FROM embeddings WHERE vec_id < 8)
+        SELECT query_id, neighbor_id, adc_dist, CAST(rank AS INT) AS rank FROM (
+            SELECT l0.query_id, cd.vec_id AS neighbor_id,
+                   FLOOR((l0.p0 + l1.p1)*1e6 + 0.5)/1e6 AS adc_dist,
+                   ROW_NUMBER() OVER (PARTITION BY l0.query_id
+                       ORDER BY FLOOR((l0.p0 + l1.p1)*1e6 + 0.5)/1e6,
+                                cd.vec_id) AS rank
+            FROM codes cd
+            JOIN labs cl ON cl.vec_id = cd.vec_id
+            JOIN lut0 l0 ON l0.c0 = cd.c0
+            JOIN lut1 l1 ON l1.query_id = l0.query_id AND l1.c1 = cd.c1
+            JOIN qlabs ql ON ql.query_id = l0.query_id AND ql.label = cl.label
+            WHERE cd.vec_id <> l0.query_id
+        ) WHERE rank <= 5
+    """,
+)
+def ann09_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL IVF-PQ (nprobe=1, global codebooks): ann03's inverted-list
+    cell prune composed with ann07's compressed ADC scoring — the two
+    halves of every billion-vector ANN index in one plan.  Candidates
+    are restricted to the query's coarse cell BEFORE any LUT join (the
+    (vec_id, cell) join rides the id key the codes already carry; the
+    query's cell rides the broadcast), then scored purely from PQ codes
+    — raw embeddings are never touched at query time.  Codebooks are
+    global (IVFADC without residual encoding), so the oracle is ann07's
+    unrolled per-subspace Lloyd replay plus one label equality.  At
+    100 TB: corpus state = n_sub small ints + one cell id per vector,
+    scored candidates per query shrink from |corpus| to |cell|."""
+    from cnics_to_fhir_spark.operators import similarity
+
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.pq_adc_topk(
+        spark, emb, emb.filter(F.col("vec_id") < 8), topk=5, cell_col="label"
     )
 
 

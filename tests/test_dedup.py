@@ -495,3 +495,26 @@ def test_filtered_ivf_topk_prefilters_not_postfilters(spark):
     )
     neighbors = [r["neighbor_id"] for r in out.orderBy("rank").collect()]
     assert neighbors == [2, 3]  # 1 excluded by filter, 4 by the cell probe
+
+
+def test_ivfpq_cell_prune_excludes_other_cells(spark):
+    # vec 1 is ADC-nearest to query 0 but lives in cell 2 — full IVF-PQ
+    # (cell_col set) must exclude it; plain PQ (cell_col=None) ranks it
+    # first. Same codes/codebooks in both calls, only the prune differs.
+    rows = [
+        (0, [1.0, 0.0], 1),
+        (1, [1.0, 0.0], 2),   # identical vector, wrong cell
+        (2, [0.8, 0.3], 1),
+        (3, [0.0, 1.0], 1),
+        (4, [0.1, 0.9], 2),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    q = df.filter(F.col("vec_id") == 0)
+    ivfpq = similarity.pq_adc_topk(
+        spark, df, q, n_sub=2, dim=2, k_codes=2, topk=3, cell_col="label"
+    ).collect()
+    assert [r["neighbor_id"] for r in ivfpq] == [2, 3]  # cell-1 only
+    plain = similarity.pq_adc_topk(
+        spark, df, q, n_sub=2, dim=2, k_codes=2, topk=3
+    ).collect()
+    assert plain[0]["neighbor_id"] == 1  # unpruned PQ would have kept it
