@@ -24,8 +24,13 @@ from cnics_to_fhir_spark.plans.registry import query, table
     oracle="""
         SELECT l_returnflag, l_linestatus,
                ROUND(SUM(l_quantity), 2)                                    AS sum_qty,
-               ROUND(SUM(l_extendedprice), 2)                               AS sum_base_price,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
+               -- price sums in exact integer units (2dp / 4dp decimals):
+               -- at sf10 a group is ~10M rows and ROUND(SUM(double)) sits
+               -- inside the float-association error band — j09's docstring
+               SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) / 100.0
+                                                                            AS sum_base_price,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 1e4 + 0.5)
+                             AS BIGINT)) AS BIGINT) / 10000.0               AS sum_disc_price,
                ROUND(AVG(l_quantity), 4)                                    AS avg_qty,
                ROUND(AVG(l_discount), 4)                                    AS avg_disc,
                COUNT(*)                                                     AS count_order
@@ -44,8 +49,19 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            (
+                F.sum(F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long"))
+                / F.lit(100.0)
+            ).alias("sum_base_price"),
+            (
+                F.sum(
+                    F.floor(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1e4
+                        + F.lit(0.5)
+                    ).cast("long")
+                )
+                / F.lit(10000.0)
+            ).alias("sum_disc_price"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
@@ -1091,7 +1107,8 @@ def w02_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags="J1 SKEW A5",
     oracle="""
         SELECT d.flag_desc,
-               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+               ((SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 1e4 + 0.5)
+                          AS BIGINT)) + 50) // 100) / 100.0 AS revenue,
                COUNT(*) AS n
         FROM lineitem l
         JOIN (VALUES ('A', 'returned'), ('N', 'in-flight'), ('R', 'refused'))
@@ -1105,7 +1122,16 @@ def j09_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Worst-case join skew: the key has 3 distinct values over the whole
     fact table, so an unsalted shuffle join lands ~33% of 100 TB on three
     reducers. operators/skew.py salts the fact side 8 ways and replicates
-    the 3-row dim — row-identical to the plain join (the oracle)."""
+    the 3-row dim — row-identical to the plain join (the oracle).
+
+    Revenue is summed in exact integer 1e-4-dollar units (per-row product
+    of two 2dp decimals → exact 4dp value, bit-identical across engines),
+    half-up to cents in integer division, one final /100.0. ROUND(SUM(
+    double)) was the one hash mismatch of the round-6 full-catalog sf10
+    sweep: at 20M rows per group the float partial-sum association error
+    (~0.3 absolute at sum≈6e11) crosses the 2dp boundary, and Spark and
+    DuckDB associate differently — integer sums are order-independent at
+    any SF."""
     from cnics_to_fhir_spark.operators.skew import salted_join
 
     li = table(spark, sf_dir, "lineitem").select(
@@ -1118,11 +1144,16 @@ def j09_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = salted_join(
         li, dim, ["l_returnflag"], salt_from=["l_orderkey", "l_linenumber"], buckets=8
     )
+    u4 = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1e4 + F.lit(0.5)
+    ).cast("long")
     return (
         joined.groupBy("flag_desc")
-        .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
-            F.count(F.lit(1)).alias("n"),
+        .agg(F.sum(u4).alias("__u4"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "flag_desc",
+            (F.expr("(__u4 + 50) div 100") / F.lit(100.0)).alias("revenue"),
+            "n",
         )
         .orderBy("flag_desc")
     )

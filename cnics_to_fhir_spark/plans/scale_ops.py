@@ -2500,7 +2500,11 @@ def aj02_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT o.o_orderstatus AS status,
                CAST(COUNT(*) AS BIGINT) AS n,
-               ROUND(SUM(l.l_extendedprice), 2) AS revenue
+               -- exact integer cents (l_extendedprice is a 2dp decimal):
+               -- ROUND(SUM(double)) diverges between engines at sf10 —
+               -- see j09's docstring
+               SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT)) / 100.0
+                   AS revenue
         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         GROUP BY o.o_orderstatus
     """,
@@ -2536,7 +2540,14 @@ def j12_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .groupBy(F.col("o_orderstatus").alias("status"))
                 .agg(
                     F.count(F.lit(1)).alias("n"),
-                    F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+                    (
+                        F.sum(
+                            F.floor(
+                                F.col("l_extendedprice") * 100 + F.lit(0.5)
+                            ).cast("long")
+                        )
+                        / F.lit(100.0)
+                    ).alias("revenue"),
                 )
             )
             plan = joined._jdf.queryExecution().executedPlan().toString()
@@ -2599,7 +2610,10 @@ def tx07_unigram_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT l.ship_month,
                CAST(COUNT(*) AS BIGINT) AS n,
-               ROUND(SUM(l.l_extendedprice), 2) AS revenue
+               -- exact integer cents; ROUND(SUM(double)) diverges between
+               -- engines at sf10 — see j09's docstring
+               SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT)) / 100.0
+                   AS revenue
         FROM (SELECT *, strftime(l_shipdate, '%Y-%m') AS ship_month FROM lineitem) l
         JOIN dim USING (ship_month)
         GROUP BY l.ship_month
@@ -2641,7 +2655,14 @@ def j13_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame
             .groupBy("ship_month")
             .agg(
                 F.count(F.lit(1)).alias("n"),
-                F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+                (
+                    F.sum(
+                        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast(
+                            "long"
+                        )
+                    )
+                    / F.lit(100.0)
+                ).alias("revenue"),
             )
         )
         plan = joined._jdf.queryExecution().executedPlan().toString()
