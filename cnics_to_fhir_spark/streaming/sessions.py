@@ -61,7 +61,14 @@ def sessionize_stream(
             yield _close(user_id, start, last, n, total)
             return
 
-        rows = pd.concat(list(pdfs))
+        # ignore_index is load-bearing: a group arriving as SEVERAL Arrow
+        # chunks (first happens at ~10x the verification SF) would
+        # otherwise carry duplicate 0-based index labels, and the
+        # label-based ts[order] lookup below then returns every row with
+        # that label — duplicated, misordered sessions (caught by the
+        # round-6 sf10 oracle sweep: start_es > end_es rows, doubled
+        # emits; sf1 groups fit one chunk so the bug was invisible).
+        rows = pd.concat(list(pdfs), ignore_index=True)
         ts = rows[ts_col].astype("int64") // 1_000_000_000
         order = ts.sort_values().index
         ts_sorted = ts[order].tolist()

@@ -8,6 +8,7 @@ Usage: python selfcheck.py [sf_dir] [query_name ...]
 
 from __future__ import annotations
 
+import os
 import sys
 
 import duckdb
@@ -61,11 +62,18 @@ def main() -> int:
     # 4g result cap: the compare collects full results, and wide-JSON
     # entries (e2e02) exceed the 1g default at sf1-scale probe runs —
     # a harness limit, not an engine one (the engine never collects).
+    # (sf10 probes of the wide-JSON verticals need ~8-16g result + 48g
+    # driver: SPARK_GRAFT_MAX_RESULT=16g SPARK_DRIVER_MEM=48g — the
+    # compare collects the full frame; a harness bound, not an engine one.)
     spark = build_session(
-        "selfcheck", extra_conf={"spark.driver.maxResultSize": "4g"}
+        "selfcheck",
+        extra_conf={
+            "spark.driver.maxResultSize": os.environ.get(
+                "SPARK_GRAFT_MAX_RESULT", "4g"
+            )
+        },
     )
     con = duckdb.connect()
-    import os
 
     for t in STAR_TABLES:
         path = f"{sf_dir}/{t}.parquet"

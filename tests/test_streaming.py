@@ -260,3 +260,58 @@ def test_stream_stream_interval_join(spark, tmp_path):
     assert out["a1"] == "a1"
     assert out["a2"] is None  # expired unmatched impression, null-padded
     assert out["a3"] is None  # click outside window — also unmatched
+
+
+def test_stateful_sessionization_multichunk_group(spark, tmp_path):
+    """A group whose micro-batch rows span SEVERAL Arrow chunks must
+    sessionize identically to the one-chunk case. Regression for the
+    duplicate-index bug the round-6 sf10 sweep caught: pd.concat without
+    ignore_index gave chunks duplicate 0-based labels and the label-based
+    sort lookup emitted duplicated, misordered sessions (start > end)."""
+    from datetime import datetime, timedelta
+
+    from cnics_to_fhir_spark.streaming.sessions import sessionize_stream
+
+    src = tmp_path / "mc-src"
+    src.mkdir()
+    chk = tmp_path / "mc-chk"
+    schema = "ts timestamp, user_id bigint, value double"
+    base = datetime.fromisoformat("2024-01-01 00:00:00")
+    # 40 events, 1 min apart (one session), written in DESCENDING ts order
+    # so sorting is not a no-op; arrow batches of 7 rows -> 6 chunks
+    rows = [(base + timedelta(minutes=i), 7, float(i)) for i in range(40)]
+    spark.createDataFrame(rows[::-1], schema).coalesce(1).write.parquet(
+        str(src / "b0")
+    )
+    far = base + timedelta(days=30)
+    spark.createDataFrame([(far, 8, 0.0)], schema).write.parquet(str(src / "b1"))
+    spark.createDataFrame(
+        [(far + timedelta(minutes=1), 8, 0.0)], schema
+    ).write.parquet(str(src / "b2"))
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        stream = spark.readStream.schema(schema).parquet(str(src) + "/*")
+        q = (
+            sessionize_stream(stream, gap_minutes=30, watermark="10 minutes")
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("mc_sink")
+            .option("checkpointLocation", str(chk))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+    got = [
+        (r["session_start"], r["session_end"], r["n_events"], r["total_value"])
+        for r in spark.table("mc_sink").filter("user_id = 7").collect()
+    ]
+    assert got == [
+        (base, base + timedelta(minutes=39), 40, float(sum(range(40))))
+    ]
