@@ -135,6 +135,10 @@ HEADLINE = [
     "dq02_ks_drift",
     "ev10_funnel_latency",
     "mm07_phash_neardup",
+    "dc03_domain_cap",
+    "ann08_filtered_topk",
+    "dq03_version_diff",
+    "ann09_ivfpq_topk",
     # Iterative ops (dd06, cl01, ann04, dd09, and the round-5 additions
     # gr02/dd10/ann06 — k-means or fixpoint loops) and
     # streaming-equivalence runs

@@ -84,6 +84,13 @@ def main() -> int:
     entries = catalog()
     failures = []
     n_run = 0
+    # Optional machine-readable sidecar (SPARK_GRAFT_SELFCHECK_JSON=path):
+    # one record per entry run, so big verification sweeps (e.g. the full
+    # catalog at /tmp/sf10) leave a committable artifact instead of only
+    # scrollback. Appends come from the main thread (rows-only / spark
+    # errors) and the single consumer thread (ok / fail); list.append is
+    # atomic under the GIL so no lock is needed.
+    results: list[dict] = []
 
     # Two-stage pipeline: the main thread drives Spark (the cluster-side
     # engine), a single consumer thread drives DuckDB + the pandas compare
@@ -106,6 +113,9 @@ def main() -> int:
         except Exception as ex:
             failures.append((name, f"ORACLE ERROR: {ex}"))
             print(f"FAIL  {name}: oracle error {str(ex)[:2000]}")
+            results.append(
+                {"name": name, "status": "fail", "detail": f"oracle error: {ex}"[:500]}
+            )
             return
         s_n, o_n = normalize(sdf), normalize(odf)
         problems = []
@@ -124,13 +134,33 @@ def main() -> int:
                 print(f"  {name}.{c} sample diff:")
                 print("   spark :", s_n[mask][c].head(3).tolist())
                 print("   oracle:", o_n[mask][c].head(3).tolist())
+        t_oracle = _time.monotonic() - t0
         if problems:
             failures.append((name, "; ".join(problems)))
             print(f"FAIL  {name}: {'; '.join(problems)}")
+            results.append(
+                {
+                    "name": name,
+                    "status": "fail",
+                    "rows": len(s_n),
+                    "spark_s": round(t_spark, 2),
+                    "oracle_s": round(t_oracle, 2),
+                    "detail": "; ".join(problems)[:500],
+                }
+            )
         else:
             print(
                 f"OK    {name}: {len(s_n)} rows "
-                f"[spark {t_spark:.1f}s, oracle {_time.monotonic() - t0:.1f}s]"
+                f"[spark {t_spark:.1f}s, oracle {t_oracle:.1f}s]"
+            )
+            results.append(
+                {
+                    "name": name,
+                    "status": "ok",
+                    "rows": len(s_n),
+                    "spark_s": round(t_spark, 2),
+                    "oracle_s": round(t_oracle, 2),
+                }
             )
 
     def consumer():
@@ -152,15 +182,43 @@ def main() -> int:
         except Exception as ex:
             failures.append((name, f"SPARK ERROR: {ex}"))
             print(f"FAIL  {name}: spark error {str(ex)[:2000]}")
+            results.append(
+                {"name": name, "status": "fail", "detail": f"spark error: {ex}"[:500]}
+            )
             continue
         t_spark = _time.monotonic() - t0
         if e.oracle is None:
             print(f"ROWS  {name}: {len(sdf)} rows (no oracle) [spark {t_spark:.1f}s]")
+            results.append(
+                {
+                    "name": name,
+                    "status": "rows",
+                    "rows": len(sdf),
+                    "spark_s": round(t_spark, 2),
+                }
+            )
             continue
         q.put((name, e, sdf, t_spark))
     q.put(None)
     worker.join()
     print(f"\n{n_run - len(failures)}/{n_run} passed ({len(entries)} in catalog)")
+    sidecar = os.environ.get("SPARK_GRAFT_SELFCHECK_JSON")
+    if sidecar:
+        import json
+
+        with open(sidecar, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "run": n_run,
+                    "passed": n_run - len(failures),
+                    "catalog": len(entries),
+                    "entries": results,
+                },
+                f,
+                indent=1,
+            )
+        print(f"sidecar written: {sidecar}")
     return 1 if failures else 0
 
 
