@@ -91,6 +91,33 @@ def main() -> int:
     # errors) and the single consumer thread (ok / fail); list.append is
     # atomic under the GIL so no lock is needed.
     results: list[dict] = []
+    sidecar = os.environ.get("SPARK_GRAFT_SELFCHECK_JSON")
+    import threading as _threading
+
+    _sidecar_lock = _threading.Lock()
+
+    def flush_sidecar() -> None:
+        # Rewritten after every entry (the file is tiny): a long sf10
+        # sweep killed by a timeout still leaves the completed records.
+        if not sidecar:
+            return
+        import json
+
+        tmp = sidecar + ".tmp"
+        with _sidecar_lock:
+            with open(tmp, "w") as f:
+                json.dump(
+                    {
+                        "sf_dir": sf_dir,
+                        "run": n_run,
+                        "passed": n_run - len(failures),
+                        "catalog": len(entries),
+                        "entries": list(results),
+                    },
+                    f,
+                    indent=1,
+                )
+            os.replace(tmp, sidecar)
 
     # Two-stage pipeline: the main thread drives Spark (the cluster-side
     # engine), a single consumer thread drives DuckDB + the pandas compare
@@ -116,6 +143,7 @@ def main() -> int:
             results.append(
                 {"name": name, "status": "fail", "detail": f"oracle error: {ex}"[:500]}
             )
+            flush_sidecar()
             return
         s_n, o_n = normalize(sdf), normalize(odf)
         problems = []
@@ -148,6 +176,7 @@ def main() -> int:
                     "detail": "; ".join(problems)[:500],
                 }
             )
+            flush_sidecar()
         else:
             print(
                 f"OK    {name}: {len(s_n)} rows "
@@ -162,6 +191,7 @@ def main() -> int:
                     "oracle_s": round(t_oracle, 2),
                 }
             )
+            flush_sidecar()
 
     def consumer():
         while True:
@@ -185,6 +215,7 @@ def main() -> int:
             results.append(
                 {"name": name, "status": "fail", "detail": f"spark error: {ex}"[:500]}
             )
+            flush_sidecar()
             continue
         t_spark = _time.monotonic() - t0
         if e.oracle is None:
@@ -197,27 +228,14 @@ def main() -> int:
                     "spark_s": round(t_spark, 2),
                 }
             )
+            flush_sidecar()
             continue
         q.put((name, e, sdf, t_spark))
     q.put(None)
     worker.join()
     print(f"\n{n_run - len(failures)}/{n_run} passed ({len(entries)} in catalog)")
-    sidecar = os.environ.get("SPARK_GRAFT_SELFCHECK_JSON")
     if sidecar:
-        import json
-
-        with open(sidecar, "w") as f:
-            json.dump(
-                {
-                    "sf_dir": sf_dir,
-                    "run": n_run,
-                    "passed": n_run - len(failures),
-                    "catalog": len(entries),
-                    "entries": results,
-                },
-                f,
-                indent=1,
-            )
+        flush_sidecar()
         print(f"sidecar written: {sidecar}")
     return 1 if failures else 0
 
