@@ -152,3 +152,48 @@ def zscore_anomaly_days(
         )
         .filter(F.abs(F.col("z")) >= z_threshold)
     )
+
+
+def ewma_daily_counts(
+    events: DataFrame, n_lags: int = 8
+) -> DataFrame:
+    """Exponentially-weighted moving average (α = 1/2) of each user's
+    daily event count — the trend-smoothing feature every activity model
+    wants, in a form that is EXACT on any engine.
+
+    The textbook recursion s_t = α·x_t + (1−α)·s_{t−1} is a sequential
+    float chain (order-dependent rounding, and unexpressible without a
+    serial scan).  This computes the TRUNCATED equivalent over the last
+    ``n_lags`` observed days: with α = 1/2 the weights are dyadic
+    (w_j = 2^{−(j+1)}), so scaling by 2^{n_lags} turns both the weighted
+    sum and the weight total into exact INTEGER window sums — the only
+    float op is one final correctly-rounded division, identical on every
+    IEEE engine.  Weights renormalize over the lags that exist, so early
+    rows are averages over their real history, not zero-padded.
+
+    Scale: one (user, day)-keyed count agg (map-side partial), then ONE
+    user-keyed window with a constant number (``n_lags``) of lag taps —
+    O(1) state per row, no self-join, no range frame.  Survives 100 TB as
+    exactly two shuffles."""
+    if not (1 <= n_lags <= 20):
+        raise ValueError("n_lags must be in [1, 20]")
+    daily = (
+        events.select("user_id", F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .groupBy("user_id", "day")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    # integer weight for lag j: 2^(n_lags-1-j)  (α=1/2 geometric, scaled 2^n_lags)
+    num = F.lit(0).cast("long")
+    den = F.lit(0).cast("long")
+    for j in range(n_lags):
+        tap = F.lag(F.col("n"), j).over(w)
+        weight = 1 << (n_lags - 1 - j)
+        num = num + F.coalesce(tap, F.lit(0)).cast("long") * F.lit(weight)
+        den = den + F.when(tap.isNotNull(), F.lit(weight)).otherwise(F.lit(0)).cast("long")
+    return daily.select(
+        "user_id",
+        "day",
+        F.col("n").alias("n_events"),
+        stable_round(num.cast("double") / den.cast("double"), 6).alias("ewma"),
+    )

@@ -70,9 +70,9 @@ _PRIORITY: tuple[str, ...] = (
     # were all driver-green in earlier rounds and remain selfcheck-
     # verified at sf0.001/sf0.01/sf1 every round. The authoritative
     # remaining never-driver-verified list is _NEVER_DRIVER_VERIFIED
-    # below (29 from rounds 1-5 + the 7 new round-6 entries = 36;
-    # clearable in exactly one more 36-slot rotation — which is why
-    # round 6 stopped adding oracle entries at 179).
+    # below (29 from rounds 1-5 + the 9 new round-6 entries = 38;
+    # clearable in one more rotation if the round-7 spine trims to 12
+    # — which is why round 6 stopped adding oracle entries at 181).
     #
     # §2-core spine (driver-green in prior rounds, kept for reference
     # parity: B1-B4 verticals, coding dispatch, lab typing, merge,
@@ -150,6 +150,8 @@ _NEVER_DRIVER_VERIFIED: tuple[str, ...] = (
     "ann08_filtered_topk",
     "dq03_version_diff",
     "ann09_ivfpq_topk",
+    "ev11_ewma_smoothing",
+    "w07_mad_outliers",
     "dd04b_simhash_portable",
     "dd05b_neardup_refined_cells",
     "dd10_dup_clusters_star",

@@ -4718,3 +4718,117 @@ def dq03_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("doc_id").cast("long").alias("id_sum"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ev11 — exact truncated EWMA of per-user daily activity (dyadic weights)
+# ---------------------------------------------------------------------------
+@query(
+    "ev11_ewma_smoothing",
+    tags="EV W A5",
+    oracle="""
+        WITH daily AS (
+            SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        taps AS (
+            SELECT user_id, day, n,
+                   COALESCE(LAG(n, 0) OVER w, 0)*128 + COALESCE(LAG(n, 1) OVER w, 0)*64
+                 + COALESCE(LAG(n, 2) OVER w, 0)*32  + COALESCE(LAG(n, 3) OVER w, 0)*16
+                 + COALESCE(LAG(n, 4) OVER w, 0)*8   + COALESCE(LAG(n, 5) OVER w, 0)*4
+                 + COALESCE(LAG(n, 6) OVER w, 0)*2   + COALESCE(LAG(n, 7) OVER w, 0)*1
+                   AS num,
+                   CASE WHEN LAG(n, 0) OVER w IS NULL THEN 0 ELSE 128 END
+                 + CASE WHEN LAG(n, 1) OVER w IS NULL THEN 0 ELSE 64 END
+                 + CASE WHEN LAG(n, 2) OVER w IS NULL THEN 0 ELSE 32 END
+                 + CASE WHEN LAG(n, 3) OVER w IS NULL THEN 0 ELSE 16 END
+                 + CASE WHEN LAG(n, 4) OVER w IS NULL THEN 0 ELSE 8 END
+                 + CASE WHEN LAG(n, 5) OVER w IS NULL THEN 0 ELSE 4 END
+                 + CASE WHEN LAG(n, 6) OVER w IS NULL THEN 0 ELSE 2 END
+                 + CASE WHEN LAG(n, 7) OVER w IS NULL THEN 0 ELSE 1 END
+                   AS den
+            FROM daily
+            WINDOW w AS (PARTITION BY user_id ORDER BY day)
+        )
+        SELECT user_id, day, n AS n_events,
+               FLOOR((CAST(num AS DOUBLE)/CAST(den AS DOUBLE))*1e6 + 0.5)/1e6 AS ewma
+        FROM taps
+    """,
+)
+def ev11_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated EWMA (α = 1/2, 8 taps) of each user's daily event count.
+    The α = 1/2 geometric weights are dyadic, so scaling by 2⁸ makes the
+    weighted numerator and the renormalizing denominator exact INTEGER
+    window sums; the single float division is correctly rounded and
+    therefore engine-identical.  One (user, day) count agg + ONE
+    user-keyed window with a constant number of lag taps — O(1) state per
+    row, no range frame, no self-join
+    (operators/events_windows.py ewma_daily_counts)."""
+    from cnics_to_fhir_spark.operators.events_windows import ewma_daily_counts
+
+    return ewma_daily_counts(table(spark, sf_dir, "events"), n_lags=8)
+
+
+# ---------------------------------------------------------------------------
+# w07 — exact median + MAD robust outlier screen from the value histogram
+# ---------------------------------------------------------------------------
+@query(
+    "w07_mad_outliers",
+    tags="W A5 DQ",
+    oracle="""
+        WITH hist AS (
+            SELECT event_type AS grp, value AS v, CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY 1, 2
+        ),
+        tot AS (SELECT grp, CAST(SUM(c) AS BIGINT) AS n FROM hist GROUP BY grp),
+        cum AS (
+            SELECT grp, v,
+                   SUM(c) OVER (PARTITION BY grp ORDER BY v
+                                ROWS UNBOUNDED PRECEDING) AS cum
+            FROM hist
+        ),
+        med AS (
+            SELECT c.grp, MIN(c.v) AS med
+            FROM cum c JOIN tot t USING (grp)
+            WHERE c.cum >= (t.n + 1) // 2 GROUP BY c.grp
+        ),
+        dhist AS (
+            SELECT h.grp, ABS(h.v - m.med) AS d, CAST(SUM(h.c) AS BIGINT) AS c
+            FROM hist h JOIN med m USING (grp) GROUP BY 1, 2
+        ),
+        dcum AS (
+            SELECT grp, d,
+                   SUM(c) OVER (PARTITION BY grp ORDER BY d
+                                ROWS UNBOUNDED PRECEDING) AS cum
+            FROM dhist
+        ),
+        mad AS (
+            SELECT dc.grp, MIN(dc.d) AS mad
+            FROM dcum dc JOIN tot t USING (grp)
+            WHERE dc.cum >= (t.n + 1) // 2 GROUP BY dc.grp
+        )
+        SELECT h.grp, t.n AS n_values,
+               FLOOR(m.med*1e6 + 0.5)/1e6 AS median,
+               FLOOR(a.mad*1e6 + 0.5)/1e6 AS mad,
+               CAST(SUM(CASE WHEN ABS(h.v - m.med) > 3.0*a.mad
+                             THEN h.c ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM hist h
+        JOIN med m USING (grp)
+        JOIN mad a USING (grp)
+        JOIN tot t USING (grp)
+        GROUP BY 1, 2, 3, 4
+    """,
+)
+def w07_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median + MAD robust outlier screen per event_type (|v − median| >
+    3·MAD).  Exact lower medians selected by rank from the (group, value)
+    FREQUENCY HISTOGRAM — the corpus is scanned once and collapsed to
+    O(groups × distinct values) rows; both cumulative windows run over
+    that small table, never a row-level sort
+    (operators/drift.py mad_outliers)."""
+    from cnics_to_fhir_spark.operators.drift import mad_outliers
+
+    return mad_outliers(
+        table(spark, sf_dir, "events"), value_col="value", group_col="event_type", k=3.0
+    )

@@ -319,3 +319,39 @@ def test_ds11_capacity_one_token_doc(spark, tmp_path):
         r[0]: (r[1], r[2], r[3]) for r in con.execute(ent.oracle).fetchall()
     }
     assert oracle == got
+
+
+def test_ewma_daily_counts_exact_dyadic(spark):
+    # user 1 has three consecutive observed days with counts 4, 2, 8.
+    # α=1/2 truncated EWMA renormalized over existing taps:
+    #   day1: 4/1 = 4.0
+    #   day2: (2·(1/2) + 4·(1/4)) / (3/4) = 2/0.75 ≈ 2.666667
+    #   day3: (8·(1/2) + 2·(1/4) + 4·(1/8)) / (7/8) = 5.0/0.875 ≈ 5.714286
+    import datetime
+
+    from cnics_to_fhir_spark.operators.events_windows import ewma_daily_counts
+
+    rows = []
+    for day, n in [(1, 4), (2, 2), (3, 8)]:
+        for k in range(n):
+            rows.append((1, datetime.datetime(2024, 1, day, 10, k)))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {r["day"]: r for r in ewma_daily_counts(df).collect()}
+    assert got["2024-01-01"]["ewma"] == 4.0
+    assert got["2024-01-02"]["ewma"] == 2.666667  # floor(2.6666…·1e6+0.5)/1e6
+    assert got["2024-01-03"]["ewma"] == 5.714286
+    assert got["2024-01-03"]["n_events"] == 8
+
+
+def test_ewma_daily_counts_rejects_bad_lags(spark):
+    import pytest
+
+    from cnics_to_fhir_spark.operators.events_windows import ewma_daily_counts
+
+    df = spark.createDataFrame([(1,)], "user_id long").withColumn(
+        "ts", __import__("pyspark").sql.functions.current_timestamp()
+    )
+    with pytest.raises(ValueError):
+        ewma_daily_counts(df, n_lags=0)
+    with pytest.raises(ValueError):
+        ewma_daily_counts(df, n_lags=21)

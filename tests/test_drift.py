@@ -18,3 +18,49 @@ def test_version_diff_all_four_actions(spark):
         for r in version_diff(old, new, id_col="doc_id", fingerprint_col="fp").collect()
     }
     assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_mad_outliers_hand_computed(spark):
+    # group 'a': values [1, 1, 2, 9] → n=4, target rank (4+1)//2 = 2 →
+    # lower median = 1; deviations [0, 0, 1, 8] → MAD = 0 (rank-2 of the
+    # deviation histogram); outliers = every value with |v-1| > 0 → 2 rows.
+    # group 'b': [10, 12, 14] → median 12, deviations [2, 0, 2] → MAD = 2,
+    # |v-12| > 6 never → 0 outliers.
+    from cnics_to_fhir_spark.operators.drift import mad_outliers
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 1.0), ("a", 2.0), ("a", 9.0),
+         ("b", 10.0), ("b", 12.0), ("b", 14.0)],
+        "grp string, v double",
+    )
+    rows = {r["grp"]: r for r in mad_outliers(df, "v", "grp").collect()}
+    assert rows["a"]["median"] == 1.0 and rows["a"]["mad"] == 0.0
+    assert rows["a"]["n_outliers"] == 2 and rows["a"]["n_values"] == 4
+    assert rows["b"]["median"] == 12.0 and rows["b"]["mad"] == 2.0
+    assert rows["b"]["n_outliers"] == 0 and rows["b"]["n_values"] == 3
+
+
+def test_mad_outliers_matches_naive_definition(spark):
+    # Against the straight definition computed in Python on a pseudo-random
+    # (seeded, engine-independent) sample: lower-median by sort.
+    import hashlib
+
+    from cnics_to_fhir_spark.operators.drift import mad_outliers
+
+    vals = []
+    for i in range(501):
+        h = int(hashlib.md5(f"mad{i}".encode()).hexdigest()[:8], 16)
+        vals.append(("g", round((h % 10000) / 100.0, 2)))
+    df = spark.createDataFrame(vals, "grp string, v double")
+
+    def lower_median(xs):
+        xs = sorted(xs)
+        return xs[(len(xs) + 1) // 2 - 1]
+
+    med = lower_median([v for _, v in vals])
+    mad = lower_median([abs(v - med) for _, v in vals])
+    n_out = sum(1 for _, v in vals if abs(v - med) > 3.0 * mad)
+    row = mad_outliers(df, "v", "grp").collect()[0]
+    assert row["median"] == med
+    assert abs(row["mad"] - mad) < 1e-9
+    assert row["n_outliers"] == n_out
