@@ -1,0 +1,151 @@
+"""Table maintenance: small-file compaction for parquet datasets.
+
+Every long-running ingest (streaming micro-batches, per-site incremental
+loads, the FHIR merge pipeline's daily deltas) accretes small files; at
+100 TB the read-side cost is not the bytes but the FILE COUNT — driver-side
+listing, one scan task per tiny file, and row groups too small for
+min/max stats to prune.  Periodic compaction rewrites a table's data into
+~target-sized files, which is exactly what `OPTIMIZE` does in
+transactional table formats.  Plain parquet directories have no
+transaction log, so the rewrite here is write-to-scratch + directory swap:
+atomic enough for a maintenance window, honestly NOT safe against a
+concurrent writer — a production deployment puts a table format
+(Iceberg/Delta) or a partition-level swap in front of this.
+
+Planning reads ONLY file metadata (a Hadoop FileSystem listing — no data
+IO), so `plan_compaction` is free to run every cycle and trigger the
+rewrite only when the small-file fraction crosses a threshold.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from pyspark.sql import SparkSession
+
+
+@dataclass(frozen=True)
+class CompactionPlan:
+    n_files: int
+    total_bytes: int
+    n_small_files: int  # files under half the target size
+    target_files: int   # ceil(total_bytes / target_bytes), min 1
+    worth_it: bool      # enough small files that a rewrite pays for itself
+
+
+def _list_data_files(spark: SparkSession, path: str) -> list[tuple[str, int]]:
+    """(path, length) for every data file under ``path``, via the Hadoop
+    FileSystem API — works on local paths, HDFS, and object stores alike,
+    and touches metadata only."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(conf)
+    out: list[tuple[str, int]] = []
+    it = fs.listFiles(hpath, True)  # recursive
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if name.startswith("_") or name.startswith("."):
+            continue  # _SUCCESS, hidden/CRC sidecars
+        out.append((st.getPath().toString(), int(st.getLen())))
+    return out
+
+
+def plan_compaction(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    min_small_fraction: float = 0.5,
+) -> CompactionPlan:
+    """Metadata-only compaction planning: how fragmented is the table and
+    how many files SHOULD it have at ``target_bytes`` per file.  A rewrite
+    is ``worth_it`` when at least ``min_small_fraction`` of the files are
+    under half the target (rewriting a well-laid-out table wastes a full
+    read+write of it)."""
+    files = _list_data_files(spark, path)
+    total = sum(sz for _, sz in files)
+    small = sum(1 for _, sz in files if sz < target_bytes // 2)
+    target = max(1, math.ceil(total / target_bytes)) if total else 1
+    worth = (
+        len(files) > target
+        and len(files) > 0
+        and small / len(files) >= min_small_fraction
+    )
+    return CompactionPlan(
+        n_files=len(files),
+        total_bytes=total,
+        n_small_files=small,
+        target_files=target,
+        worth_it=worth,
+    )
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    sort_cols: list[str] | None = None,
+    partition_cols: list[str] | None = None,
+) -> CompactionPlan:
+    """Rewrite the parquet dataset at ``path`` into ~``target_bytes`` files
+    and swap it in place; returns the pre-rewrite plan.
+
+    - Unpartitioned, no sort: ``coalesce(target_files)`` — a NARROW
+      rewrite, no shuffle at all; each output task streams several input
+      files into one output file.
+    - ``sort_cols``: range-repartition + sortWithinPartitions — one
+      shuffle, and the rewrite doubles as a cluster-by (restores row-group
+      min/max selectivity that tiny files lost).
+    - ``partition_cols``: hive layout preserved via one repartition on the
+      partition key so each task owns whole partitions (the same
+      anti-small-file rule as write_partitioned).
+
+    The swap is rename-based (scratch dir → path) and assumes a
+    maintenance window; see the module docstring for the transactional
+    caveat.
+    """
+    plan = plan_compaction(spark, path, target_bytes)
+    df = spark.read.parquet(path)
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(conf)
+    tmp = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__compacting")
+
+    writer = None
+    if partition_cols:
+        out = df.repartition(*partition_cols)
+        if sort_cols:
+            out = out.sortWithinPartitions(*sort_cols)
+        writer = (
+            out.write.mode("overwrite")
+            .option("maxRecordsPerFile", _rows_per_file(df, plan, target_bytes))
+            .partitionBy(*partition_cols)
+        )
+    elif sort_cols:
+        out = df.repartitionByRange(plan.target_files, *sort_cols).sortWithinPartitions(
+            *sort_cols
+        )
+        writer = out.write.mode("overwrite")
+    else:
+        writer = df.coalesce(plan.target_files).write.mode("overwrite")
+    writer.parquet(tmp.toString())
+
+    # swap: remove the old tree, move the rewrite into place
+    fs.delete(hpath, True)
+    if not fs.rename(tmp, hpath):
+        raise IOError(f"compaction swap failed: rename {tmp} -> {hpath}")
+    return plan
+
+
+def _rows_per_file(df, plan: CompactionPlan, target_bytes: int) -> int:
+    """maxRecordsPerFile for partitioned rewrites, estimated from the
+    table's observed bytes-per-row (metadata total / a cheap count)."""
+    n = df.count()
+    if n == 0 or plan.total_bytes == 0:
+        return 5_000_000
+    bytes_per_row = plan.total_bytes / n
+    return max(1, int(target_bytes / bytes_per_row))
