@@ -139,6 +139,8 @@ HEADLINE = [
     "ann08_filtered_topk",
     "dq03_version_diff",
     "ann09_ivfpq_topk",
+    "ev11_ewma_smoothing",
+    "w07_mad_outliers",
     # Iterative ops (dd06, cl01, ann04, dd09, and the round-5 additions
     # gr02/dd10/ann06 — k-means or fixpoint loops) and
     # streaming-equivalence runs
