@@ -220,10 +220,16 @@ def mad_outliers(
     from pyspark.sql import Window
 
     g, v = F.col(group_col), F.col(value_col)
+    # The histogram feeds every downstream consumer (totals, both median
+    # selections, the outlier count) — unpinned, each consumer re-derives
+    # it from the raw table and the corpus is scanned 8×. Pinning the
+    # O(groups × distinct values) table caps the corpus at ONE scan
+    # (the dq01/psi_drift rule).
     hist = (
         df.select(g.alias("grp"), v.alias("v"))
         .groupBy("grp", "v")
         .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
     )
     tot = hist.groupBy("grp").agg(F.sum("c").alias("n"))
     target = F.expr("(n + 1) DIV 2")
