@@ -42,14 +42,19 @@ def _list_data_files(spark: SparkSession, path: str) -> list[tuple[str, int]]:
     conf = spark._jsc.hadoopConfiguration()
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(conf)
+    base = fs.makeQualified(hpath).toString().rstrip("/") + "/"
     out: list[tuple[str, int]] = []
     it = fs.listFiles(hpath, True)  # recursive
     while it.hasNext():
         st = it.next()
-        name = st.getPath().getName()
-        if name.startswith("_") or name.startswith("."):
-            continue  # _SUCCESS, hidden/CRC sidecars
-        out.append((st.getPath().toString(), int(st.getLen())))
+        full = st.getPath().toString()
+        rel = full[len(base):] if full.startswith(base) else st.getPath().getName()
+        # skip _SUCCESS, .crc sidecars, AND anything under a hidden
+        # directory segment — a streaming file sink's _spark_metadata log
+        # holds plainly-named files ("0", "1", …) that are not data.
+        if any(seg.startswith(("_", ".")) for seg in rel.split("/")):
+            continue
+        out.append((full, int(st.getLen())))
     return out
 
 
@@ -104,7 +109,11 @@ def compact_table(
 
     The swap is rename-based (scratch dir → path) and assumes a
     maintenance window; see the module docstring for the transactional
-    caveat.
+    caveat.  Compacting a STREAMING file sink's output additionally
+    requires the stream to be stopped for good: the swap drops the sink's
+    ``_spark_metadata`` transaction log, converting the directory into a
+    plain parquet table — a restarted stream whose checkpoint references
+    the dropped log must write to a fresh path.
     """
     plan = plan_compaction(spark, path, target_bytes)
     df = spark.read.parquet(path)

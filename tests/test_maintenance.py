@@ -107,3 +107,60 @@ def test_compact_sorted_restores_rowgroup_stats(spark, tmp_path):
     ranges.sort()
     for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
         assert hi_prev < lo_next
+
+
+def test_compact_streaming_sink_output(spark, tmp_path):
+    """The compaction consumer that actually exists at 100 TB: a streaming
+    file sink appends one file per (trigger × partition); compaction
+    collapses the accretion without losing a row."""
+    import json
+
+    src = tmp_path / "src"
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+
+    # three micro-batches, one jsonl file each
+    for b in range(3):
+        with open(src / f"b{b}.jsonl", "w") as f:
+            for i in range(100):
+                f.write(json.dumps({"id": b * 100 + i, "v": i % 7}) + "\n")
+        stream = (
+            spark.readStream.schema("id long, v long")
+            .json(str(src))
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    before = spark.read.parquet(out)
+    n_before = before.count()
+    assert n_before == 300
+    assert len(_data_files(out)) >= 3  # at least one file per trigger
+
+    plan = compact_table(spark, out, target_bytes=1 << 20)
+    assert plan.worth_it
+    after = spark.read.parquet(out)
+    assert after.count() == 300
+    assert after.agg(F.sum("id")).collect()[0][0] == sum(range(300))
+    assert len(_data_files(out)) == 1
+
+
+def test_plan_skips_streaming_metadata_log(spark, tmp_path):
+    # a _spark_metadata/ log holds plainly-named files ("0", "1") that must
+    # not count as data in the plan
+    import os as _os
+
+    path = str(tmp_path / "t")
+    _fragmented_table(spark, path, n_rows=100, n_files=2)
+    meta = _os.path.join(path, "_spark_metadata")
+    _os.makedirs(meta)
+    with open(_os.path.join(meta, "0"), "w") as f:
+        f.write("{}" * 1000)
+    plan = plan_compaction(spark, path, target_bytes=1 << 20)
+    assert plan.n_files == 2
