@@ -158,3 +158,56 @@ def _rows_per_file(df, plan: CompactionPlan, target_bytes: int) -> int:
         return 5_000_000
     bytes_per_row = plan.total_bytes / n
     return max(1, int(target_bytes / bytes_per_row))
+
+
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    partition_col: str,
+    values: list,
+    target_bytes: int = 128 * 1024 * 1024,
+    sort_cols: list[str] | None = None,
+) -> dict:
+    """Incremental compaction: rewrite ONLY the named hive partitions of
+    ``path`` (e.g. yesterday's date partitions, which streaming ingest
+    just fragmented) and leave the rest of the table untouched.
+
+    This is the shape that survives 100 TB — whole-table compaction
+    rewrites everything to fix the newest 0.1%; per-partition compaction
+    is O(recent data) and each partition directory swaps independently
+    (a reader sees each partition either fully-old or fully-new, the
+    partition-level-swap honesty the module docstring asks for).
+
+    Returns {value: CompactionPlan} for the partitions actually rewritten
+    (partitions already at target layout are skipped — plan-only cost).
+    """
+    out: dict = {}
+    for val in values:
+        sub = f"{path.rstrip('/')}/{partition_col}={val}"
+        plan = plan_compaction(spark, sub, target_bytes)
+        if not plan.worth_it:
+            continue
+        df = spark.read.parquet(sub)
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        hsub = jvm.org.apache.hadoop.fs.Path(sub)
+        fs = hsub.getFileSystem(conf)
+        tmp = jvm.org.apache.hadoop.fs.Path(sub + "__compacting")
+        if sort_cols:
+            w = df.repartitionByRange(plan.target_files, *sort_cols).sortWithinPartitions(
+                *sort_cols
+            )
+        else:
+            w = df.coalesce(plan.target_files)
+        w.write.mode("overwrite").parquet(tmp.toString())
+        # the rewrite of ONE partition dir must not carry a nested
+        # partition column; reads go through the parent, which derives
+        # the value from the directory name as before.
+        fs.delete(hsub, True)
+        if not fs.rename(tmp, hsub):
+            raise IOError(f"partition compaction swap failed: {tmp} -> {hsub}")
+        # drop the _SUCCESS marker the scratch write left inside the
+        # partition dir (harmless, but keeps the layout byte-clean)
+        fs.delete(jvm.org.apache.hadoop.fs.Path(sub + "/_SUCCESS"), False)
+        out[val] = plan
+    return out

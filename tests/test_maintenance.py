@@ -6,7 +6,11 @@ import os
 
 from pyspark.sql import functions as F
 
-from cnics_to_fhir_spark.load.maintenance import compact_table, plan_compaction
+from cnics_to_fhir_spark.load.maintenance import (
+    compact_partitions,
+    compact_table,
+    plan_compaction,
+)
 
 
 def _data_files(path):
@@ -164,3 +168,26 @@ def test_plan_skips_streaming_metadata_log(spark, tmp_path):
         f.write("{}" * 1000)
     plan = plan_compaction(spark, path, target_bytes=1 << 20)
     assert plan.n_files == 2
+
+
+def test_compact_partitions_incremental(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.range(3000).select(F.col("id"), (F.col("id") % 3).alias("day"))
+    df.repartition(15).write.mode("overwrite").partitionBy("day").parquet(path)
+    files_before = {d: len(_data_files(os.path.join(path, f"day={d}"))) for d in (0, 1, 2)}
+    assert all(n > 5 for n in files_before.values())
+
+    done = compact_partitions(spark, path, "day", [0, 2], target_bytes=1 << 20)
+    assert set(done) == {0, 2}
+    # targeted partitions collapsed; untouched partition kept its layout
+    assert len(_data_files(os.path.join(path, "day=0"))) == 1
+    assert len(_data_files(os.path.join(path, "day=2"))) == 1
+    assert len(_data_files(os.path.join(path, "day=1"))) == files_before[1]
+
+    after = spark.read.parquet(path)
+    assert after.count() == 3000
+    assert after.groupBy("day").count().count() == 3
+    assert after.agg(F.sum("id")).collect()[0][0] == sum(range(3000))
+
+    # second pass: nothing worth rewriting
+    assert compact_partitions(spark, path, "day", [0, 2], target_bytes=1 << 20) == {}
