@@ -91,3 +91,53 @@ def test_epoch_upsample_counts_match_reference(spark, rows, wa, wb):
         h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16) % 100
         n = w // 100 + (1 if h < w % 100 else 0)
         assert sorted(got.get(doc_id, [])) == list(range(1, n + 1)), (doc_id, w, h)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=2),   # user
+            st.integers(min_value=1, max_value=12),  # day-of-month
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_ewma_matches_python_reference(spark, pairs):
+    """ewma_daily_counts == a pure-Python truncated α=1/2 EWMA over each
+    user's OBSERVED days (row-based lags, renormalized over existing
+    taps) for arbitrary sparse day patterns."""
+    import datetime
+    import math
+
+    from cnics_to_fhir_spark.operators.events_windows import ewma_daily_counts
+
+    rows = [
+        (u, datetime.datetime(2024, 3, d, 8, 0, 0) + datetime.timedelta(minutes=i))
+        for i, (u, d) in enumerate(pairs)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+
+    # python reference
+    counts: dict[tuple[int, int], int] = {}
+    for u, d in pairs:
+        counts[(u, d)] = counts.get((u, d), 0) + 1
+    expected = {}
+    for u in {u for u, _ in pairs}:
+        days = sorted(d for (uu, d) in counts if uu == u)
+        for idx, d in enumerate(days):
+            num = den = 0
+            for j in range(8):
+                if idx - j < 0:
+                    break
+                wgt = 1 << (7 - j)
+                num += counts[(u, days[idx - j])] * wgt
+                den += wgt
+            expected[(u, f"2024-03-{d:02d}")] = math.floor(num / den * 1e6 + 0.5) / 1e6
+
+    got = {
+        (r["user_id"], r["day"]): r["ewma"]
+        for r in ewma_daily_counts(df).collect()
+    }
+    assert got == expected
