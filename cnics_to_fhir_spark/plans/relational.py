@@ -234,7 +234,8 @@ def p04_nullsafe_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT c.c_mktsegment AS mktsegment,
                COUNT(*) AS n_orders,
-               ROUND(SUM(o.o_totalprice), 2) AS total_price
+               SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0
+                   AS total_price
         FROM customer c
         JOIN orders o ON c.c_custkey = o.o_custkey
         WHERE c.c_acctbal > 0
@@ -242,14 +243,20 @@ def p04_nullsafe_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def j01_inner_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Money summed in exact integer cents (o_totalprice is a 2dp value,
+    so per-row cents are exact): ROUND(SUM(double), 2) was this entry's
+    sf10 hash mismatch — at 12M orders per segment the float partial-sum
+    association diverges between engines across the 2dp boundary; integer
+    sums are order-independent at any SF (same fix as q01/j09/j12/j13)."""
     c = table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0)
     o = table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
     return (
         o.join(c, c["c_custkey"] == o["o_custkey"], "inner")
         .groupBy(F.col("c_mktsegment").alias("mktsegment"))
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            (F.sum(cents) / F.lit(100.0)).alias("total_price"),
         )
     )
 
