@@ -2834,21 +2834,24 @@ def _phash_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     "gr01_pagerank_2iter",
     tags="GR CL-iterative J1 A5",
     oracle="""
-        WITH raw AS (
+        -- Helper CTEs MATERIALIZED (gr02's lesson): unmaterialized, DuckDB
+        -- re-derives the multi-million-row DISTINCT edge join inside BOTH
+        -- iteration CTEs — at sf10 that spilled past the disk.
+        WITH raw AS MATERIALIZED (
             SELECT DISTINCT o.o_custkey AS ck, l.l_suppkey AS sk
             FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
         ),
-        edges AS (
+        edges AS MATERIALIZED (
             SELECT ck*2 AS src, sk*2+1 AS dst FROM raw
             UNION ALL
             SELECT sk*2+1 AS src, ck*2 AS dst FROM raw
         ),
-        nodes AS (
+        nodes AS MATERIALIZED (
             SELECT DISTINCT src AS node FROM edges
             UNION
             SELECT DISTINCT dst AS node FROM edges
         ),
-        deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+        deg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
         r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_q FROM nodes),
         c1 AS (
             SELECT e.dst AS node, SUM(r.rank_q // d.deg) AS s
