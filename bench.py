@@ -184,9 +184,46 @@ FLAGSHIP_INLINE = [
 ]
 
 
+def host_fingerprint() -> dict[str, object]:
+    """CPU model / core count / scaling governor / total RAM — enough to
+    tell whether two bench runs executed on comparable hardware. The
+    r5→r6 rounds saw a uniform ~1.26x wall-clock shift caused by the bench
+    HOST changing between rounds, which would have hidden a real 1.3x code
+    regression; recording the fingerprint lets the regression diff flag
+    cross-host comparisons instead of silently mixing them."""
+    fp: dict[str, object] = {"cores": os.cpu_count()}
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.lower().startswith("model name"):
+                    fp["cpu"] = line.split(":", 1)[1].strip()
+                    break
+    except OSError:
+        pass
+    try:
+        with open("/sys/devices/system/cpu/cpu0/cpufreq/scaling_governor") as f:
+            fp["governor"] = f.read().strip()
+    except OSError:
+        fp["governor"] = "n/a"
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemTotal"):
+                    fp["mem_gib"] = round(int(line.split()[1]) / 1024 / 1024, 1)
+                    break
+    except OSError:
+        pass
+    try:
+        fp["load_1m_at_start"] = round(os.getloadavg()[0], 1)
+    except OSError:
+        pass
+    return fp
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    host = host_fingerprint()
     spark = build_session("bench")
 
     # Prior round's per-query numbers (the committed sidecar, read BEFORE it
@@ -194,19 +231,33 @@ def main() -> None:
     # drift gets attributed per query instead of discovered a round later.
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_detail.json")
     prior: dict[str, float] = {}
+    prior_host: dict[str, object] = {}
     try:
         with open(detail_path) as f:
             prev = json.load(f)
         if prev.get("sf") == (float(sf) if sf.replace(".", "").isdigit() else sf):
             prior = prev.get("queries", {})
+            prior_host = prev.get("host", {})
     except (OSError, ValueError):
         pass
+    # Same-host check compares the stable identity fields only (cpu model,
+    # core count, governor) — load average is expected to vary run-to-run.
+    same_host = bool(prior) and all(
+        prior_host.get(k) == host.get(k) for k in ("cpu", "cores", "governor")
+    )
+    if prior and not same_host:
+        print(
+            f"# HOST CHANGED since prior detail (prior={prior_host}, now={host}): "
+            "per-query ratios are cross-host and not attributable to code",
+            flush=True,
+        )
 
     entries = catalog()
     # Warmup: force JVM + parquet footer reads once, outside timed region.
     entries["a01_distinct"].spark(spark, sf_dir).count()
 
     timings: dict[str, float] = {}
+    all_runs: dict[str, list[float]] = {}
     for name in HEADLINE:
         e = entries[name]
         # median-of-3: each run re-executes the full plan (no caching
@@ -230,6 +281,7 @@ def main() -> None:
             n = e.spark(spark, sf_dir).count()
             runs.append(time.perf_counter() - t0)
         timings[name] = round(sorted(runs)[1], 3)
+        all_runs[name] = [round(r, 3) for r in runs]
         print(f"# {name}: {timings[name]}s ({n} rows)", flush=True)
 
     # Regression diff vs the prior committed detail (same SF only): flag
@@ -242,11 +294,12 @@ def main() -> None:
             regressions[name] = {"prior": p, "now": t, "ratio": round(t / p, 2)}
     if prior:
         common = [k for k in timings if k in prior]
+        tag = "" if same_host else " [CROSS-HOST — ratios not code-attributable]"
         print(
             f"# vs prior detail: {len(common)} common, "
             f"prior sum {round(sum(prior[k] for k in common), 2)}s -> "
             f"now {round(sum(timings[k] for k in common), 2)}s, "
-            f"{len(regressions)} movers past 1.3x",
+            f"{len(regressions)} movers past 1.3x{tag}",
             flush=True,
         )
         for name, r in sorted(regressions.items(), key=lambda kv: -kv[1]["ratio"]):
@@ -264,7 +317,10 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "timing": "median_of_3",
+        "host": host,
+        "prior_host_same": same_host if prior else None,
         "queries": timings,
+        "runs": all_runs,
         "regressions_vs_prior": regressions,
         "sf": sf_val,
     }
@@ -282,6 +338,13 @@ def main() -> None:
             "unit": "sec",
             "sf": sf_val,
             "n_queries": len(timings),
+            "timing": "median_of_3",
+            "host": {
+                "cpu": str(host.get("cpu", ""))[:48],
+                "cores": host.get("cores"),
+                "governor": host.get("governor"),
+                "same_as_prior": same_host if prior else None,
+            },
             "queries": inline,
         }
     )

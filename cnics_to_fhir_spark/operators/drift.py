@@ -117,9 +117,16 @@ def ks_drift(
     one running-sum window over the DISTINCT values of each group (the
     only shuffle whose width is data-dependent — O(distinct values), not
     O(rows)), a broadcast of the O(groups) totals, and a group-keyed max.
-    Nothing is ever keyed by row id."""
+    Nothing is ever keyed by row id.
+
+    NULL values carry no ECDF position (and Spark/DuckDB disagree on
+    default null ordering: Spark sorts NULLs first ascending, DuckDB
+    last), so NULL observations are dropped from both the ECDF and the
+    group totals before anything is counted — mirrored in the dq02
+    oracle's WHERE."""
     from pyspark.sql.window import Window
 
+    df = df.filter(F.col(value_col).isNotNull())
     counts = df.groupBy(group_col, value_col).agg(
         F.sum(F.when(F.col(baseline_col), 1).otherwise(0)).alias("c1"),
         F.sum(F.when(~F.col(baseline_col), 1).otherwise(0)).alias("c2"),

@@ -61,22 +61,21 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # plus the sf1 probe), so entries outside the
 # driver's prefix are locally verified, never silently unchecked.
 _PRIORITY: tuple[str, ...] = (
-    # --- round-6 rotation: the driver's 50-entry prefix is the only
-    # independent correctness gate; this round rotates in 36 entries that
-    # have NEVER been driver-verified (union of CORRECTNESS_r01-r05 keys
-    # vs the catalog left 65 such entries after round 5 — verdict item #1)
-    # while keeping a 14-entry §2-core spine (the reference-parity
-    # verticals + one representative per §2 family). Rotated-out entries
-    # were all driver-green in earlier rounds and remain selfcheck-
-    # verified at sf0.001/sf0.01/sf1 every round. The authoritative
-    # remaining never-driver-verified list is _NEVER_DRIVER_VERIFIED
-    # below (29 from rounds 1-5 + the 9 new round-6 entries = 38;
-    # clearable in one more rotation if the round-7 spine trims to 12
-    # — which is why round 6 stopped adding oracle entries at 181).
+    # --- round-7 rotation (final): the driver's 50-entry prefix is the
+    # only independent correctness gate. After round 6 the union of
+    # CORRECTNESS_r01-r06 keys covered 143/181 catalog entries; the 38
+    # remaining never-driver-verified entries (verdict r6 item #1,
+    # cross-checked against the committed CORRECTNESS files) all rotate
+    # into this prefix now, alongside a 12-entry §2-core spine (trimmed
+    # from 14: the reference-parity verticals + one representative per
+    # §2 family). 12 + 38 = 50, so this rotation empties the tracker —
+    # every catalog entry will have been driver-verified at least once.
+    # Rotated-out entries were all driver-green in earlier rounds and
+    # remain selfcheck-verified at sf0.001/sf0.01 every round.
     #
     # §2-core spine (driver-green in prior rounds, kept for reference
     # parity: B1-B4 verticals, coding dispatch, lab typing, merge,
-    # crosswalk LWW, uniqueness guard, assembly, window, sample, stream).
+    # crosswalk LWW, join+agg, assembly, window, stream).
     "e2e01_conditions_pipeline",
     "e2e02_observations_pipeline",
     "e2e03_medications_pipeline",
@@ -86,63 +85,13 @@ _PRIORITY: tuple[str, ...] = (
     "j01_inner_join_agg",
     "j06_merge_actions",
     "a04b_crosswalk_field_lww",
-    "a06_uniqueness_guard",
     "b01_resource_assembly",
     "w01_topn_per_group",
-    "o03_deterministic_sample",
     "st01_stream_batch_equivalence",
-    # [new-to-driver] round-5 additions the verdict queued first
-    "rj02_interval_overlap_join",
-    "tx09_nb_langid",
-    "dd13_containment_pairs",
-    "ann07_pq_adc_topk",
-    "gr03_triangle_count",
-    "e2e08_curation_v3",
-    "st07_stream_incremental_dedup_state",
-    "j14_aqe_skew_split",
-    "dq01_drift_psi",
-    "tx10_bpe_encode",
-    "w06_exact_percentiles",
-    "ev09_zscore_anomaly_days",
-    "a19_grouping_sets",
-    "ds11_length_buckets",
-    # [new-to-driver] aggregate family
-    "a07_rollup_subtotals",
-    "a07_rollup_counts",
-    "a08_percentiles",
-    "a08_salted_agg",
-    "a09_percentiles",
-    "a15_string_agg",
-    "a17_histogram",
-    "a18_stat_aggregates",
-    # [new-to-driver] q-suite classics
-    "q08_market_share",
-    "q09_product_profit",
-    "q11_important_stock",
-    "q12_late_shipments",
-    "q13_customer_distribution",
-    "q16_supplier_count",
-    "q20_part_promotion",
-    # [new-to-driver] relational / function / window stragglers
-    "p09_pivot_priority",
-    "p10_not_in_null_semantics",
-    "u02_except_intersect",
-    "f23_higher_order_funcs",
-    "f24_props_json_extract",
-    "w03_time_range_window",
-    "w05_share_of_total",
-)
-
-# Catalog entries that have never appeared in any CORRECTNESS_r0*.json
-# (the driver's independent gate). Recompute after each round:
-#   catalog keys - union(CORRECTNESS_r01..r0N keys).
-# After the round-6 rotation above lands, these remain (29 carried +
-# 3 new-this-round); rotate them
-# into the prefix next round (rows-only tail last — the driver records a
-# weaker rows-only check for ann02/a10/a11/a14, st03's oracle twin
-# covers it).
-_NEVER_DRIVER_VERIFIED: tuple[str, ...] = (
-    # round-6 additions (new this round, by definition never driven)
+    # [new-to-driver] the 38 never-driver-verified entries
+    # (= _NEVER_DRIVER_VERIFIED below, verbatim; oracle-bearing first,
+    # rows-only tail last — the driver records a weaker rows-only check
+    # for ann02/a10/a11/a14).
     "dq02_ks_drift",
     "ev10_funnel_latency",
     "mm07_phash_neardup",
@@ -152,6 +101,56 @@ _NEVER_DRIVER_VERIFIED: tuple[str, ...] = (
     "ann09_ivfpq_topk",
     "ev11_ewma_smoothing",
     "w07_mad_outliers",
+    "dd04b_simhash_portable",
+    "dd05b_neardup_refined_cells",
+    "dd10_dup_clusters_star",
+    "dd11_incremental_dedup",
+    "ann02b_lsh_topk_portable",
+    "ann05_quantized_rerank",
+    "ann06_ivf_multiprobe_topk",
+    "mn01_hard_negative_mining",
+    "tx01_text_profile",
+    "tx02_bpe_token_stats",
+    "tx03_rolling_fingerprint",
+    "tx05_tfidf_topk",
+    "tx08_bpe_merge_training",
+    "mm01_binary_metadata",
+    "mm03_frame_sample",
+    "mm05_audio_features",
+    "ds01_stratified_sample",
+    "ds02_chunked_packing",
+    "ds04_deterministic_shuffle",
+    "ds05_weighted_sample",
+    "ds06_sliding_chunks",
+    "ev03_sliding_window",
+    "ev04_gap_filled_rollup",
+    "ev08_transition_matrix",
+    "st03_stream_dedup_equivalence",
+    "ann02_lsh_topk",
+    "a10_approx_distinct",
+    "a11_approx_percentiles",
+    "a14_hll_rollup",
+)
+
+# Catalog entries that have never appeared in any CORRECTNESS_r0*.json
+# (the driver's independent gate). Recompute after each round:
+#   catalog keys - union(CORRECTNESS_r01..r0N keys).
+# As of round 7 these are the 38 entries (29 carried from rounds 1-5 +
+# 9 added in round 6) — ALL of them sit inside the round-7 _PRIORITY
+# prefix above, so once CORRECTNESS_r07.json lands green this tuple
+# should be recomputed and become empty.
+_NEVER_DRIVER_VERIFIED: tuple[str, ...] = (
+    # round-6 additions (new that round, by definition never driven)
+    "dq02_ks_drift",
+    "ev10_funnel_latency",
+    "mm07_phash_neardup",
+    "dc03_domain_cap",
+    "ann08_filtered_topk",
+    "dq03_version_diff",
+    "ann09_ivfpq_topk",
+    "ev11_ewma_smoothing",
+    "w07_mad_outliers",
+    # carried from rounds 1-5
     "dd04b_simhash_portable",
     "dd05b_neardup_refined_cells",
     "dd10_dup_clusters_star",

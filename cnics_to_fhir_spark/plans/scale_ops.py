@@ -4301,6 +4301,7 @@ def a19_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT event_type AS grp, value AS v,
                    ts < TIMESTAMP '2024-01-16 00:00:00' AS is_base
             FROM events
+            WHERE value IS NOT NULL
         ),
         counts AS (
             SELECT grp, v,

@@ -74,6 +74,30 @@ def main() -> int:
         },
     )
     con = duckdb.connect()
+    # Spill hygiene (verdict r6 #4): the sf10 sweep once died mid-run with
+    # DuckDB "No space left on device" on gr01's unmaterialized CTE chain.
+    # Pin DuckDB's spill to an explicit temp dir (SPARK_GRAFT_DUCKDB_TMP,
+    # default a subdir of $TMPDIR) with a size cap at ~half the free space
+    # so one runaway oracle degrades to a single-entry failure instead of
+    # filling the disk and poisoning every entry after it.
+    import shutil as _shutil
+
+    ddb_tmp = os.environ.get("SPARK_GRAFT_DUCKDB_TMP") or os.path.join(
+        os.environ.get("TMPDIR", "/tmp"), "selfcheck_duckdb_spill"
+    )
+    os.makedirs(ddb_tmp, exist_ok=True)
+    free_gib = _shutil.disk_usage(ddb_tmp).free / 2**30
+    cap_gib = max(1, int(free_gib / 2))
+    con.execute(f"SET temp_directory='{ddb_tmp}'")
+    con.execute(f"SET max_temp_directory_size='{cap_gib}GiB'")
+    # Preflight: a full-catalog sweep at sf10 needs tens of GiB of spill
+    # headroom; warn loudly up front rather than failing 3 hours in.
+    if free_gib < 20:
+        print(
+            f"WARN  only {free_gib:.1f} GiB free under {ddb_tmp} "
+            f"(oracle spill cap {cap_gib} GiB) — large-SF sweeps may fail; "
+            "set SPARK_GRAFT_DUCKDB_TMP to a roomier volume"
+        )
 
     for t in STAR_TABLES:
         path = f"{sf_dir}/{t}.parquet"

@@ -64,3 +64,30 @@ def test_mad_outliers_matches_naive_definition(spark):
     assert row["median"] == med
     assert abs(row["mad"] - mad) < 1e-9
     assert row["n_outliers"] == n_out
+
+
+def test_ks_drift_ignores_null_values(spark):
+    # NULL observations carry no ECDF position and Spark/DuckDB disagree on
+    # default null ordering (Spark first-ascending, DuckDB last), so ks_drift
+    # must drop them from BOTH the cumulative counts and the group totals —
+    # the score with NULLs present must equal the score on the non-null rows.
+    from cnics_to_fhir_spark.operators.drift import ks_drift
+
+    clean = [("g", 1.0, True), ("g", 2.0, True), ("g", 2.0, False), ("g", 3.0, False)]
+    noisy = clean + [("g", None, True), ("g", None, False), ("g", None, False)]
+    schema = "grp string, v double, is_base boolean"
+
+    def score(rows):
+        df = spark.createDataFrame(rows, schema)
+        [r] = ks_drift(df, value_col="v", group_col="grp", baseline_col="is_base").collect()
+        return (r["n_base"], r["n_new"], r["ks_q"])
+
+    assert score(noisy) == score(clean) == (2, 2, 500000)
+
+
+def test_ks_drift_all_null_group_dropped(spark):
+    from cnics_to_fhir_spark.operators.drift import ks_drift
+
+    rows = [("g", None, True), ("g", None, False)]
+    df = spark.createDataFrame(rows, "grp string, v double, is_base boolean")
+    assert ks_drift(df, value_col="v", group_col="grp", baseline_col="is_base").count() == 0
