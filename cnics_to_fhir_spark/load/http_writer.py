@@ -41,6 +41,13 @@ class WriterConfig:
     # reference-parity per-row mode (cnics_to_fhir.py:531-533).
     bundle_size: int = 0
     bundle_type: str = "transaction"  # or "batch" (independent entries)
+    # Bundle-mode POST entries carry `ifNoneExist: identifier={key}`
+    # (FHIR conditional create) so a Spark task retry that replays a
+    # partially-applied `batch` bundle — or a zombie retry of an already-
+    # committed `transaction` — cannot insert the same resource twice.
+    # The plan's `key` column IS identifier[0].value (operators/merge.py),
+    # so the condition matches exactly what the merge classified on.
+    conditional_create: bool = True
 
 
 def _send(session, cfg: WriterConfig, method: str, url: str, body: str | None):
@@ -75,9 +82,13 @@ def _entry_url(cfg: WriterConfig, rtype: str, rid: str) -> str:
 def _bundle_entry(cfg: WriterConfig, row) -> dict:
     rtype, action = row["resource_type"], row["action"]
     if action == "insert":
+        request = {"method": "POST", "url": rtype}
+        key = row["key"] if "key" in row else None
+        if cfg.conditional_create and key is not None:
+            request["ifNoneExist"] = f"identifier={key}"
         return {
             "resource": json.loads(row["body_json"]),
-            "request": {"method": "POST", "url": rtype},
+            "request": request,
         }
     if action == "update":
         return {
@@ -98,7 +109,14 @@ def _post_bundle(session, cfg: WriterConfig, chunk: list, counters) -> None:
         "type": cfg.bundle_type,
         "entry": [_bundle_entry(cfg, row) for row in chunk],
     }
-    resp = _send(session, cfg, "POST", cfg.base_url, json.dumps(bundle))
+    try:
+        resp = _send(session, cfg, "POST", cfg.base_url, json.dumps(bundle))
+    except Exception:
+        # transport-level failure counts every entry as failed — parity
+        # with per-row mode, where an exhausted retry still increments
+        # counters["failed"] before the raise
+        counters["failed"].add(len(chunk))
+        raise
     body = resp.json()
     entries = body.get("entry") if isinstance(body, dict) else None
     if (
@@ -131,10 +149,20 @@ def write_action_plan(plan: DataFrame, cfg: WriterConfig) -> dict[str, int]:
     PUT /{type}/{id}; delete → DELETE /{type}/{id} (Patient deletes
     cascade, :333). Bundle mode (``bundle_size=N``): rows are grouped N
     per ``transaction``/``batch`` Bundle POSTed to the base URL, with a
-    per-entry response-status check — same retry/idempotence semantics
-    (PUT/DELETE replay safely; POSTs are guarded upstream by the merge
-    classification, and a `transaction` bundle is atomic server-side so a
-    retried task re-runs the whole group).
+    per-entry response-status check.
+
+    Retry/idempotence: PUT/DELETE replay safely in every mode. POST
+    entries in bundle mode carry ``ifNoneExist: identifier={key}``
+    (conditional create, on by default) so a replayed partition —
+    a ``batch`` bundle that partially applied before an entry failed, or
+    a zombie retry of a committed ``transaction`` — re-creates nothing.
+    With ``conditional_create=False``, ``batch`` bundles are NOT safe
+    under Spark task retry (already-applied POSTs duplicate server-side)
+    — only disable it against a store that rejects ifNoneExist.
+    Accumulator caveat: counters are task-lifetime totals, so a retried
+    task re-counts its successful entries; treat counts as at-least-once
+    telemetry (the authoritative per-action counts come from
+    ``action_counts`` over the plan itself).
     Returns {action: count} gathered via accumulators.
     """
     sc = plan.sparkSession.sparkContext

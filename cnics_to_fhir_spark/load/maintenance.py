@@ -7,9 +7,12 @@ listing, one scan task per tiny file, and row groups too small for
 min/max stats to prune.  Periodic compaction rewrites a table's data into
 ~target-sized files, which is exactly what `OPTIMIZE` does in
 transactional table formats.  Plain parquet directories have no
-transaction log, so the rewrite here is write-to-scratch + directory swap:
-atomic enough for a maintenance window, honestly NOT safe against a
-concurrent writer — a production deployment puts a table format
+transaction log, so the rewrite here is write-to-scratch + rename-aside
+swap (old -> __prev, scratch -> path, delete __prev): a crash at any point
+leaves every byte recoverable at path, __prev, or the scratch dir — nothing
+is deleted until the new tree is live.  Safe for concurrent READERS up to
+the instant between the two renames (both metadata ops); honestly NOT safe
+against a concurrent WRITER — a production deployment puts a table format
 (Iceberg/Delta) or a partition-level swap in front of this.
 
 Planning reads ONLY file metadata (a Hadoop FileSystem listing — no data
@@ -87,6 +90,31 @@ def plan_compaction(
     )
 
 
+def _swap_aside(fs, jvm, tmp: str, dest: str, prev: str) -> None:
+    """Rename-aside swap: ``dest -> prev``, ``tmp -> dest``, delete
+    ``prev``.  Nothing is deleted until the new tree is live at ``dest``,
+    so a crash at ANY point leaves the full old data at ``dest`` or
+    ``prev`` and/or the full new data at ``tmp`` — always recoverable,
+    never stranded (the delete-then-rename ordering this replaces could
+    crash with the table missing at its path and the rewrite stuck in
+    scratch).  ``dest`` is only absent for the instant between the two
+    renames — both pure metadata operations."""
+    p_tmp = jvm.org.apache.hadoop.fs.Path(tmp)
+    p_dest = jvm.org.apache.hadoop.fs.Path(dest)
+    p_prev = jvm.org.apache.hadoop.fs.Path(prev)
+    # stale prev from a run that crashed after its new tree went live but
+    # before cleanup: finish that cleanup now so the aside-rename can land
+    if fs.exists(p_prev) and fs.exists(p_dest):
+        fs.delete(p_prev, True)
+    if fs.exists(p_dest) and not fs.rename(p_dest, p_prev):
+        raise IOError(f"compaction swap failed: rename-aside {dest} -> {prev}")
+    if not fs.rename(p_tmp, p_dest):
+        # roll the old tree back into place so dest never dangles
+        fs.rename(p_prev, p_dest)
+        raise IOError(f"compaction swap failed: rename {tmp} -> {dest}")
+    fs.delete(p_prev, True)
+
+
 def compact_table(
     spark: SparkSession,
     path: str,
@@ -107,9 +135,10 @@ def compact_table(
       partition key so each task owns whole partitions (the same
       anti-small-file rule as write_partitioned).
 
-    The swap is rename-based (scratch dir → path) and assumes a
-    maintenance window; see the module docstring for the transactional
-    caveat.  Compacting a STREAMING file sink's output additionally
+    The swap is rename-aside (old → __prev, scratch → path, delete
+    __prev; see ``_swap_aside``) and assumes no concurrent writer; see
+    the module docstring for the transactional caveat.  Compacting a
+    STREAMING file sink's output additionally
     requires the stream to be stopped for good: the swap drops the sink's
     ``_spark_metadata`` transaction log, converting the directory into a
     plain parquet table — a restarted stream whose checkpoint references
@@ -143,10 +172,11 @@ def compact_table(
         writer = df.coalesce(plan.target_files).write.mode("overwrite")
     writer.parquet(tmp.toString())
 
-    # swap: remove the old tree, move the rewrite into place
-    fs.delete(hpath, True)
-    if not fs.rename(tmp, hpath):
-        raise IOError(f"compaction swap failed: rename {tmp} -> {hpath}")
+    # rename-aside swap: old -> __prev, scratch -> path, delete __prev —
+    # the table path never dangles and no state is unrecoverable mid-swap
+    _swap_aside(
+        fs, jvm, tmp.toString(), path.rstrip("/"), path.rstrip("/") + "__prev"
+    )
     return plan
 
 
@@ -174,16 +204,22 @@ def compact_partitions(
 
     This is the shape that survives 100 TB — whole-table compaction
     rewrites everything to fix the newest 0.1%; per-partition compaction
-    is O(recent data) and each partition directory swaps independently
-    (a reader sees each partition either fully-old or fully-new, the
-    partition-level-swap honesty the module docstring asks for).
+    is O(recent data) and each partition directory swaps independently:
+    a reader sees each partition's DATA either fully-old or fully-new
+    (scratch is written outside the table root so partition discovery
+    never lists a half-written or phantom directory), with the one
+    caveat that the partition path is absent for the instant between the
+    swap's two renames — a reader racing exactly that window sees the
+    partition missing, never partial (pinned by
+    tests/test_maintenance.py's reader-visible-states test).
 
     Returns {value: CompactionPlan} for the partitions actually rewritten
     (partitions already at target layout are skipped — plan-only cost).
     """
     out: dict = {}
+    table = path.rstrip("/")
     for val in values:
-        sub = f"{path.rstrip('/')}/{partition_col}={val}"
+        sub = f"{table}/{partition_col}={val}"
         plan = plan_compaction(spark, sub, target_bytes)
         if not plan.worth_it:
             continue
@@ -192,7 +228,15 @@ def compact_partitions(
         conf = spark._jsc.hadoopConfiguration()
         hsub = jvm.org.apache.hadoop.fs.Path(sub)
         fs = hsub.getFileSystem(conf)
-        tmp = jvm.org.apache.hadoop.fs.Path(sub + "__compacting")
+        # scratch AND aside dirs live OUTSIDE the table root (siblings of
+        # the table directory, not of the partition directory): a
+        # concurrent reader listing the parent table path must never
+        # discover a phantom '{col}={val}__compacting' partition mid-
+        # rewrite — hive partition discovery takes every non-hidden
+        # subdirectory at face value.
+        tmp = jvm.org.apache.hadoop.fs.Path(
+            f"{table}__compacting_{partition_col}={val}"
+        )
         if sort_cols:
             w = df.repartitionByRange(plan.target_files, *sort_cols).sortWithinPartitions(
                 *sort_cols
@@ -200,14 +244,18 @@ def compact_partitions(
         else:
             w = df.coalesce(plan.target_files)
         w.write.mode("overwrite").parquet(tmp.toString())
+        # drop the _SUCCESS marker BEFORE the swap so the partition dir is
+        # byte-clean from the first instant it is visible at sub
+        fs.delete(jvm.org.apache.hadoop.fs.Path(tmp.toString() + "/_SUCCESS"), False)
         # the rewrite of ONE partition dir must not carry a nested
         # partition column; reads go through the parent, which derives
         # the value from the directory name as before.
-        fs.delete(hsub, True)
-        if not fs.rename(tmp, hsub):
-            raise IOError(f"partition compaction swap failed: {tmp} -> {hsub}")
-        # drop the _SUCCESS marker the scratch write left inside the
-        # partition dir (harmless, but keeps the layout byte-clean)
-        fs.delete(jvm.org.apache.hadoop.fs.Path(sub + "/_SUCCESS"), False)
+        _swap_aside(
+            fs,
+            jvm,
+            tmp.toString(),
+            sub,
+            f"{table}__prev_{partition_col}={val}",
+        )
         out[val] = plan
     return out

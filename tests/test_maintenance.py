@@ -191,3 +191,95 @@ def test_compact_partitions_incremental(spark, tmp_path):
 
     # second pass: nothing worth rewriting
     assert compact_partitions(spark, path, "day", [0, 2], target_bytes=1 << 20) == {}
+
+
+def test_partition_scratch_invisible_to_concurrent_parent_reader(spark, tmp_path):
+    # Concurrent-reader simulation across the compact_partitions swap: at
+    # the instant the scratch write has finished but the swap has not yet
+    # begun (the widest race window), a reader listing the PARENT table
+    # path must see exactly the original partitions with the original data
+    # — no phantom '{col}={val}__compacting' partition, nothing missing.
+    # Driven by monkeypatching the swap entry point, which runs on the
+    # main thread at precisely that instant.
+    from cnics_to_fhir_spark.load import maintenance
+
+    path = str(tmp_path / "t")
+    df = spark.range(3000).select(F.col("id"), (F.col("id") % 3).alias("day"))
+    df.repartition(15).write.mode("overwrite").partitionBy("day").parquet(path)
+
+    real_swap = maintenance._swap_aside
+    seen_mid_swap = []
+
+    def checking_swap(fs, jvm, tmp, dest, prev):
+        mid = spark.read.parquet(path)
+        seen_mid_swap.append(
+            (
+                sorted(r["day"] for r in mid.select("day").distinct().collect()),
+                mid.count(),
+                mid.agg(F.sum("id")).collect()[0][0],
+            )
+        )
+        real_swap(fs, jvm, tmp, dest, prev)
+
+    maintenance._swap_aside = checking_swap
+    try:
+        done = compact_partitions(spark, path, "day", [0, 1, 2], target_bytes=1 << 20)
+    finally:
+        maintenance._swap_aside = real_swap
+
+    assert set(done) == {0, 1, 2}
+    # every mid-swap read saw the intact table: all 3 partitions, all rows
+    assert seen_mid_swap == [([0, 1, 2], 3000, sum(range(3000)))] * 3
+    # and after the swaps: no scratch/aside siblings left behind
+    leftovers = [d for d in os.listdir(tmp_path) if "__compacting" in d or "__prev" in d]
+    assert leftovers == []
+    after = spark.read.parquet(path)
+    assert after.count() == 3000
+    assert sorted(r["day"] for r in after.select("day").distinct().collect()) == [0, 1, 2]
+
+
+def test_swap_crash_between_renames_loses_nothing(spark, tmp_path):
+    # Simulate a crash in the narrowest window of the rename-aside swap —
+    # after old->prev, before scratch->dest. The old partition must be
+    # fully intact at the aside path and the rewrite fully intact in
+    # scratch: recoverable by a metadata op, never stranded or deleted
+    # (the failure mode of the old delete-then-rename ordering).
+    from cnics_to_fhir_spark.load import maintenance
+
+    path = str(tmp_path / "t")
+    df = spark.range(2000).select(F.col("id"), (F.col("id") % 2).alias("day"))
+    df.repartition(10).write.mode("overwrite").partitionBy("day").parquet(path)
+    old_day0 = spark.read.parquet(os.path.join(path, "day=0"))
+    old_rows, old_sum = old_day0.count(), old_day0.agg(F.sum("id")).collect()[0][0]
+
+    real_swap = maintenance._swap_aside
+
+    def crashing_swap(fs, jvm, tmp, dest, prev):
+        os.rename(dest, prev)  # first rename lands...
+        raise IOError("simulated crash between the swap's two renames")
+
+    maintenance._swap_aside = crashing_swap
+    try:
+        import pytest
+
+        with pytest.raises(Exception, match="simulated crash"):
+            compact_partitions(spark, path, "day", [0], target_bytes=1 << 20)
+    finally:
+        maintenance._swap_aside = real_swap
+
+    prev = str(tmp_path / "t__prev_day=0")
+    scratch = str(tmp_path / "t__compacting_day=0")
+    recovered = spark.read.parquet(prev)
+    assert (recovered.count(), recovered.agg(F.sum("id")).collect()[0][0]) == (
+        old_rows,
+        old_sum,
+    )
+    rewritten = spark.read.parquet(scratch)
+    assert (rewritten.count(), rewritten.agg(F.sum("id")).collect()[0][0]) == (
+        old_rows,
+        old_sum,
+    )
+    # recovery is one metadata op; the untouched partition was never at risk
+    os.rename(prev, os.path.join(path, "day=0"))
+    after = spark.read.parquet(path)
+    assert after.count() == 2000
