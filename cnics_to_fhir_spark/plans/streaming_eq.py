@@ -27,6 +27,7 @@ HTTP writer (load/http_writer.py) without driver materialization.
 from __future__ import annotations
 
 import contextlib
+import glob
 import os
 import shutil
 import tempfile
@@ -309,8 +310,9 @@ def st03_stream_dedup_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame
 def st04_stream_session_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The custom STATEFUL operator under the oracle: gap-based
     sessionization via ``applyInPandasWithState`` (streaming/sessions.py)
-    run as a REAL 5-micro-batch stream, compared against the batch
-    lag-gap-cumsum sessionization the oracle computes.
+    run as a REAL multi-micro-batch stream (time-range slices + a
+    watermark sentinel), compared against the batch lag-gap-cumsum
+    sessionization the oracle computes.
 
     Equivalence needs time-ordered arrival per key, so the stream's files
     are TIME-RANGE SLICES written in order (slice k+1's minimum ≥ slice
@@ -325,26 +327,55 @@ def st04_stream_session_equivalence(spark: SparkSession, sf_dir: str) -> DataFra
 
     ev = table(spark, sf_dir, "events").select("user_id", "ts", "value")
     bounds = ev.agg(
-        F.min("ts").alias("mn"), F.max("ts").alias("mx")
+        F.min("ts").alias("mn"), F.max("ts").alias("mx"), F.count(F.lit(1)).alias("n")
     ).first()
     mn, mx = bounds["mn"], bounds["mx"]
     span = (mx - mn).total_seconds()
+    # Slice count scales DOWN with data volume: the equivalence property is
+    # batch-count agnostic (sessions ride the state store across any slice
+    # boundary), but each micro-batch pays a fixed toll — a state-store
+    # snapshot of every key and one Python dispatch per key with data. At
+    # verification SFs four slices exercise more boundaries; at sf10-scale
+    # (10M events × 150k keys) two slices halve that toll with identical
+    # output (hash-checked at both settings).
+    n_slices = 4 if bounds["n"] <= 2_000_000 else 2
 
     tmp = tempfile.mkdtemp(prefix="st04-")
     try:
         src, chk = os.path.join(tmp, "src"), os.path.join(tmp, "chk")
-        for k in range(4):
-            lo = mn + __import__("datetime").timedelta(seconds=span * k / 4)
-            hi = mn + __import__("datetime").timedelta(seconds=span * (k + 1) / 4)
-            cond = (F.col("ts") >= F.lit(lo)) & (
-                (F.col("ts") < F.lit(hi)) if k < 3 else (F.col("ts") <= F.lit(mx))
-            )
-            ev.filter(cond).coalesce(1).write.mode("append").parquet(src)
-            _time.sleep(1.1)  # strictly increasing mtimes ⇒ ordered batches
-        sentinel_ts = mx + __import__("datetime").timedelta(days=365)
+        # ONE partitioned pass writes all four time-range slices (the
+        # previous four filter+coalesce(1) jobs scanned events four times
+        # and serialized four single-task parquet encodes behind 1.1 s
+        # mtime sleeps — the write phase rivaled the stream itself at
+        # sf10). repartition on the slice id lands each slice in exactly
+        # one task, so partitionBy still emits ONE file per slice — the
+        # invariant that keeps slice == micro-batch — and the file-source
+        # arrival order is pinned afterwards with explicit utimes instead
+        # of sleeps.
+        td = __import__("datetime").timedelta
+        cuts = [mn + td(seconds=span * k / n_slices) for k in range(1, n_slices)]
+        slc = F.lit(n_slices - 1)
+        for k in range(n_slices - 2, -1, -1):
+            slc = F.when(F.col("ts") < F.lit(cuts[k]), k).otherwise(slc)
+        staging = os.path.join(tmp, "staging")
+        ev.withColumn("slc", slc).repartition("slc").write.partitionBy(
+            "slc"
+        ).parquet(staging)
+        os.makedirs(src, exist_ok=True)
+        base_t = _time.time()
+        for k in range(n_slices):
+            (part,) = glob.glob(os.path.join(staging, f"slc={k}", "*.parquet"))
+            dst = os.path.join(src, f"slice-{k}.parquet")
+            shutil.move(part, dst)
+            os.utime(dst, (base_t + k, base_t + k))
+        sentinel_ts = mx + td(days=365)
         spark.createDataFrame(
             [(-1, sentinel_ts, 0.0)], "user_id long, ts timestamp, value double"
-        ).coalesce(1).write.mode("append").parquet(src)
+        ).coalesce(1).write.mode("overwrite").parquet(os.path.join(tmp, "sentinel"))
+        (sent_part,) = glob.glob(os.path.join(tmp, "sentinel", "*.parquet"))
+        sent_dst = os.path.join(src, f"slice-{n_slices}-sentinel.parquet")
+        shutil.move(sent_part, sent_dst)
+        os.utime(sent_dst, (base_t + n_slices, base_t + n_slices))
 
         stream = (
             spark.readStream.schema("user_id long, ts timestamp, value double")
@@ -352,11 +383,18 @@ def st04_stream_session_equivalence(spark: SparkSession, sf_dir: str) -> DataFra
             .parquet(src)
         )
         sessions = sessionize_stream(stream, gap_minutes=30, watermark="1 hour")
-        with _state_partitions(spark), _memory_sink(spark, "st04_sink") as sink:
+        # PARQUET file sink, not memory: the memory sink accumulates every
+        # output row ON THE DRIVER and the old collect()+createDataFrame
+        # round-tripped them again — 9.5M session rows at sf10 made that
+        # driver hop the entry's dominant cost (468 s → the executor-side
+        # sink keeps the output distributed end-to-end).  localCheckpoint
+        # pins the result before the scratch dir is deleted.
+        out_dir = os.path.join(tmp, "out")
+        with _state_partitions(spark):
             q = (
                 sessions.writeStream.outputMode("append")
-                .format("memory")
-                .queryName(sink)
+                .format("parquet")
+                .option("path", out_dir)
                 .option("checkpointLocation", chk)
                 .start()
             )
@@ -364,23 +402,20 @@ def st04_stream_session_equivalence(spark: SparkSession, sf_dir: str) -> DataFra
                 q.processAllAvailable()
             finally:
                 q.stop()
-            out = (
-                spark.table(sink)
-                .filter(F.col("user_id") >= 0)
-                .select(
-                    "user_id",
-                    F.unix_timestamp("session_start").alias("start_es"),
-                    F.unix_timestamp("session_end").alias("end_es"),
-                    "n_events",
-                    F.round("total_value", 2).alias("total_value"),
-                )
+        out = (
+            spark.read.parquet(out_dir)
+            .filter(F.col("user_id") >= 0)
+            .select(
+                F.col("user_id").cast("long"),
+                F.unix_timestamp("session_start").alias("start_es"),
+                F.unix_timestamp("session_end").alias("end_es"),
+                F.col("n_events").cast("int"),
+                F.round("total_value", 2).alias("total_value"),
             )
-            rows = out.collect()
+        )
+        return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    return spark.createDataFrame(
-        rows, "user_id long, start_es long, end_es long, n_events int, total_value double"
-    )
 
 
 @query(

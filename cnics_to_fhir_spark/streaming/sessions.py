@@ -61,35 +61,74 @@ def sessionize_stream(
             yield _close(user_id, start, last, n, total)
             return
 
-        # ignore_index is load-bearing: a group arriving as SEVERAL Arrow
-        # chunks (first happens at ~10x the verification SF) would
-        # otherwise carry duplicate 0-based index labels, and the
-        # label-based ts[order] lookup below then returns every row with
-        # that label — duplicated, misordered sessions (caught by the
-        # round-6 sf10 oracle sweep: start_es > end_es rows, doubled
-        # emits; sf1 groups fit one chunk so the bug was invisible).
-        rows = pd.concat(list(pdfs), ignore_index=True)
-        ts = rows[ts_col].astype("int64") // 1_000_000_000
-        order = ts.sort_values().index
-        ts_sorted = ts[order].tolist()
-        vals = rows["value"][order].tolist()
+        import numpy as np
 
+        # This function runs once per (key, micro-batch) — 750k times for
+        # the sf10 equivalence sweep — so per-call pandas overhead is the
+        # wall-clock floor: concat only when a group really spans several
+        # Arrow chunks (the multi-chunk case is load-bearing: chunks carry
+        # duplicate 0-based index labels, and a label-based lookup then
+        # returned duplicated, misordered sessions — caught by the round-6
+        # sf10 oracle sweep; positional numpy indexing below is immune).
+        chunks = list(pdfs)
+        rows = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+        ts = rows[ts_col].to_numpy().view("int64") // 1_000_000_000
+        vals = rows["value"].to_numpy()
+        if len(ts) > 1:
+            order = np.argsort(ts, kind="stable")
+            ts_s = ts[order]
+            vals = vals[order]
+        else:
+            ts_s = ts
+
+        # Vectorized segmentation (the per-row Python loop this replaces
+        # was the sf10 wall-clock floor: 60M rows/batch-set of pure-Python
+        # iteration dominated the stream run). Integer gap comparisons and
+        # np.add.reduceat — which sums each segment SEQUENTIALLY, the same
+        # left-fold association as the loop and as the engines' SUM — keep
+        # every emitted value bit-identical to the scalar form.
         if state.exists:
             start, last, n, total = state.get
         else:
-            start, last, n, total = ts_sorted[0], ts_sorted[0], 0, 0.0
+            start, last, n, total = int(ts_s[0]), int(ts_s[0]), 0, 0.0
 
-        for t, v in zip(ts_sorted, vals):
-            if n > 0 and t - last > gap:
-                yield _close(user_id, start, last, n, total)
-                start, n, total = t, 0, 0.0
-            elif n == 0:
-                start = t
-            last, n, total = t, n + 1, total + v
+        if n > 0 and int(ts_s[0]) - last > gap:
+            # the carried open session closes before this batch's rows
+            yield _close(user_id, start, last, n, total)
+            start, n, total = int(ts_s[0]), 0, 0.0
 
-        state.update((start, last, n, total))
+        seg_first = np.flatnonzero(
+            np.concatenate(([True], (ts_s[1:] - ts_s[:-1]) > gap))
+        )
+        seg_start = ts_s[seg_first]
+        seg_end = ts_s[np.append(seg_first[1:] - 1, len(ts_s) - 1)]
+        seg_n = np.diff(np.append(seg_first, len(ts_s)))
+        seg_tot = np.add.reduceat(vals, seg_first)
+        if n > 0:  # merge the carried open session into the first segment
+            seg_start[0] = start
+            seg_n[0] += n
+            seg_tot[0] += total
+
+        if len(seg_first) > 1:  # close every segment except the last
+            yield pd.DataFrame(
+                {
+                    "user_id": np.full(len(seg_first) - 1, user_id, dtype="int64"),
+                    "session_start": seg_start[:-1]
+                    .astype("datetime64[s]")
+                    .astype("datetime64[ns]"),
+                    "session_end": seg_end[:-1]
+                    .astype("datetime64[s]")
+                    .astype("datetime64[ns]"),
+                    "n_events": seg_n[:-1].astype("int32"),
+                    "total_value": seg_tot[:-1],
+                }
+            )
+
+        state.update(
+            (int(seg_start[-1]), int(seg_end[-1]), int(seg_n[-1]), float(seg_tot[-1]))
+        )
         # close the open session when event time passes last+gap
-        state.setTimeoutTimestamp((last + gap) * 1000)
+        state.setTimeoutTimestamp((int(seg_end[-1]) + gap) * 1000)
 
     return (
         events.withWatermark(ts_col, watermark)
