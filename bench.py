@@ -141,6 +141,10 @@ HEADLINE = [
     "ann09_ivfpq_topk",
     "ev11_ewma_smoothing",
     "w07_mad_outliers",
+    # round-7 additions
+    "a20_weighted_percentiles",
+    "dq04_embedding_drift",
+    "ann10_recall_eval",
     # Iterative ops (dd06, cl01, ann04, dd09, and the round-5 additions
     # gr02/dd10/ann06 — k-means or fixpoint loops) and
     # streaming-equivalence runs

@@ -440,6 +440,77 @@ def global_rank(
     return ranked.drop("__pid"), acc
 
 
+def weighted_percentiles(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    pcts: list[int],
+    npartitions: int | None = None,
+) -> DataFrame:
+    """EXACT weighted percentiles of ``value_col`` under integer weights —
+    the quantile a quality-weighted data-mixing policy actually needs
+    (each row counts ``weight`` times; sampling temperature / dedup
+    multiplicity / token counts are all weights).  → (pct, value) rows.
+
+    Definition: the p-th weighted percentile is the smallest value v with
+    cumulative weight ≥ ceil(p·W/100), W = total weight — integer ceil
+    arithmetic ((p·W + 99) // 100), never a float threshold.
+
+    Scale shape (the same two-pass trick as ``global_rank``, applied to
+    weight sums): (1) collapse the corpus to a value→total-weight
+    HISTOGRAM (one map-side-combinable agg — the only corpus-wide scan);
+    (2) range-repartition the histogram by value, cumulative-sum weights
+    WITHIN each partition (parallel windows), and add per-partition
+    weight totals round-tripped once through the driver (npartitions
+    longs) as prefix offsets — the exact global cumulative weight with no
+    single-task global window.  Each requested percentile then matches
+    exactly one histogram row via the half-open interval
+    cum − w < target ≤ cum against a broadcast O(|pcts|) target table."""
+    spark = df.sparkSession
+    n = npartitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    hist = df.groupBy(value_col).agg(
+        F.sum(F.col(weight_col).cast("long")).alias("__w")
+    )
+    r = (
+        hist.repartitionByRange(n, F.col(value_col))
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    ptot = {
+        row["__pid"]: row["w"]
+        for row in r.groupBy("__pid").agg(F.sum("__w").alias("w")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(ptot):
+        offsets[pid] = acc
+        acc += ptot[pid]
+    total_w = acc
+    if total_w == 0:
+        return spark.createDataFrame([], "pct long, value double")
+    off_expr = F.create_map(
+        *[x for pid in sorted(offsets) for x in (F.lit(pid), F.lit(offsets[pid]))]
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = r.withColumn(
+        "__cum", F.sum("__w").over(w) + off_expr[F.col("__pid")].cast("long")
+    )
+    targets = spark.createDataFrame(
+        [(p, (p * total_w + 99) // 100) for p in pcts], "pct long, __t long"
+    )
+    return (
+        cum.join(
+            F.broadcast(targets),
+            (F.col("__t") <= F.col("__cum"))
+            & (F.col("__t") > F.col("__cum") - F.col("__w")),
+        )
+        .select("pct", F.col(value_col).alias("value"))
+    )
+
+
 def global_ntile(
     df: DataFrame,
     order_cols: list[str],

@@ -281,3 +281,75 @@ def mad_outliers(
             ).alias("n_outliers")
         )
     )
+
+
+def embedding_mean_shift(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    group_col: str = "label",
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """Embedding-space drift between two corpus snapshots: per group, the
+    component-wise shift between the mean vector of snapshot A (even ids)
+    and snapshot B (odd ids) — the retraining trigger an embedding-backed
+    pipeline watches (a centroid that moved means the encoder, the corpus,
+    or both changed under the index).
+    → (group, n_a, n_b, linf_shift_q, l1_shift_q), shifts in 1/``quant``
+    units of embedding magnitude.
+
+    Determinism: each component is quantized to an integer
+    floor(x·quant + 0.5) BEFORE any aggregation, so the per-(group, dim)
+    sums are exact integers whatever the partition/evaluation order; the
+    per-dim mean shift is the integer cross-multiplication
+    |sa·cb − sb·ca| with ONE correctly-rounded float division, and the
+    L∞/L1 reductions are integer max/sum — both engines agree
+    bit-for-bit (the same order-independence trick as psi_drift's
+    integer counts and ks_drift's cross-multiplied ECDF gap).
+
+    Scale shape: posexplode fans each row into ``dim`` (pos, component)
+    rows — a NARROW 64× expansion feeding one map-side-combinable
+    (group, half, pos) sum, so the only shuffle is O(groups × dims) — and
+    the final per-group reduction is over ≤ dims rows per group. Nothing
+    is ever keyed by row id and no vector rides a shuffle."""
+    half = (F.col(id_col) % 2 == 0).alias("is_a")
+    comp = df.select(
+        F.col(group_col).alias("grp"),
+        half,
+        F.posexplode(vec_col).alias("pos", "x"),
+    ).select(
+        "grp",
+        "is_a",
+        "pos",
+        F.floor(F.col("x").cast("double") * quant + F.lit(0.5))
+        .cast("long")
+        .alias("xq"),
+    )
+    per_dim = comp.groupBy("grp", "pos").agg(
+        F.sum(F.when(F.col("is_a"), F.col("xq")).otherwise(0)).alias("sa"),
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(~F.col("is_a"), F.col("xq")).otherwise(0)).alias("sb"),
+        F.sum(F.when(~F.col("is_a"), 1).otherwise(0)).alias("cb"),
+    )
+    # Per-dim mean shift |sa/ca − sb/cb| via the integer cross-
+    # multiplication |sa·cb − sb·ca| (exact; integer floor/truncating
+    # division is NOT used because Spark's DIV truncates toward zero
+    # while floor division rounds toward −∞ — they disagree on negative
+    # sums) followed by ONE correctly-rounded float division per dim —
+    # identical IEEE doubles on both engines (ks_drift's pattern).
+    # Long-overflow bound: |sa·cb| ≤ n²·max|x|·quant — fine through ~1e6
+    # rows/group at |x| ≤ 4; beyond that, sample per group first.
+    shift = F.floor(
+        F.abs(F.col("sa") * F.col("cb") - F.col("sb") * F.col("ca")).cast("double")
+        / (F.col("ca") * F.col("cb")).cast("double")
+    ).cast("long")
+    return (
+        per_dim.filter((F.col("ca") > 0) & (F.col("cb") > 0))
+        .groupBy(F.col("grp").alias(group_col))
+        .agg(
+            F.first("ca").alias("n_a"),
+            F.first("cb").alias("n_b"),
+            F.max(shift).alias("linf_shift_q"),
+            F.sum(shift).alias("l1_shift_q"),
+        )
+    )

@@ -607,3 +607,39 @@ def filtered_ivf_topk(
     return ivf_topk(
         filtered, queries, k=k, id_col=id_col, vec_col=vec_col, cell_col=cell_col
     )
+
+
+def recall_at_k(
+    approx: DataFrame,
+    exact: DataFrame,
+    k: int,
+    query_col: str = "query_id",
+    neighbor_col: str = "neighbor_id",
+) -> DataFrame:
+    """Recall@k of an approximate top-k result against its exact
+    ground truth — the acceptance metric an ANN index ships with (an
+    IVF/PQ/LSH index is only "built" once its recall on a query sample is
+    known; this is the evaluation pass a pipeline runs after every index
+    rebuild or quantizer retrain).
+    → (query_id, n_hits, recall), recall = n_hits/k.
+
+    Both inputs are O(queries × k) rows — tiny next to the searches that
+    produced them — so every join here is on pre-shrunk frames: one
+    (query, neighbor)-keyed inner join counts hits, one left join from
+    the exact side's query list keeps 0-recall queries visible (an
+    inner-join-only recall silently drops the worst queries — precisely
+    the ones the metric exists to expose)."""
+    hits = (
+        approx.select(query_col, neighbor_col)
+        .join(exact.select(query_col, neighbor_col), [query_col, neighbor_col])
+        .groupBy(query_col)
+        .agg(F.count(F.lit(1)).cast("int").alias("n_hits"))
+    )
+    qs = exact.select(query_col).distinct()
+    return qs.join(hits, query_col, "left").select(
+        query_col,
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("int").alias("n_hits"),
+        (F.coalesce(F.col("n_hits"), F.lit(0)).cast("double") / F.lit(float(k))).alias(
+            "recall"
+        ),
+    )

@@ -135,11 +135,18 @@ _PRIORITY: tuple[str, ...] = (
 # Catalog entries that have never appeared in any CORRECTNESS_r0*.json
 # (the driver's independent gate). Recompute after each round:
 #   catalog keys - union(CORRECTNESS_r01..r0N keys).
-# As of round 7 these are the 38 entries (29 carried from rounds 1-5 +
-# 9 added in round 6) — ALL of them sit inside the round-7 _PRIORITY
-# prefix above, so once CORRECTNESS_r07.json lands green this tuple
-# should be recomputed and become empty.
+# As of round 7 this holds the 38 backlog entries (29 carried from
+# rounds 1-5 + 9 added in round 6) — ALL inside the round-7 _PRIORITY
+# prefix above — plus the 3 entries round 7 itself added.  Once
+# CORRECTNESS_r07.json lands green, recompute: the 38 clear and only the
+# round-7 trio remains for the round-8 rotation.
 _NEVER_DRIVER_VERIFIED: tuple[str, ...] = (
+    # round-7 additions (new this round; they sit OUTSIDE the fixed
+    # 50-entry round-7 prefix above and rotate into round 8's prefix —
+    # the normal one-round cadence for new entries)
+    "a20_weighted_percentiles",
+    "dq04_embedding_drift",
+    "ann10_recall_eval",
     # round-6 additions (new that round, by definition never driven)
     "dq02_ks_drift",
     "ev10_funnel_latency",

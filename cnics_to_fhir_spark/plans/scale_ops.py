@@ -4836,3 +4836,175 @@ def w07_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mad_outliers(
         table(spark, sf_dir, "events"), value_col="value", group_col="event_type", k=3.0
     )
+
+
+# ---------------------------------------------------------------------------
+# a20 — exact weighted percentiles (range-partitioned prefix-sum, no global
+# window)
+# ---------------------------------------------------------------------------
+@query(
+    "a20_weighted_percentiles",
+    tags="A5 W DS O1",
+    oracle="""
+        WITH hist AS (
+            SELECT l_extendedprice AS v,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+            FROM lineitem GROUP BY 1
+        ),
+        tot AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM hist),
+        cum AS (
+            SELECT v, w,
+                   SUM(w) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS c
+            FROM hist
+        ),
+        t AS (SELECT CAST(UNNEST([25, 50, 75, 90, 99]) AS BIGINT) AS pct)
+        SELECT t.pct, cum.v AS value
+        FROM t, tot, cum
+        WHERE (t.pct*tot.tw + 99)//100 <= cum.c
+          AND (t.pct*tot.tw + 99)//100 > cum.c - cum.w
+    """,
+)
+def a20_weighted_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT weighted percentiles of l_extendedprice under l_quantity
+    weights — the quantile a quality-weighted mixing policy needs (rows
+    count ``weight`` times: sampling temperature, dedup multiplicity,
+    token counts).  w06's unweighted trick does not transfer — a weighted
+    rank needs a cumulative WEIGHT, not a row number — so this is the
+    two-pass range-partitioned PREFIX-SUM: value→weight histogram (one
+    map-side-combinable corpus scan), then per-partition cumulative
+    windows plus driver-round-tripped per-partition totals as offsets; no
+    single-task global window anywhere.  Percentile targets are integer
+    ceil((p·W)/100); weights sum as longs (l_quantity is integral, so the
+    pre-sum long cast is exact in both engines)
+    (operators/dataset.py weighted_percentiles)."""
+    from cnics_to_fhir_spark.operators.dataset import weighted_percentiles
+
+    li = table(spark, sf_dir, "lineitem").select("l_extendedprice", "l_quantity")
+    return weighted_percentiles(
+        li, value_col="l_extendedprice", weight_col="l_quantity",
+        pcts=[25, 50, 75, 90, 99],
+    ).select("pct", "value")
+
+
+# ---------------------------------------------------------------------------
+# dq04 — embedding-space drift between corpus snapshots (integer-exact)
+# ---------------------------------------------------------------------------
+@query(
+    "dq04_embedding_drift",
+    tags="DQ ANN A5 F18",
+    oracle="""
+        WITH comp AS (
+            SELECT e.label AS grp, e.vec_id % 2 = 0 AS is_a, t.pos,
+                   CAST(FLOOR(CAST(e.embedding[t.pos] AS DOUBLE)*1e6 + 0.5)
+                        AS BIGINT) AS xq
+            FROM embeddings e,
+                 UNNEST(range(1, len(e.embedding) + 1)) AS t(pos)
+        ),
+        per_dim AS (
+            SELECT grp, pos,
+                   SUM(CASE WHEN is_a THEN xq ELSE 0 END) AS sa,
+                   SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS ca,
+                   SUM(CASE WHEN NOT is_a THEN xq ELSE 0 END) AS sb,
+                   SUM(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS cb
+            FROM comp GROUP BY 1, 2
+        )
+        SELECT grp AS label,
+               CAST(ANY_VALUE(ca) AS BIGINT) AS n_a,
+               CAST(ANY_VALUE(cb) AS BIGINT) AS n_b,
+               CAST(MAX(FLOOR(CAST(ABS(sa*cb - sb*ca) AS DOUBLE)
+                              / CAST(ca*cb AS DOUBLE))) AS BIGINT)
+                   AS linf_shift_q,
+               CAST(SUM(FLOOR(CAST(ABS(sa*cb - sb*ca) AS DOUBLE)
+                              / CAST(ca*cb AS DOUBLE))) AS BIGINT)
+                   AS l1_shift_q
+        FROM per_dim
+        WHERE ca > 0 AND cb > 0
+        GROUP BY 1
+    """,
+)
+def dq04_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift per label between two corpus snapshots (even
+    vs odd vec_id — the deterministic stand-in for crawl N vs crawl N+1):
+    component-wise centroid shift in integer micro-units, L∞ and L1
+    reduced per label.  A moved centroid is the retraining trigger for
+    every consumer of the embedding column (the IVF cells of ann03-09,
+    dd05's blocking, cl01's quantizer).  Components quantize to integers
+    BEFORE any aggregation and the mean shift is the cross-multiplication
+    |sa·cb − sb·ca| with one correctly-rounded float division per dim, so
+    both engines agree bit-for-bit regardless of partition order; the
+    only shuffle is O(labels × dims) (operators/drift.py
+    embedding_mean_shift)."""
+    from cnics_to_fhir_spark.operators.drift import embedding_mean_shift
+
+    return embedding_mean_shift(
+        table(spark, sf_dir, "embeddings"),
+        id_col="vec_id", vec_col="embedding", group_col="label",
+    )
+
+
+# ---------------------------------------------------------------------------
+# ann10 — recall@k of the IVF index against exact ground truth
+# ---------------------------------------------------------------------------
+@query(
+    "ann10_recall_eval",
+    tags="ANN-eval J1 W A5",
+    oracle="""
+        WITH q AS (
+            SELECT vec_id AS query_id, label, CAST(embedding AS DOUBLE[]) AS qv
+            FROM embeddings WHERE vec_id < 8
+        ),
+        c AS (
+            SELECT vec_id AS neighbor_id, label, CAST(embedding AS DOUBLE[]) AS cv
+            FROM embeddings
+        ),
+        exact AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT q.query_id, c.neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                           FLOOR((list_dot_product(q.qv, c.cv)
+                                 / (SQRT(list_dot_product(q.qv, q.qv))
+                                    * SQRT(list_dot_product(c.cv, c.cv))))*1e6 + 0.5)/1e6
+                               DESC,
+                           c.neighbor_id) AS r
+                FROM q JOIN c ON c.neighbor_id <> q.query_id
+            ) WHERE r <= 5
+        ),
+        approx AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT q.query_id, c.neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                           FLOOR((list_dot_product(q.qv, c.cv)
+                                 / (SQRT(list_dot_product(q.qv, q.qv))
+                                    * SQRT(list_dot_product(c.cv, c.cv))))*1e6 + 0.5)/1e6
+                               DESC,
+                           c.neighbor_id) AS r
+                FROM q JOIN c ON q.label = c.label AND c.neighbor_id <> q.query_id
+            ) WHERE r <= 5
+        ),
+        hits AS (
+            SELECT e.query_id, CAST(COUNT(*) AS INTEGER) AS n_hits
+            FROM approx a JOIN exact e USING (query_id, neighbor_id)
+            GROUP BY 1
+        )
+        SELECT g.query_id,
+               CAST(COALESCE(h.n_hits, 0) AS INTEGER) AS n_hits,
+               CAST(COALESCE(h.n_hits, 0) AS DOUBLE)/5 AS recall
+        FROM (SELECT DISTINCT query_id FROM exact) g
+        LEFT JOIN hits h USING (query_id)
+    """,
+)
+def ann10_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the IVF cell-probe index (ann03's search) against the
+    exact brute-force top-5 (ann01's), per query — the acceptance gate an
+    index rebuild ships with; run it after every quantizer retrain
+    (cl01/dq04 tell you WHEN, this tells you HOW MUCH recall the new
+    cells cost).  Both top-k frames are O(queries × k), so the evaluation
+    is free next to the searches; 0-recall queries stay visible via the
+    left join (operators/similarity.py recall_at_k)."""
+    from cnics_to_fhir_spark.operators import similarity
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = similarity.cosine_topk(emb, queries, k=5)
+    approx = similarity.ivf_topk(emb, queries, k=5)
+    return similarity.recall_at_k(approx, exact, k=5)

@@ -355,3 +355,47 @@ def test_ewma_daily_counts_rejects_bad_lags(spark):
         ewma_daily_counts(df, n_lags=0)
     with pytest.raises(ValueError):
         ewma_daily_counts(df, n_lags=21)
+
+
+def test_weighted_percentiles_hand_computed(spark):
+    # values 10,20,30 with weights 1,2,7 -> W=10; targets: ceil(p*W/100):
+    # p25 -> 3 -> first value whose cumweight (1,3,10) >= 3 is 20
+    # p50 -> 5 -> 30; p90 -> 9 -> 30; p99 -> 10 -> 30; p10 -> 1 -> 10
+    from cnics_to_fhir_spark.operators.dataset import weighted_percentiles
+
+    df = spark.createDataFrame(
+        [(10.0, 1), (20.0, 2), (30.0, 3), (30.0, 4)], "v double, w long"
+    )
+    got = {
+        r["pct"]: r["value"]
+        for r in weighted_percentiles(df, "v", "w", [10, 25, 50, 90, 99]).collect()
+    }
+    assert got == {10: 10.0, 25: 20.0, 50: 30.0, 90: 30.0, 99: 30.0}
+
+
+def test_weighted_percentiles_matches_naive_across_partitions(spark):
+    # prefix offsets must be exact when the histogram spans partitions:
+    # force a tiny partition count and compare against a naive local
+    # computation of the same ceil-rank definition.
+    from cnics_to_fhir_spark.operators.dataset import weighted_percentiles
+
+    rows = [(float(v % 37), (v % 5) + 1) for v in range(500)]
+    df = spark.createDataFrame(rows, "v double, w long").repartition(7)
+    got = {
+        r["pct"]: r["value"]
+        for r in weighted_percentiles(df, "v", "w", [1, 50, 95], npartitions=3).collect()
+    }
+    agg = {}
+    for v, w in rows:
+        agg[v] = agg.get(v, 0) + w
+    total = sum(agg.values())
+    expected = {}
+    for p in (1, 50, 95):
+        target = (p * total + 99) // 100
+        c = 0
+        for v in sorted(agg):
+            c += agg[v]
+            if c >= target:
+                expected[p] = v
+                break
+    assert got == expected

@@ -518,3 +518,20 @@ def test_ivfpq_cell_prune_excludes_other_cells(spark):
         spark, df, q, n_sub=2, dim=2, k_codes=2, topk=3
     ).collect()
     assert plain[0]["neighbor_id"] == 1  # unpruned PQ would have kept it
+
+
+def test_recall_at_k_counts_and_keeps_zero_recall_queries(spark):
+    from cnics_to_fhir_spark.operators import similarity
+
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20), (2, 21)], "query_id long, neighbor_id long"
+    )
+    # query 1: one of two right; query 2: none right -> must still appear
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 99), (2, 98), (2, 99)], "query_id long, neighbor_id long"
+    )
+    got = {
+        r["query_id"]: (r["n_hits"], r["recall"])
+        for r in similarity.recall_at_k(approx, exact, k=2).collect()
+    }
+    assert got == {1: (1, 0.5), 2: (0, 0.0)}

@@ -91,3 +91,28 @@ def test_ks_drift_all_null_group_dropped(spark):
     rows = [("g", None, True), ("g", None, False)]
     df = spark.createDataFrame(rows, "grp string, v double, is_base boolean")
     assert ks_drift(df, value_col="v", group_col="grp", baseline_col="is_base").count() == 0
+
+
+def test_embedding_mean_shift_hand_computed(spark):
+    # label 'x': snapshot A (even ids) vectors [1.0, 0.0] and [3.0, 0.0]
+    #   -> quantized sums sa = (1e6 + 3e6, 0), ca = 2
+    # snapshot B (odd ids) vector [1.0, 4.0] -> sb = (1e6, 4e6), cb = 1
+    # dim0 shift = |4e6*1 - 1e6*2| / 2 = 1_000_000; dim1 = |0 - 8e6|/2 = 4e6
+    # linf = 4e6, l1 = 5e6
+    from cnics_to_fhir_spark.operators.drift import embedding_mean_shift
+
+    df = spark.createDataFrame(
+        [
+            (0, "x", [1.0, 0.0]),
+            (2, "x", [3.0, 0.0]),
+            (1, "x", [1.0, 4.0]),
+            (5, "y", [1.0, 1.0]),  # one-sided label: dropped
+        ],
+        "vec_id long, label string, embedding array<double>",
+    )
+    rows = embedding_mean_shift(df, group_col="label").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["label"], r["n_a"], r["n_b"]) == ("x", 2, 1)
+    assert r["linf_shift_q"] == 4_000_000
+    assert r["l1_shift_q"] == 5_000_000
