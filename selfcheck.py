@@ -47,11 +47,20 @@ def sort_rows(df: pd.DataFrame) -> pd.DataFrame:
 
 def value_hash(df: pd.DataFrame) -> str:
     """Order-insensitive multiset digest: hash each row, sort the hash
-    array, digest it. astype(str) first — "1" vs "1.0" must differ, and
-    normalize() has already made matching dtypes identical."""
+    array, digest it. Stringify first — "1" vs "1.0" must differ, and
+    normalize() has already made matching dtypes identical.  Columns that
+    are ALREADY strings (normalize stringified objects/timestamps) are
+    reused by reference: re-running astype(str) over a multi-GiB JSON
+    column doubled the compare's peak RSS for the wide e2e entries."""
     import hashlib
 
-    h = pd.util.hash_pandas_object(df.astype(str), index=False).values.copy()
+    cols = {
+        c: (df[c] if df[c].dtype == object else df[c].astype(str))
+        for c in df.columns
+    }
+    h = pd.util.hash_pandas_object(
+        pd.DataFrame(cols, copy=False), index=False
+    ).values.copy()
     h.sort()
     return hashlib.md5(h.tobytes()).hexdigest()
 
@@ -169,7 +178,13 @@ def main() -> int:
             )
             flush_sidecar()
             return
-        s_n, o_n = normalize(sdf), normalize(odf)
+        # normalize() copies; drop each original immediately after so the
+        # peak live set is 3 frames, not 5 (sdf + its copy + odf + its
+        # copy + the pipeline's next result OOM-killed the sf10 sweep)
+        s_n = normalize(sdf)
+        sdf = None  # noqa: F841 — release the pre-normalize original
+        o_n = normalize(odf)
+        odf = None  # noqa: F841
         problems = []
         if len(s_n) != len(o_n):
             problems.append(f"rowcount spark={len(s_n)} oracle={len(o_n)}")
@@ -221,8 +236,27 @@ def main() -> int:
         while True:
             item = q.get()
             if item is None:
+                q.task_done()
                 return
-            compare(*item)
+            try:
+                compare(*item)
+            finally:
+                # release the result BEFORE task_done: the next q.get()
+                # blocks, and a loop variable still pinning a multi-GiB
+                # frame across that wait defeats the q.join() governor
+                item = None
+                q.task_done()
+
+    # Memory governor: the two-stage pipeline holds up to THREE collected
+    # results at once (one queued, one being compared, one being built) —
+    # fine for normal entries, fatal when several multi-GiB wide-JSON
+    # frames are adjacent (the sf10 one-invocation sweep OOM-killed at
+    # 76 GB RSS with e2e01-04 in flight together).  After handing off a
+    # result bigger than this row threshold, the main thread WAITS for the
+    # compare queue to drain, bounding the peak to one big spark frame +
+    # its oracle frame.  Costs pipelining only on the handful of huge
+    # entries, where the compare dominates anyway.
+    big_rows = int(os.environ.get("SPARK_GRAFT_BIG_RESULT_ROWS", "2000000"))
 
     worker = threading.Thread(target=consumer, daemon=True)
     worker.start()
@@ -254,7 +288,11 @@ def main() -> int:
             )
             flush_sidecar()
             continue
+        is_big = len(sdf) > big_rows
         q.put((name, e, sdf, t_spark))
+        del sdf  # the queue owns the only reference now
+        if is_big:
+            q.join()
     q.put(None)
     worker.join()
     print(f"\n{n_run - len(failures)}/{n_run} passed ({len(entries)} in catalog)")
