@@ -259,3 +259,76 @@ def compact_partitions(
         )
         out[val] = plan
     return out
+
+
+def recover_compaction_leftovers(spark: SparkSession, table: str) -> dict[str, list[str]]:
+    """Crash recovery + GC for the rename-aside swap's leftovers.
+
+    ``_swap_aside`` guarantees a crash never LOSES bytes, but it can leave
+    them parked: ``…__prev*`` trees (crash after the new tree went live but
+    before cleanup — or mid-swap, with the table missing at its path) and
+    ``…__compacting*`` scratch trees (crash before the swap started).  This
+    sweep finishes what the crashed run could not, in the only safe order:
+
+    - ``__prev`` with the destination PRESENT → the new tree is live; the
+      parked old tree is garbage → delete it (finishing the crashed run's
+      last step).
+    - ``__prev`` with the destination ABSENT → the crash hit between the
+      two renames; the parked tree IS the table → rename it back
+      (rollback, zero data loss).
+    - ``__compacting`` scratch → the rewrite never went live; the source
+      is still intact at the destination → delete the scratch.  (If the
+      destination is also gone, the scratch is the only copy: it is NOT
+      deleted — reported under ``kept`` for operator attention instead of
+      silently destroyed.)
+
+    Run it on ingest startup, before any new compaction of the same table —
+    never concurrently with one (it would mistake a live run's scratch for
+    a leftover).  Returns {rolled_back, cleaned, kept} path lists so the
+    caller's logs state exactly what happened."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    base = table.rstrip("/")
+    parent = jvm.org.apache.hadoop.fs.Path(base).getParent()
+    fs = jvm.org.apache.hadoop.fs.Path(base).getFileSystem(conf)
+    name = jvm.org.apache.hadoop.fs.Path(base).getName()
+
+    rolled_back: list[str] = []
+    cleaned: list[str] = []
+    kept: list[str] = []
+    if not fs.exists(parent):
+        return {"rolled_back": rolled_back, "cleaned": cleaned, "kept": kept}
+    leftovers = []
+    for status in fs.listStatus(parent):
+        p = status.getPath()
+        n = p.getName()
+        if n.startswith(name + "__"):
+            leftovers.append((p, n[len(name):]))
+    # all __prev rollbacks FIRST: a mid-swap crash leaves both a parked
+    # __prev tree and a scratch tree for the same destination, and the
+    # scratch's fate (garbage vs only-copy) depends on the rollback having
+    # restored the destination before the scratch is judged
+    for p, marker in sorted(leftovers, key=lambda t: not t[1].startswith("__prev")):
+        # map the leftover back to its destination: table__prev -> table;
+        # table__prev_col=val -> table/col=val (partition-scoped swaps put
+        # their aside trees NEXT TO the table dir, not inside it)
+        if marker.startswith("__prev"):
+            suffix = marker[len("__prev"):]
+            dest = base if not suffix else f"{base}/{suffix[1:]}"
+            p_dest = jvm.org.apache.hadoop.fs.Path(dest)
+            if fs.exists(p_dest):
+                fs.delete(p, True)
+                cleaned.append(p.toString())
+            else:
+                if not fs.rename(p, p_dest):
+                    raise IOError(f"recovery rollback failed: {p} -> {dest}")
+                rolled_back.append(dest)
+        elif marker.startswith("__compacting"):
+            suffix = marker[len("__compacting"):]
+            dest = base if not suffix else f"{base}/{suffix[1:]}"
+            if fs.exists(jvm.org.apache.hadoop.fs.Path(dest)):
+                fs.delete(p, True)
+                cleaned.append(p.toString())
+            else:
+                kept.append(p.toString())
+    return {"rolled_back": rolled_back, "cleaned": cleaned, "kept": kept}

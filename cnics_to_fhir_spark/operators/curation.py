@@ -246,3 +246,45 @@ def domain_cap(
             F.col("n_domain").cast("long").alias("n_domain"),
         )
     )
+
+
+def k_anonymize(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int,
+    id_col: str = "doc_id",
+    token: str = "*",
+    broadcast_counts: bool = True,
+) -> DataFrame:
+    """k-anonymity generalization over a quasi-identifier tuple: rows whose
+    (quasi_cols) group holds fewer than ``k`` rows get EVERY quasi column
+    generalized to ``token``; rows in groups of >= k keep their values.
+
+    The privacy gate a corpus release runs before the PII regexes (dc02)
+    ever see a document: rare attribute COMBINATIONS re-identify even when
+    each value alone is common, so the unit of suppression is the tuple,
+    not the column.  Output: (id, <col>_k per quasi column, n_group,
+    is_anonymous) — n_group is the pre-generalization group size, so the
+    accounting states exactly what the gate saw (no silent suppression).
+
+    Scale shape: one map-side-combinable groupBy builds the
+    (distinct-quasi-tuple → count) table; each row then needs only ITS
+    tuple's count, a lookup join.  With a low-cardinality tuple (language
+    × source here) the counts table broadcasts and the corpus never
+    shuffles; for high-cardinality tuples (zip × birth-year at 100 TB)
+    pass ``broadcast_counts=False`` and the join shuffles both sides on
+    the tuple — still one shuffle of the corpus, never a window.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    counts = df.groupBy(*quasi_cols).agg(F.count(F.lit(1)).alias("n_group"))
+    if broadcast_counts:
+        counts = F.broadcast(counts)
+    keep = F.col("n_group") >= k
+    sel = [F.col(id_col)]
+    sel += [
+        F.when(keep, F.col(c)).otherwise(F.lit(token)).alias(f"{c}_k")
+        for c in quasi_cols
+    ]
+    sel += [F.col("n_group").cast("long").alias("n_group"), keep.alias("is_anonymous")]
+    return df.join(counts, on=list(quasi_cols), how="inner").select(*sel)

@@ -643,3 +643,92 @@ def recall_at_k(
             "recall"
         ),
     )
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    pool: int = 20,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance diversified top-k: select ``k`` of each
+    query's top-``pool`` exact candidates greedily by
+    ``lam·rel(c) − (1−lam)·max_{s∈selected} sim(c, s)``.
+
+    Plain top-k hands back ``k`` near-copies when the corpus has dup
+    clusters (dd05's exhibit); retrieval-augmented data selection and
+    hard-negative curation (mn01) want RELEVANT-BUT-DIVERSE sets, which is
+    exactly MMR.  The greedy argmax is inherently sequential, so the split
+    is: candidate generation stays fully distributed (``cosine_topk`` at
+    k=pool — one corpus scan, never shuffled), and the rerank runs per
+    query inside ``applyInPandas`` over groups of only ``pool`` rows —
+    numpy does the pool×pool sim matrix per group; no driver collect, one
+    shuffle of O(queries × pool) candidate rows.
+
+    Determinism: candidate relevance reuses cosine_topk's 6-dp rounded
+    sims; pairwise sims and MMR scores quantize to 1e-6 before every
+    argmax; ties break on neighbor id.  → (query_id, neighbor_id,
+    cosine_sim, mmr_rank, mmr_score), mmr_rank 1..k in selection order.
+    Greedy selection is not SQL-expressible — correctness is pinned by
+    pytest against an independent pure-numpy reference
+    (tests/test_dedup.py)."""
+    import numpy as np
+    import pandas as pd
+
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    cands = cosine_topk(corpus, queries, k=pool, id_col=id_col, vec_col=vec_col)
+    vecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__vec")
+    )
+    joined = cands.join(vecs, "neighbor_id").select(
+        "query_id", "neighbor_id", "cosine_sim", "__vec"
+    )
+
+    out_schema = (
+        "query_id long, neighbor_id long, cosine_sim double, "
+        "mmr_rank int, mmr_score double"
+    )
+
+    def rerank(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["cosine_sim", "neighbor_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        mat = np.asarray(list(pdf["__vec"]), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0.0] = 1.0
+        unit = mat / norms[:, None]
+        pair = np.floor(unit @ unit.T * 1e6 + 0.5) / 1e6
+        rel = pdf["cosine_sim"].to_numpy()
+        ids = pdf["neighbor_id"].to_numpy()
+        n = len(pdf)
+        selected: list[int] = []
+        scores: list[float] = []
+        remaining = np.ones(n, dtype=bool)
+        for _ in range(min(k, n)):
+            if selected:
+                div = pair[:, selected].max(axis=1)
+            else:
+                div = np.zeros(n)
+            score = np.floor((lam * rel - (1.0 - lam) * div) * 1e6 + 0.5) / 1e6
+            score_m = np.where(remaining, score, -np.inf)
+            best = score_m.max()
+            pick = int(np.flatnonzero(score_m == best)[ids[score_m == best].argmin()])
+            selected.append(pick)
+            scores.append(float(score[pick]))
+            remaining[pick] = False
+        sel = pdf.iloc[selected]
+        return pd.DataFrame(
+            {
+                "query_id": sel["query_id"].to_numpy(),
+                "neighbor_id": sel["neighbor_id"].to_numpy(),
+                "cosine_sim": sel["cosine_sim"].to_numpy(),
+                "mmr_rank": np.arange(1, len(selected) + 1, dtype=np.int32),
+                "mmr_score": np.asarray(scores),
+            }
+        )
+
+    return joined.groupBy("query_id").applyInPandas(rerank, out_schema)

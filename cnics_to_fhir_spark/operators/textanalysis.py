@@ -496,3 +496,78 @@ def bpe_encode_counts(
             F.sum("n_syms").cast("long").alias("n_bpe_tokens"),
         )
     )
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "lang",
+    top_n: int = 100,
+) -> DataFrame:
+    """Zipf's-law fit per group: the least-squares slope of ln(freq) vs
+    ln(rank) over each group's top-``top_n`` token ranks, with intercept.
+
+    The tokenizer-health / corpus-naturalness gauge: natural language sits
+    near slope −1; machine-generated spam, template boilerplate, and
+    broken encodings bend the rank-frequency line, so a per-language slope
+    drifting between crawls is a curation alarm (pairs with dq01's PSI and
+    tx01's profile).
+
+    Determinism design (tx07's micro-nat idea applied to regression):
+    ln(rank) and ln(freq) are each quantized ONCE to integer micro-nats;
+    all five regression sums (n, Σx, Σy, Σxy, Σx²) then accumulate as
+    exact BIGINTs — order-independent on both engines.  With x,y ≤
+    ln(2⁶³)·1e6 < 4.4e7 and top_n ≤ 10⁴ the sums stay < 2⁶³.  The slope
+    and intercept are each ONE float expression over those exact sums
+    (slope = (nΣxy−ΣxΣy)/(nΣx²−Σx²); intercept = (Σy−slope·Σx)/n, both in
+    micro-nats), then rounded to 1e-6 — correctly-rounded IEEE ops over
+    identical inputs, so both engines agree bit-for-bit.
+
+    Scale shape: explode → map-side-combined (group, token) count agg —
+    state bounded by vocabulary, not corpus.  The per-group rank window
+    runs over the VOCAB histogram (≤ distinct tokens per group) and only
+    ``top_n`` rows survive into the O(groups) regression agg.  At a
+    web-scale vocab the top-N selection should switch to the two-phase
+    histogram cut (domain_cap's); at tokenizer-budget N this is the
+    standard tx04/tx05 shape.
+    → (group, n_ranks, slope, intercept)."""
+    toks = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    freq = toks.groupBy("grp", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("grp").orderBy(F.col("cnt").desc(), F.col("tok").asc())
+    ranked = (
+        freq.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+        .select(
+            "grp",
+            F.floor(F.log(F.col("rank").cast("double")) * 1e6 + F.lit(0.5))
+            .cast("long")
+            .alias("xq"),
+            F.floor(F.log(F.col("cnt").cast("double")) * 1e6 + F.lit(0.5))
+            .cast("long")
+            .alias("yq"),
+        )
+    )
+    agg = ranked.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("xq").alias("sx"),
+        F.sum("yq").alias("sy"),
+        F.sum(F.col("xq") * F.col("yq")).alias("sxy"),
+        F.sum(F.col("xq") * F.col("xq")).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = num.cast("double") / den.cast("double")
+    intercept = (
+        (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+        / F.col("n").cast("double")
+        / 1e6
+    )
+    return agg.filter(den != 0).select(
+        F.col("grp").alias(group_col),
+        F.col("n").alias("n_ranks"),
+        stable_round(slope, 6).alias("slope"),
+        stable_round(intercept, 6).alias("intercept"),
+    )

@@ -5008,3 +5008,273 @@ def ann10_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = similarity.cosine_topk(emb, queries, k=5)
     approx = similarity.ivf_topk(emb, queries, k=5)
     return similarity.recall_at_k(approx, exact, k=5)
+
+
+# ---------------------------------------------------------------------------
+# dc04 — k-anonymity generalization over a quasi-identifier tuple
+# ---------------------------------------------------------------------------
+@query(
+    "dc04_k_anonymity",
+    tags="DC A5 J8",
+    oracle="""
+        WITH g AS (
+            SELECT lang, source, COUNT(*) AS n_group
+            FROM documents GROUP BY 1, 2
+        )
+        SELECT d.doc_id,
+               CASE WHEN g.n_group >= 5 THEN d.lang ELSE '*' END AS lang_k,
+               CASE WHEN g.n_group >= 5 THEN d.source ELSE '*' END AS source_k,
+               CAST(g.n_group AS BIGINT) AS n_group,
+               g.n_group >= 5 AS is_anonymous
+        FROM documents d
+        JOIN g USING (lang, source)
+    """,
+)
+def dc04_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity (k=5) over the (lang, source) quasi-identifier tuple:
+    docs in tuples rarer than 5 get BOTH attributes generalized to '*' —
+    rare combinations re-identify even when each value alone is common, so
+    the suppression unit is the tuple.  The corpus-release privacy gate
+    that runs alongside dc02's PII regexes; n_group keeps the audit
+    honest (the output states every group size the gate saw).  One
+    map-side-combined tuple count + one broadcast lookup join back — the
+    corpus never shuffles at this tuple cardinality
+    (operators/curation.k_anonymize)."""
+    from cnics_to_fhir_spark.operators import curation
+
+    return curation.k_anonymize(
+        table(spark, sf_dir, "documents"), quasi_cols=["lang", "source"], k=5
+    )
+
+
+# ---------------------------------------------------------------------------
+# tx11 — Zipf rank-frequency fit per language (integer-exact regression)
+# ---------------------------------------------------------------------------
+@query(
+    "tx11_zipf_fit",
+    tags="TX A5 W F18",
+    oracle="""
+        WITH toks AS (
+            SELECT lang AS grp, UNNEST(string_split(text, ' ')) AS tok
+            FROM documents
+        ),
+        freq AS (
+            SELECT grp, tok, COUNT(*) AS cnt
+            FROM toks WHERE tok <> '' GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT grp, cnt,
+                   ROW_NUMBER() OVER (PARTITION BY grp
+                                      ORDER BY cnt DESC, tok ASC) AS r
+            FROM freq
+        ),
+        pts AS (
+            SELECT grp,
+                   CAST(FLOOR(ln(CAST(r AS DOUBLE))*1e6 + 0.5) AS BIGINT) AS xq,
+                   CAST(FLOOR(ln(CAST(cnt AS DOUBLE))*1e6 + 0.5) AS BIGINT) AS yq
+            FROM ranked WHERE r <= 100
+        ),
+        agg AS (
+            SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(xq) AS BIGINT) AS sx,
+                   CAST(SUM(yq) AS BIGINT) AS sy,
+                   CAST(SUM(xq*yq) AS BIGINT) AS sxy,
+                   CAST(SUM(xq*xq) AS BIGINT) AS sxx
+            FROM pts GROUP BY 1
+        )
+        SELECT grp AS lang, n AS n_ranks,
+               FLOOR((CAST(n*sxy - sx*sy AS DOUBLE)
+                      / CAST(n*sxx - sx*sx AS DOUBLE))*1e6 + 0.5)/1e6 AS slope,
+               FLOOR(((CAST(sy AS DOUBLE)
+                       - (CAST(n*sxy - sx*sy AS DOUBLE)
+                          / CAST(n*sxx - sx*sx AS DOUBLE))
+                         * CAST(sx AS DOUBLE))
+                      / CAST(n AS DOUBLE) / 1e6)*1e6 + 0.5)/1e6 AS intercept
+        FROM agg
+        WHERE n*sxx - sx*sx <> 0
+    """,
+)
+def tx11_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law slope per language: least-squares fit of ln(freq) vs
+    ln(rank) over the top-100 token ranks — natural text sits near −1;
+    template spam and broken encodings bend the line, so a slope drifting
+    between crawls is a curation alarm next to dq01's PSI.  tx07's
+    micro-nat quantization applied to REGRESSION: both logs quantize to
+    integer micro-nats before the five regression sums accumulate as
+    exact BIGINTs, and slope/intercept are each one float expression over
+    those exact sums — bit-identical on both engines.  Vocab-bounded
+    count agg, top-100 cut, O(languages) regression rows
+    (operators/textanalysis.zipf_fit)."""
+    return textanalysis.zipf_fit(
+        table(spark, sf_dir, "documents"), text_col="text", group_col="lang", top_n=100
+    )
+
+
+# ---------------------------------------------------------------------------
+# o06 — footer-stats file skipping (Delta/Iceberg-style data skipping on
+# plain parquet)
+# ---------------------------------------------------------------------------
+@query(
+    "o06_stats_file_skipping",
+    tags="O-layout S1 A5",
+    oracle="""
+        SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT))/100.0 AS revenue
+        FROM orders
+        WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                              AND TIMESTAMP '1996-12-31 00:00:00'
+        GROUP BY 1
+    """,
+)
+def o06_stats_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The storage-layout lever j13 (partition pruning) and o05 (z-order)
+    don't cover: FILE-level min/max skipping on plain parquet, the thing a
+    Delta log / Iceberg manifest does.  Setup writes orders range-
+    partitioned on o_orderdate into 8 files (tight disjoint envelopes —
+    the layout ingest should produce); the read builds the footer-stats
+    manifest DISTRIBUTED (executors read only footers, no data pages),
+    prunes the file list to the ~2 files intersecting the 1996 range, and
+    ASSERTS the prune actually pruned (fails loudly rather than silently
+    full-scanning).  The residual BETWEEN still applies — stats are an
+    envelope, not a guarantee — and revenue sums in exact integer cents.
+    Scratch lifecycle follows j13: results materialize before the scratch
+    dir is removed (sources/file_stats.py)."""
+    import os
+    import shutil
+    import tempfile
+
+    from cnics_to_fhir_spark.session import scratch_name
+    from cnics_to_fhir_spark.sources.file_stats import read_with_file_skipping
+
+    path = os.path.join(tempfile.gettempdir(), scratch_name(spark, "o06_files"))
+    try:
+        (
+            table(spark, sf_dir, "orders")
+            .select("o_orderdate", "o_totalprice")
+            .repartitionByRange(8, "o_orderdate")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        pruned, n_total, n_kept = read_with_file_skipping(
+            spark, path, "o_orderdate", "1996-01-01T00:00:00", "1996-12-31T00:00:00"
+        )
+        if not 0 < n_kept < n_total:
+            raise AssertionError(
+                f"file skipping pruned nothing: kept {n_kept}/{n_total}"
+            )
+        agg = pruned.groupBy(
+            F.date_format("o_orderdate", "yyyy-MM").alias("order_month")
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            (
+                F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
+                / F.lit(100.0)
+            ).alias("revenue"),
+        )
+        rows = agg.collect()
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "order_month string, n_orders bigint, revenue double"
+    )
+
+
+# ---------------------------------------------------------------------------
+# ann11 — MMR-diversified top-k (relevant-but-diverse retrieval)
+# ---------------------------------------------------------------------------
+@query("ann11_mmr_diversified", tags="ANN-mmr J1 W UDF", oracle=None)
+def ann11_mmr_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-Marginal-Relevance diversified top-5 from each query's
+    exact top-20 pool (λ=0.7): plain top-k returns k near-copies when the
+    corpus has dup clusters; MMR trades relevance against similarity to
+    the already-selected set — the retrieval-augmented-data-selection
+    recipe.  Candidate generation is ann01's distributed scan; the
+    inherently-sequential greedy runs per query in applyInPandas over
+    20-row groups (numpy pool×pool sims; no driver collect).  Rows-only:
+    greedy selection is not SQL-expressible; pinned by pytest against an
+    independent pure-numpy reference (operators/similarity.mmr_rerank)."""
+    from cnics_to_fhir_spark.operators import similarity as sim
+
+    emb = table(spark, sf_dir, "embeddings")
+    return sim.mmr_rerank(
+        emb, emb.filter(F.col("vec_id") < 8), k=5, pool=20, lam=0.7
+    )
+
+
+# ---------------------------------------------------------------------------
+# u03 — schema-evolution scan (mergeSchema over mixed-generation files)
+# ---------------------------------------------------------------------------
+@query(
+    "u03_schema_evolution_scan",
+    tags="SET S1 F18 A5",
+    oracle="""
+        WITH merged AS (
+            SELECT o_totalprice, CAST(NULL AS VARCHAR) AS o_orderpriority
+            FROM orders WHERE o_orderkey % 2 = 0
+            UNION ALL
+            SELECT o_totalprice, o_orderpriority
+            FROM orders WHERE o_orderkey % 2 = 1
+        )
+        SELECT COALESCE(o_orderpriority, '<pre-evolution>') AS priority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT))/100.0 AS revenue
+        FROM merged GROUP BY 1
+    """,
+)
+def u03_schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution the way it actually lands in a lake: generation-1
+    files were written before a column existed, generation-2 files carry
+    it, and BOTH live in one directory.  Setup writes the even-key half of
+    orders without o_orderpriority and the odd-key half with it; the read
+    is one ``mergeSchema`` scan that reconciles the footers and fills the
+    missing column with NULL for old files — no rewrite of historical
+    data, which at 100 TB is the entire point (backfill = optional, lazy,
+    incremental).  The aggregation groups over the evolved column with the
+    NULL generation kept visible as '<pre-evolution>'; revenue sums in
+    exact integer cents.  Scratch lifecycle follows o06/j13
+    (docstring refs: spark.read.option("mergeSchema") — the scan must
+    reconcile footers, not trust the first file's schema)."""
+    import os
+    import shutil
+    import tempfile
+
+    from cnics_to_fhir_spark.session import scratch_name
+
+    path = os.path.join(tempfile.gettempdir(), scratch_name(spark, "u03_files"))
+    try:
+        orders = table(spark, sf_dir, "orders")
+        (
+            orders.filter(F.col("o_orderkey") % 2 == 0)
+            .select("o_orderkey", "o_totalprice")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(path, "gen=1"))
+        )
+        (
+            orders.filter(F.col("o_orderkey") % 2 == 1)
+            .select("o_orderkey", "o_totalprice", "o_orderpriority")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(os.path.join(path, "gen=2"))
+        )
+        merged = spark.read.option("mergeSchema", "true").parquet(
+            os.path.join(path, "gen=1"), os.path.join(path, "gen=2")
+        )
+        agg = merged.groupBy(
+            F.coalesce(F.col("o_orderpriority"), F.lit("<pre-evolution>")).alias(
+                "priority"
+            )
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            (
+                F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
+                / F.lit(100.0)
+            ).alias("revenue"),
+        )
+        rows = agg.collect()
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "priority string, n_orders bigint, revenue double"
+    )

@@ -210,3 +210,67 @@ def test_domain_cap_matches_naive_window_property(spark, rows, cap):
         for _, doc in sorted(items)[:cap]
     }
     assert got == want
+
+
+def test_k_anonymize_generalizes_small_groups(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "en", "a"),
+            (2, "en", "a"),
+            (3, "en", "a"),
+            (4, "de", "b"),  # singleton tuple -> generalized
+            (5, "en", "b"),  # ("en","b") n=2 < 3 -> generalized
+            (6, "en", "b"),
+        ],
+        "doc_id long, lang string, source string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in curation.k_anonymize(df, ["lang", "source"], k=3).collect()
+    }
+    assert len(out) == 6
+    for i in (1, 2, 3):
+        assert (out[i]["lang_k"], out[i]["source_k"]) == ("en", "a")
+        assert out[i]["n_group"] == 3 and out[i]["is_anonymous"]
+    for i in (4, 5, 6):
+        assert (out[i]["lang_k"], out[i]["source_k"]) == ("*", "*")
+        assert not out[i]["is_anonymous"]
+    assert out[4]["n_group"] == 1 and out[5]["n_group"] == 2
+
+
+def test_k_anonymize_tuple_not_column(spark):
+    # every VALUE is common; only the combination (en, b) is rare — the
+    # tuple, not the column, must drive suppression
+    rows = [(i, "en", "a") for i in range(5)] + [(10 + i, "de", "b") for i in range(5)]
+    rows.append((99, "en", "b"))
+    df = spark.createDataFrame(rows, "doc_id long, lang string, source string")
+    out = {r["doc_id"]: r for r in curation.k_anonymize(df, ["lang", "source"], k=2).collect()}
+    assert out[99]["lang_k"] == "*" and out[99]["source_k"] == "*"
+    assert out[0]["lang_k"] == "en" and out[10]["lang_k"] == "de"
+
+
+def test_k_anonymize_shuffle_form_matches_broadcast_form(spark):
+    df = spark.createDataFrame(
+        [(i, "l" + str(i % 3), "s" + str(i % 2)) for i in range(20)],
+        "doc_id long, lang string, source string",
+    )
+    a = sorted(
+        map(tuple, curation.k_anonymize(df, ["lang", "source"], k=4).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            curation.k_anonymize(
+                df, ["lang", "source"], k=4, broadcast_counts=False
+            ).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_k_anonymize_rejects_bad_k(spark):
+    df = spark.createDataFrame([(1, "en")], "doc_id long, lang string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        curation.k_anonymize(df, ["lang"], k=0)

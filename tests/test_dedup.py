@@ -535,3 +535,103 @@ def test_recall_at_k_counts_and_keeps_zero_recall_queries(spark):
         for r in similarity.recall_at_k(approx, exact, k=2).collect()
     }
     assert got == {1: (1, 0.5), 2: (0, 0.0)}
+
+
+def _mmr_reference(vecs, query_ids, k, pool, lam):
+    """Independent pure-python MMR: brute-force pool, greedy rerank.
+    Mirrors the operator's declared quantization contract (6-dp sims and
+    scores, ties to the smaller neighbor id) without sharing any code."""
+    import math
+
+    def q6(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb)
+
+    out = {}
+    for qid in query_ids:
+        cands = sorted(
+            ((q6(cos(vecs[qid], v)), nid) for nid, v in vecs.items() if nid != qid),
+            key=lambda t: (-t[0], t[1]),
+        )[:pool]
+        selected, avail = [], list(cands)
+        for _ in range(min(k, len(cands))):
+            best = None
+            for rel, nid in avail:
+                div = max(
+                    (q6(cos(vecs[nid], vecs[s])) for _, s in selected), default=0.0
+                )
+                score = q6(lam * rel - (1 - lam) * div)
+                if best is None or score > best[0] or (score == best[0] and nid < best[1]):
+                    best = (score, nid, rel)
+            selected.append((best[2], best[1]))
+            out.setdefault(qid, []).append((best[1], best[2], best[0]))
+            avail = [c for c in avail if c[1] != best[1]]
+    return out
+
+
+def test_mmr_matches_independent_reference(spark):
+    import random
+
+    rnd = random.Random(17)
+    vecs = {
+        i: [rnd.uniform(-1, 1) for _ in range(8)] for i in range(30)
+    }
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    got = {}
+    out = similarity.mmr_rerank(
+        df, df.filter(F.col("vec_id") < 3), k=4, pool=10, lam=0.7
+    ).collect()
+    for r in out:
+        got.setdefault(r["query_id"], []).append(
+            (r["mmr_rank"], r["neighbor_id"], r["cosine_sim"], r["mmr_score"])
+        )
+    ref = _mmr_reference(vecs, [0, 1, 2], k=4, pool=10, lam=0.7)
+    assert set(got) == set(ref)
+    for qid, rows in got.items():
+        rows.sort()
+        assert [nid for _, nid, _, _ in rows] == [nid for nid, _, _ in ref[qid]]
+        for (_, _, sim, score), (_, ref_sim, ref_score) in zip(rows, ref[qid]):
+            assert abs(sim - ref_sim) < 1e-9
+            assert abs(score - ref_score) < 1e-9
+
+
+def test_mmr_diversifies_where_topk_does_not(spark):
+    # cluster A: three near-copies of the query direction; cluster B:
+    # orthogonal-ish. Plain top-3 returns only A; MMR at lam=0.5 must
+    # reach into B after the first A pick, and pick 1 = top-1 relevance.
+    rows = [
+        (0, [1.0, 0.0, 0.01]),
+        (1, [1.0, 0.0, 0.02]),   # A
+        (2, [0.99, 0.0, 0.03]),  # A
+        (3, [0.98, 0.0, 0.01]),  # A
+        (4, [0.0, 1.0, 0.0]),    # B
+        (5, [0.01, 0.99, 0.0]),  # B
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") == 0)
+    ranked = sorted(
+        (r["rank"], r["neighbor_id"])
+        for r in similarity.cosine_topk(df, q, k=3).collect()
+    )
+    assert {nid for _, nid in ranked} == {1, 2, 3}  # plain top-k: all near-copies
+    mmr = sorted(
+        (r["mmr_rank"], r["neighbor_id"])
+        for r in similarity.mmr_rerank(df, q, k=3, pool=5, lam=0.5).collect()
+    )
+    assert mmr[0][1] == ranked[0][1]  # first pick is the relevance top-1
+    assert any(nid in (4, 5) for _, nid in mmr)  # diversity reached cluster B
+
+
+def test_mmr_rejects_bad_lambda(spark):
+    import pytest
+
+    df = spark.createDataFrame([(0, [1.0])], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError):
+        similarity.mmr_rerank(df, df, lam=1.5)

@@ -1,0 +1,95 @@
+"""Footer-stats file skipping (sources/file_stats.py): manifest correctness,
+envelope pruning, stat-less files never skipped, and result equivalence with
+the unpruned scan."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from cnics_to_fhir_spark.sources.file_stats import (
+    parquet_file_stats,
+    read_with_file_skipping,
+)
+
+
+def _write_ranged(spark, path, n=100, files=5):
+    (
+        spark.range(n)
+        .select(
+            F.col("id"),
+            F.format_string("k%05d", F.col("id")).alias("key"),
+        )
+        .repartitionByRange(files, "key")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def test_manifest_rows_and_envelopes(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _write_ranged(spark, path)
+    files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    man = parquet_file_stats(spark, files, "key").collect()
+    assert len(man) == len(files) == 5
+    assert sum(r["n_rows"] for r in man) == 100
+    for r in man:
+        assert r["min_val"] <= r["max_val"]
+    # range layout => disjoint envelopes when sorted by min
+    envs = sorted((r["min_val"], r["max_val"]) for r in man)
+    for (_, hi_prev), (lo_next, _) in zip(envs, envs[1:]):
+        assert hi_prev < lo_next
+
+
+def test_skipping_prunes_and_matches_full_scan(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _write_ranged(spark, path)
+    df, total, kept = read_with_file_skipping(spark, path, "key", "k00010", "k00019")
+    assert total == 5
+    assert 0 < kept < total  # the prune actually pruned
+    got = sorted(r["key"] for r in df.collect())
+    full = sorted(
+        r["key"]
+        for r in spark.read.parquet(path)
+        .filter(F.col("key").between("k00010", "k00019"))
+        .collect()
+    )
+    assert got == full and len(got) == 10
+
+
+def test_empty_range_keeps_nothing_and_returns_empty(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _write_ranged(spark, path)
+    df, total, kept = read_with_file_skipping(spark, path, "key", "zzz1", "zzz2")
+    assert kept == 0 and total == 5
+    assert df.count() == 0
+    assert df.columns == ["id", "key"]  # schema survives the empty prune
+
+
+def test_statless_file_is_never_skipped(spark, tmp_path):
+    # a writer that omits column statistics must degrade to "always read",
+    # never to "silently skip"
+    path = str(tmp_path / "t")
+    os.makedirs(path)
+    tbl = pa.table({"key": ["a", "b"], "id": [1, 2]})
+    pq.write_table(tbl, os.path.join(path, "part-0.parquet"), write_statistics=False)
+    files = glob.glob(os.path.join(path, "*.parquet"))
+    man = parquet_file_stats(spark, files, "key").collect()
+    assert man[0]["min_val"] is None and man[0]["max_val"] is None
+    df, total, kept = read_with_file_skipping(spark, path, "key", "x", "z")
+    assert kept == total == 1  # out-of-range but stat-less: kept
+    assert df.count() == 0  # the residual filter still applies
+
+
+def test_missing_column_raises(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _write_ranged(spark, path)
+    files = glob.glob(os.path.join(path, "*.parquet"))
+    import pytest
+
+    with pytest.raises(Exception, match="absent"):
+        parquet_file_stats(spark, files, "nope").collect()

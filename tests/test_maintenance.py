@@ -283,3 +283,96 @@ def test_swap_crash_between_renames_loses_nothing(spark, tmp_path):
     os.rename(prev, os.path.join(path, "day=0"))
     after = spark.read.parquet(path)
     assert after.count() == 2000
+
+
+def test_recover_rolls_back_mid_swap_crash(spark, tmp_path):
+    # the narrowest crash window (old->prev landed, scratch->dest didn't):
+    # recovery must rename the parked partition back AND clear the scratch
+    from cnics_to_fhir_spark.load import maintenance
+    from cnics_to_fhir_spark.load.maintenance import recover_compaction_leftovers
+
+    path = str(tmp_path / "t")
+    df = spark.range(2000).select(F.col("id"), (F.col("id") % 2).alias("day"))
+    df.repartition(10).write.mode("overwrite").partitionBy("day").parquet(path)
+
+    real_swap = maintenance._swap_aside
+
+    def crashing_swap(fs, jvm, tmp, dest, prev):
+        os.rename(dest, prev)
+        raise IOError("simulated crash between the swap's two renames")
+
+    maintenance._swap_aside = crashing_swap
+    try:
+        import pytest
+
+        with pytest.raises(Exception, match="simulated crash"):
+            compact_partitions(spark, path, "day", [0], target_bytes=1 << 20)
+    finally:
+        maintenance._swap_aside = real_swap
+
+    report = recover_compaction_leftovers(spark, path)
+    assert report["rolled_back"] == [os.path.join(path, "day=0")]
+    assert len(report["cleaned"]) == 1 and "__compacting" in report["cleaned"][0]
+    assert report["kept"] == []
+    assert not os.path.exists(str(tmp_path / "t__prev_day=0"))
+    assert not os.path.exists(str(tmp_path / "t__compacting_day=0"))
+    after = spark.read.parquet(path)
+    assert after.count() == 2000
+
+
+def test_recover_finishes_cleanup_when_new_tree_is_live(spark, tmp_path):
+    # crash AFTER the new tree went live, before the __prev delete: the
+    # parked old tree is garbage and must go; the live table is untouched
+    from cnics_to_fhir_spark.load.maintenance import recover_compaction_leftovers
+
+    path = str(tmp_path / "t")
+    _fragmented_table(spark, path, n_rows=100, n_files=2)
+    os.makedirs(str(tmp_path / "t__prev"))
+    with open(str(tmp_path / "t__prev" / "old.parquet"), "w") as f:
+        f.write("stale")
+
+    report = recover_compaction_leftovers(spark, path)
+    assert report["cleaned"] == [f"file:{tmp_path}/t__prev"]
+    assert report["rolled_back"] == [] and report["kept"] == []
+    assert not os.path.exists(str(tmp_path / "t__prev"))
+    assert spark.read.parquet(path).count() == 100
+
+
+def test_recover_keeps_scratch_that_is_the_only_copy(spark, tmp_path):
+    # a scratch tree whose destination vanished is the ONLY copy of that
+    # data: recovery must refuse to delete it and report it instead
+    from cnics_to_fhir_spark.load.maintenance import recover_compaction_leftovers
+
+    path = str(tmp_path / "t")
+    _fragmented_table(spark, path, n_rows=100, n_files=2)
+    scratch = str(tmp_path / "t__compacting_day=9")
+    os.makedirs(scratch)
+    with open(os.path.join(scratch, "part.parquet"), "w") as f:
+        f.write("the only copy")
+
+    report = recover_compaction_leftovers(spark, path)
+    assert report["kept"] == [f"file:{scratch}"]
+    assert os.path.exists(scratch)
+
+
+def test_recover_whole_table_rollback(spark, tmp_path):
+    # whole-table form: table missing at its path, parked at table__prev
+    from cnics_to_fhir_spark.load.maintenance import recover_compaction_leftovers
+
+    path = str(tmp_path / "t")
+    _fragmented_table(spark, path, n_rows=100, n_files=2)
+    os.rename(path, str(tmp_path / "t__prev"))
+    assert not os.path.exists(path)
+
+    report = recover_compaction_leftovers(spark, path)
+    assert report["rolled_back"] == [path]
+    assert spark.read.parquet(path).count() == 100
+
+
+def test_recover_noop_on_clean_table(spark, tmp_path):
+    from cnics_to_fhir_spark.load.maintenance import recover_compaction_leftovers
+
+    path = str(tmp_path / "t")
+    _fragmented_table(spark, path, n_rows=100, n_files=2)
+    report = recover_compaction_leftovers(spark, path)
+    assert report == {"rolled_back": [], "cleaned": [], "kept": []}

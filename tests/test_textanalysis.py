@@ -182,3 +182,64 @@ def test_nb_langid_beats_majority_prior_on_separable_fixture(spark):
     assert prior == 0.6  # the fixture's skew landed as designed
     assert acc >= 0.9, f"NB accuracy {acc} on a separable corpus"
     assert acc > prior + 0.25, f"NB {acc} does not beat the prior {prior}"
+
+
+def _zipf_mirror(rank_freqs):
+    """Pure-python mirror of zipf_fit's integer-exact regression."""
+    import math
+
+    pts = [
+        (math.floor(math.log(r) * 1e6 + 0.5), math.floor(math.log(c) * 1e6 + 0.5))
+        for r, c in rank_freqs
+    ]
+    n = len(pts)
+    sx = sum(p[0] for p in pts)
+    sy = sum(p[1] for p in pts)
+    sxy = sum(p[0] * p[1] for p in pts)
+    sxx = sum(p[0] * p[0] for p in pts)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n / 1e6
+    return (
+        math.floor(slope * 1e6 + 0.5) / 1e6,
+        math.floor(intercept * 1e6 + 0.5) / 1e6,
+    )
+
+
+def test_zipf_fit_matches_pure_python_mirror(spark):
+    freqs = [32, 16, 8, 4, 2, 1]
+    text = " ".join(f"w{i}" for i, c in enumerate(freqs) for _ in range(c))
+    df = spark.createDataFrame(
+        [(1, text, "en")], "doc_id long, text string, lang string"
+    )
+    out = tx.zipf_fit(df, top_n=4).collect()
+    assert len(out) == 1
+    r = out[0]
+    exp_slope, exp_intercept = _zipf_mirror([(i + 1, freqs[i]) for i in range(4)])
+    assert r["n_ranks"] == 4  # the top_n cut applied
+    assert r["slope"] == exp_slope
+    assert r["intercept"] == exp_intercept
+    assert r["slope"] < 0  # Zipf: frequency falls with rank
+
+
+def test_zipf_fit_groups_are_independent(spark):
+    en = " ".join(["the"] * 9 + ["of"] * 3 + ["and"] * 1)
+    de = " ".join(["der"] * 4 + ["die"] * 2)
+    df = spark.createDataFrame(
+        [(1, en, "en"), (2, de, "de")], "doc_id long, text string, lang string"
+    )
+    out = {r["lang"]: r for r in tx.zipf_fit(df, top_n=100).collect()}
+    assert set(out) == {"en", "de"}
+    assert out["en"]["n_ranks"] == 3 and out["de"]["n_ranks"] == 2
+    s_en, i_en = _zipf_mirror([(1, 9), (2, 3), (3, 1)])
+    s_de, i_de = _zipf_mirror([(1, 4), (2, 2)])
+    assert out["en"]["slope"] == s_en and out["en"]["intercept"] == i_en
+    assert out["de"]["slope"] == s_de and out["de"]["intercept"] == i_de
+
+
+def test_zipf_fit_drops_degenerate_groups(spark):
+    # a single-rank group has zero x-variance: no fit line exists, and the
+    # operator must drop it rather than divide by zero
+    df = spark.createDataFrame(
+        [(1, "only only only", "xx")], "doc_id long, text string, lang string"
+    )
+    assert tx.zipf_fit(df).count() == 0
