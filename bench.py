@@ -145,6 +145,11 @@ HEADLINE = [
     "a20_weighted_percentiles",
     "dq04_embedding_drift",
     "ann10_recall_eval",
+    "dc04_k_anonymity",
+    "tx11_zipf_fit",
+    "o06_stats_file_skipping",
+    "ann11_mmr_diversified",
+    "u03_schema_evolution_scan",
     # Iterative ops (dd06, cl01, ann04, dd09, and the round-5 additions
     # gr02/dd10/ann06 — k-means or fixpoint loops) and
     # streaming-equivalence runs
@@ -221,6 +226,22 @@ def host_fingerprint() -> dict[str, object]:
         fp["load_1m_at_start"] = round(os.getloadavg()[0], 1)
     except OSError:
         pass
+    # Single-thread CPU calibration: a fixed pure-python spin whose wall
+    # time moves 1:1 with the host's effective per-core speed.  The model
+    # string can't catch a burstable VM running out of CPU credits or a
+    # migrated/throttled incarnation of "the same" hardware — round 7
+    # measured the SAME committed query set at a uniform 1.4x on an idle
+    # box with an identical fingerprint.  spin_ms gives the next round a
+    # denominator: per-query ratios near (spin_now / spin_prior) are host
+    # speed, not code.  best-of-3 sheds scheduler blips.
+    spins = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        acc = 0
+        for i in range(5_000_000):
+            acc += i
+        spins.append(time.perf_counter() - t0)
+    fp["spin_ms"] = round(min(spins) * 1000, 1)
     return fp
 
 
@@ -259,6 +280,28 @@ def main() -> None:
     entries = catalog()
     # Warmup: force JVM + parquet footer reads once, outside timed region.
     entries["a01_distinct"].spark(spark, sf_dir).count()
+
+    # JVM-side calibration: a fixed 32-task scan→shuffle→agg whose wall
+    # time tracks Spark's per-stage overhead + JVM throughput on THIS
+    # incarnation of the host.  The python spin above can read "fast"
+    # while Spark runs uniformly 1.5x slower (observed round 7: same
+    # committed query set, same fingerprint, python spin unchanged,
+    # every sub-second query inflated — per-stage overhead, invisible to
+    # a single-thread python loop).  Compare spark_calib_s across rounds
+    # before attributing per-query ratios to code.
+    calib_runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        (
+            spark.range(0, 50_000_000, 1, 32)
+            .selectExpr("id % 97 AS k", "id")
+            .groupBy("k")
+            .sum("id")
+            .count()
+        )
+        calib_runs.append(time.perf_counter() - t0)
+    host["spark_calib_s"] = round(sorted(calib_runs)[1], 3)
+    print(f"# spark_calib_s: {host['spark_calib_s']}", flush=True)
 
     timings: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
@@ -299,6 +342,10 @@ def main() -> None:
     if prior:
         common = [k for k in timings if k in prior]
         tag = "" if same_host else " [CROSS-HOST — ratios not code-attributable]"
+        prior_spin = prior_host.get("spin_ms")
+        if prior_spin and host.get("spin_ms"):
+            spin_ratio = round(host["spin_ms"] / prior_spin, 2)
+            tag += f" [cpu spin {spin_ratio}x prior — per-query ratios near this are host speed, not code]"
         print(
             f"# vs prior detail: {len(common)} common, "
             f"prior sum {round(sum(prior[k] for k in common), 2)}s -> "
