@@ -274,3 +274,38 @@ def test_k_anonymize_rejects_bad_k(spark):
 
     with _pytest.raises(ValueError):
         curation.k_anonymize(df, ["lang"], k=0)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=300),
+            st.sampled_from(["en", "de", "fr"]),
+            st.sampled_from(["s0", "s1", "s2", "s3"]),
+        ),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(min_value=1, max_value=6),
+)
+def test_k_anonymize_property(spark, rows, k):
+    """For any data and any k: (1) group counts are exact, (2) a group is
+    generalized iff its count < k, (3) generalization is all-or-nothing
+    per row, (4) no rows appear or vanish."""
+    from collections import Counter
+
+    df = spark.createDataFrame(rows, "doc_id long, lang string, source string")
+    out = curation.k_anonymize(df, ["lang", "source"], k=k).collect()
+    truth = Counter((lang, src) for _, lang, src in rows)
+    assert len(out) == len(rows)
+    src_of = {i: (lang, src) for i, lang, src in rows}
+    for r in out:
+        tup = src_of[r["doc_id"]]
+        n = truth[tup]
+        assert r["n_group"] == n
+        if n >= k:
+            assert (r["lang_k"], r["source_k"]) == tup and r["is_anonymous"]
+        else:
+            assert (r["lang_k"], r["source_k"]) == ("*", "*") and not r["is_anonymous"]

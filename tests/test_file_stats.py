@@ -93,3 +93,29 @@ def test_missing_column_raises(spark, tmp_path):
 
     with pytest.raises(Exception, match="absent"):
         parquet_file_stats(spark, files, "nope").collect()
+
+
+def test_skipping_equals_full_scan_on_random_layouts(spark, tmp_path):
+    """Property (seeded sweep): for ANY file layout — sorted, random,
+    overlapping envelopes — pruned-read + residual filter must equal the
+    full-scan filter.  Random layouts produce overlapping per-file
+    envelopes, the case where pruning keeps everything; sorted layouts
+    produce disjoint ones, where it prunes hard.  Both must be CORRECT."""
+    import random
+
+    from pyspark.sql import Row
+
+    rnd = random.Random(41)
+    for trial, shuffle in enumerate([False, True, True]):
+        path = str(tmp_path / f"t{trial}")
+        keys = [f"k{rnd.randint(0, 999):04d}" for _ in range(200)]
+        rows = [Row(id=i, key=k) for i, k in enumerate(keys)]
+        df = spark.createDataFrame(rows)
+        writer = df.repartition(7) if shuffle else df.repartitionByRange(7, "key")
+        writer.write.mode("overwrite").parquet(path)
+        lo, hi = sorted([f"k{rnd.randint(0, 999):04d}" for _ in range(2)])
+        pruned, total, kept = read_with_file_skipping(spark, path, "key", lo, hi)
+        got = sorted((r["id"], r["key"]) for r in pruned.collect())
+        want = sorted((i, k) for i, k in enumerate(keys) if lo <= k <= hi)
+        assert got == want, f"trial {trial} (shuffle={shuffle}) lo={lo} hi={hi}"
+        assert 0 <= kept <= total == 7

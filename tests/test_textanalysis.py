@@ -243,3 +243,41 @@ def test_zipf_fit_drops_degenerate_groups(spark):
         [(1, "only only only", "xx")], "doc_id long, text string, lang string"
     )
     assert tx.zipf_fit(df).count() == 0
+
+
+def test_zipf_fit_random_corpora_match_mirror(spark):
+    """Seeded sweep: zipf_fit ≡ the pure-python mirror for random token
+    multisets — exercises rank ties (equal counts), the top_n cut landing
+    mid-tie, and single-doc vs multi-doc token splits."""
+    import random
+    from collections import Counter
+
+    rnd = random.Random(99)
+    for trial in range(3):
+        vocab = [f"t{j}" for j in range(rnd.randint(2, 12))]
+        toks = [rnd.choice(vocab) for _ in range(rnd.randint(10, 200))]
+        # split the stream into 1-4 documents: per-doc boundaries must not
+        # affect corpus-level frequencies
+        n_docs = rnd.randint(1, 4)
+        docs, step = [], max(1, len(toks) // n_docs)
+        for d in range(n_docs):
+            chunk = toks[d * step : (d + 1) * step] if d < n_docs - 1 else toks[(n_docs - 1) * step :]
+            if chunk:
+                docs.append((d, " ".join(chunk), "xx"))
+        top_n = rnd.randint(2, 8)
+        out = tx.zipf_fit(
+            spark.createDataFrame(docs, "doc_id long, text string, lang string"),
+            top_n=top_n,
+        ).collect()
+        counts = Counter(toks)
+        ranked = sorted(counts.items(), key=lambda t: (-t[1], t[0]))[:top_n]
+        if len(ranked) < 2:
+            assert out == []  # single rank: zero x-variance, no fit line
+            continue
+        exp_slope, exp_intercept = _zipf_mirror(
+            [(i + 1, c) for i, (_, c) in enumerate(ranked)]
+        )
+        # a corpus where every point has identical ln(rank) has den==0 and
+        # is dropped; ranks 1..n are distinct so den>0 whenever n>=2
+        assert len(out) == 1, f"trial {trial}"
+        assert out[0]["slope"] == exp_slope and out[0]["intercept"] == exp_intercept
