@@ -276,8 +276,10 @@ def recover_compaction_leftovers(spark: SparkSession, table: str) -> dict[str, l
     - ``__prev`` with the destination ABSENT → the crash hit between the
       two renames; the parked tree IS the table → rename it back
       (rollback, zero data loss).
-    - ``__compacting`` scratch → the rewrite never went live; the source
-      is still intact at the destination → delete the scratch.  (If the
+    - ``__compacting`` / ``__merging`` scratch (compaction and
+      load/table_merge share the swap machinery) → the rewrite never went
+      live; the source is still intact at the destination → delete the
+      scratch.  (If the
       destination is also gone, the scratch is the only copy: it is NOT
       deleted — reported under ``kept`` for operator attention instead of
       silently destroyed.)
@@ -323,8 +325,9 @@ def recover_compaction_leftovers(spark: SparkSession, table: str) -> dict[str, l
                 if not fs.rename(p, p_dest):
                     raise IOError(f"recovery rollback failed: {p} -> {dest}")
                 rolled_back.append(dest)
-        elif marker.startswith("__compacting"):
-            suffix = marker[len("__compacting"):]
+        elif marker.startswith("__compacting") or marker.startswith("__merging"):
+            prefix = "__compacting" if marker.startswith("__compacting") else "__merging"
+            suffix = marker[len(prefix):]
             dest = base if not suffix else f"{base}/{suffix[1:]}"
             if fs.exists(jvm.org.apache.hadoop.fs.Path(dest)):
                 fs.delete(p, True)

@@ -1,0 +1,159 @@
+"""Copy-on-write MERGE INTO a partitioned parquet table: row semantics,
+honest counts, PHYSICAL copy-on-write (untouched partitions keep
+byte-identical file lists and mtimes), crash recovery inheritance, and
+end-to-end from merge_plan's action plan."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cnics_to_fhir_spark.load.table_merge import merge_into_table
+from cnics_to_fhir_spark.operators.merge import merge_plan
+
+
+def _table(spark, path):
+    rows = [(k, f"v{k}", k % 2) for k in range(8)]  # day=0: evens, day=1: odds
+    df = spark.createDataFrame(rows, "key long, val string, day int")
+    df.write.mode("overwrite").partitionBy("day").parquet(path)
+    return df
+
+
+def _snap(path):
+    return {
+        f: os.stat(f).st_mtime_ns
+        for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    }
+
+
+def test_merge_semantics_and_physical_cow(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _table(spark, path)
+    day0_before = _snap(os.path.join(path, "day=0"))
+
+    plan = spark.createDataFrame(
+        [
+            (100, "insert", None, "new100", 1),
+            (1, "update", "id1", "v1-new", 1),
+            (3, "delete", "id3", None, 1),
+        ],
+        "key long, action string, id string, val string, day int",
+    )
+    counts = merge_into_table(spark, path, plan, key_col="key", partition_col="day")
+    assert counts == {
+        "inserted": 1,
+        "updated": 1,
+        "deleted": 1,
+        "noop_missing_key": 0,
+        "partitions_rewritten": 1,
+    }
+    got = {
+        r["key"]: (r["val"], r["day"])
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got[100] == ("new100", 1)
+    assert got[1] == ("v1-new", 1)
+    assert 3 not in got
+    assert all(got[k] == (f"v{k}", 0) for k in (0, 2, 4, 6))  # day=0 untouched
+    # PHYSICAL copy-on-write: day=0's files were not rewritten
+    assert _snap(os.path.join(path, "day=0")) == day0_before
+    # no swap debris
+    assert not glob.glob(str(tmp_path / "t__*"))
+
+
+def test_missing_key_actions_are_reported_not_applied(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _table(spark, path)
+    plan = spark.createDataFrame(
+        [(999, "update", None, "ghost", 0), (998, "delete", None, None, 0)],
+        "key long, action string, id string, val string, day int",
+    )
+    counts = merge_into_table(spark, path, plan, key_col="key", partition_col="day")
+    assert counts["noop_missing_key"] == 2
+    assert counts["updated"] == 0 and counts["deleted"] == 0
+    got = {r["key"] for r in spark.read.parquet(path).collect()}
+    assert got == set(range(8))  # table unchanged, ghost row NOT invented
+
+
+def test_unknown_action_fails_loudly(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _table(spark, path)
+    plan = spark.createDataFrame(
+        [(1, "upsert", None, "x", 1)],
+        "key long, action string, id string, val string, day int",
+    )
+    with pytest.raises(ValueError, match="unknown action"):
+        merge_into_table(spark, path, plan, key_col="key", partition_col="day")
+
+
+def test_insert_into_brand_new_partition(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _table(spark, path)
+    plan = spark.createDataFrame(
+        [(200, "insert", None, "v200", 7)],
+        "key long, action string, id string, val string, day int",
+    )
+    counts = merge_into_table(spark, path, plan, key_col="key", partition_col="day")
+    assert counts["inserted"] == 1
+    got = spark.read.parquet(path).filter(F.col("day") == 7).collect()
+    assert [(r["key"], r["val"]) for r in got] == [(200, "v200")]
+
+
+def test_merge_plan_feeds_table_merge_end_to_end(spark, tmp_path):
+    # the reconciliation engine's own plan drives the table sink: the
+    # table converges to the current snapshot for the touched partition
+    path = str(tmp_path / "t")
+    _table(spark, path)
+    current = spark.createDataFrame(
+        [(1, "v1-new"), (3, "v3"), (9, "v9")],  # 5,7 dropped; 9 new; 1 changed
+        "key long, val string",
+    )
+    existing = (
+        spark.read.parquet(path)
+        .filter(F.col("day") == 1)
+        .select("key", F.concat(F.lit("id"), F.col("key")).alias("id"))
+    )
+    plan = merge_plan(current, existing, key="key").withColumn("day", F.lit(1))
+    counts = merge_into_table(spark, path, plan, key_col="key", partition_col="day")
+    assert counts["inserted"] == 1 and counts["deleted"] == 2
+    day1 = {
+        r["key"]: r["val"]
+        for r in spark.read.parquet(path).filter(F.col("day") == 1).collect()
+    }
+    assert day1 == {1: "v1-new", 3: "v3", 9: "v9"}
+
+
+def test_crashed_merge_swap_is_recoverable(spark, tmp_path):
+    # inherit the compaction recovery story: crash between the swap's two
+    # renames, then recover_compaction_leftovers restores the partition
+    from cnics_to_fhir_spark.load import maintenance
+    from cnics_to_fhir_spark.load.maintenance import recover_compaction_leftovers
+
+    path = str(tmp_path / "t")
+    _table(spark, path)
+
+    real_swap = maintenance._swap_aside
+
+    def crashing_swap(fs, jvm, tmp, dest, prev):
+        os.rename(dest, prev)
+        raise IOError("simulated crash mid-merge-swap")
+
+    maintenance._swap_aside = crashing_swap
+    plan = spark.createDataFrame(
+        [(1, "update", "id1", "v1-new", 1)],
+        "key long, action string, id string, val string, day int",
+    )
+    try:
+        with pytest.raises(Exception, match="simulated crash"):
+            merge_into_table(spark, path, plan, key_col="key", partition_col="day")
+    finally:
+        maintenance._swap_aside = real_swap
+
+    report = recover_compaction_leftovers(spark, path)
+    assert report["rolled_back"] == [os.path.join(path, "day=1")]
+    assert len(report["cleaned"]) == 1 and "__merging" in report["cleaned"][0]
+    got = {r["key"]: r["val"] for r in spark.read.parquet(path).collect()}
+    assert got[1] == "v1"  # pre-merge state restored, nothing lost
