@@ -150,6 +150,7 @@ HEADLINE = [
     "o06_stats_file_skipping",
     "ann11_mmr_diversified",
     "u03_schema_evolution_scan",
+    "j15_merge_table_sink",
     # Iterative ops (dd06, cl01, ann04, dd09, and the round-5 additions
     # gr02/dd10/ann06 — k-means or fixpoint loops) and
     # streaming-equivalence runs

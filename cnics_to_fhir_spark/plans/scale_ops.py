@@ -5278,3 +5278,106 @@ def u03_schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "priority string, n_orders bigint, revenue double"
     )
+
+
+# ---------------------------------------------------------------------------
+# j15 — MERGE INTO a partitioned parquet table (copy-on-write sink,
+# end-to-end: plan → apply → read back)
+# ---------------------------------------------------------------------------
+@query(
+    "j15_merge_table_sink",
+    tags="J6 S-sink A5 O-layout",
+    oracle="""
+        WITH existing AS (
+            SELECT o_orderkey AS key, o_totalprice AS val,
+                   CAST(year(o_orderdate) AS INTEGER) AS y
+            FROM orders
+        ),
+        cur AS (
+            -- 1996's refreshed snapshot: keys %3=0 vanish, %3=1 get +1.5,
+            -- and a re-keyed insert wave arrives
+            SELECT key, val + 1.5 AS val, y FROM existing
+            WHERE y = 1996 AND key % 3 = 1
+            UNION ALL
+            SELECT key, val, y FROM existing WHERE y = 1996 AND key % 3 = 2
+            UNION ALL
+            SELECT key + 1000000000 AS key, val, y FROM existing
+            WHERE y = 1996 AND key % 100 = 0
+        ),
+        final AS (
+            SELECT key, val, y FROM existing WHERE y <> 1996
+            UNION ALL
+            SELECT key, val, y FROM cur
+        )
+        SELECT y, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(FLOOR(val*100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+        FROM final GROUP BY 1
+    """,
+)
+def j15_merge_table_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The copy-on-write MERGE sink driven end-to-end and ORACLE-verified:
+    orders lands as a year-partitioned parquet table; a refreshed 1996
+    snapshot (a third of the keys gone, a third repriced, an insert wave
+    re-keyed above the id range) goes through merge_plan → merge_into_table;
+    the table is read BACK and aggregated.  Only the 1996 partition is
+    rewritten — the entry ASSERTS partitions_rewritten == 1 and that the
+    merge's own accounting matches the fixture construction — while the
+    other years' bytes are never touched (pinned physically in
+    tests/test_table_merge.py).  The oracle computes the converged state
+    declaratively: (existing ∖ 1996) ∪ refreshed-1996
+    (load/table_merge.merge_into_table; SURVEY §7.3's 'MERGE INTO as an
+    alternative reconciliation sink')."""
+    import os
+    import shutil
+    import tempfile
+
+    from cnics_to_fhir_spark.load.table_merge import merge_into_table
+    from cnics_to_fhir_spark.operators.merge import merge_plan
+    from cnics_to_fhir_spark.session import scratch_name
+
+    path = os.path.join(tempfile.gettempdir(), scratch_name(spark, "j15_table"))
+    try:
+        base = table(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("key"),
+            F.col("o_totalprice").alias("val"),
+            F.year("o_orderdate").cast("int").alias("y"),
+        )
+        base.write.mode("overwrite").partitionBy("y").parquet(path)
+
+        y96 = base.filter(F.col("y") == 1996)
+        current = (
+            y96.filter(F.col("key") % 3 == 1)
+            .select("key", (F.col("val") + 1.5).alias("val"), "y")
+            .unionByName(y96.filter(F.col("key") % 3 == 2).select("key", "val", "y"))
+            .unionByName(
+                y96.filter(F.col("key") % 100 == 0).select(
+                    (F.col("key") + 1_000_000_000).alias("key"), "val", "y"
+                )
+            )
+        )
+        existing = y96.select("key", F.col("key").cast("string").alias("id"))
+        plan = merge_plan(
+            current, existing, key="key", payload_cols=["val"]
+        ).withColumn("y", F.lit(1996))
+        counts = merge_into_table(spark, path, plan, key_col="key", partition_col="y")
+        if counts["partitions_rewritten"] != 1:
+            raise AssertionError(
+                f"copy-on-write violated: rewrote {counts['partitions_rewritten']} "
+                "partitions, expected exactly the 1996 one"
+            )
+        if counts["noop_missing_key"] != 0 or counts["inserted"] == 0:
+            raise AssertionError(f"merge accounting off: {counts}")
+        agg = (
+            spark.read.parquet(path)
+            .groupBy("y")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum(F.floor(F.col("val") * 100 + F.lit(0.5)).cast("long")).alias(
+                    "cents"
+                ),
+            )
+        )
+        rows = agg.collect()
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(rows, "y int, n bigint, cents bigint")
