@@ -137,9 +137,9 @@ _PRIORITY: tuple[str, ...] = (
 #   catalog keys - union(CORRECTNESS_r01..r0N keys).
 # As of round 7 this holds the 38 backlog entries (29 carried from
 # rounds 1-5 + 9 added in round 6) — ALL inside the round-7 _PRIORITY
-# prefix above — plus the 9 entries round 7 itself added.  Once
+# prefix above — plus the 10 entries round 7 itself added.  Once
 # CORRECTNESS_r07.json lands green, recompute: the 38 clear and only the
-# round-7 nine remain for the round-8 rotation.
+# round-7 ten remain for the round-8 rotation.
 _NEVER_DRIVER_VERIFIED: tuple[str, ...] = (
     # round-7 additions (new this round; they sit OUTSIDE the fixed
     # 50-entry round-7 prefix above and rotate into round 8's prefix —
@@ -153,6 +153,7 @@ _NEVER_DRIVER_VERIFIED: tuple[str, ...] = (
     "ann11_mmr_diversified",
     "u03_schema_evolution_scan",
     "j15_merge_table_sink",
+    "st08_stream_cdc_table_merge",
     # round-6 additions (new that round, by definition never driven)
     "dq02_ks_drift",
     "ev10_funnel_latency",

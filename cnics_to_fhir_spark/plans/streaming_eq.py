@@ -713,3 +713,132 @@ def st07_stream_incremental_dedup_state(spark: SparkSession, sf_dir: str) -> Dat
         shutil.rmtree(tmp, ignore_errors=True)
         spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
     return spark.createDataFrame(rows, "fingerprint string, keeper_id long")
+
+
+@query(
+    "st08_stream_cdc_table_merge",
+    tags="2.10 J6 S-sink STREAM O-layout",
+    oracle="""
+        WITH base AS (
+            SELECT o_orderkey AS key, o_totalprice AS val
+            FROM orders WHERE year(o_orderdate) = 1996
+        ),
+        final AS (
+            SELECT key,
+                   CASE WHEN key % 2 = 1 THEN val + 2.0 ELSE val END AS val
+            FROM base WHERE key % 5 <> 0
+        )
+        SELECT CAST(key % 2 AS INTEGER) AS b,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(FLOOR(val*100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+        FROM final GROUP BY 1
+    """,
+)
+def st08_stream_cdc_table_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC replay through the REAL streaming machinery into the
+    copy-on-write table sink: an ordered change log (insert wave → update
+    wave → delete wave over 1996's orders) arrives as three micro-batches
+    (file source, mtime-ordered like st04, maxFilesPerTrigger=1);
+    ``foreachBatch`` applies each to a bucket-partitioned parquet table via
+    ``merge_into_table``.  The final TABLE STATE must equal the
+    declaratively-computed last-write-wins fold of the log — the oracle
+    never sees batches, only the converged answer, so any
+    ordering/duplication/partial-apply bug in the streaming path breaks
+    the hash.  COW discipline is asserted per batch: the update wave
+    touches only odd keys, so batch 2 must rewrite exactly ONE of the two
+    bucket partitions; every update/delete must find its key
+    (noop_missing_key == 0 — inserts preceded them by construction)."""
+    from cnics_to_fhir_spark.load.table_merge import merge_into_table
+
+    base = (
+        table(spark, sf_dir, "orders")
+        .filter(F.year("o_orderdate") == 1996)
+        .select(
+            F.col("o_orderkey").alias("key"),
+            F.col("o_totalprice").alias("val"),
+            (F.col("o_orderkey") % 2).cast("int").alias("b"),
+        )
+    )
+    slices = [
+        base.select(
+            "key", F.lit("insert").alias("action"), F.lit(None).cast("string").alias("id"), "val", "b"
+        ),
+        base.filter(F.col("key") % 2 == 1).select(
+            "key", F.lit("update").alias("action"),
+            F.col("key").cast("string").alias("id"),
+            (F.col("val") + 2.0).alias("val"), "b",
+        ),
+        base.filter(F.col("key") % 5 == 0).select(
+            "key", F.lit("delete").alias("action"),
+            F.col("key").cast("string").alias("id"),
+            F.lit(None).cast("double").alias("val"), "b",
+        ),
+    ]
+
+    tmp = tempfile.mkdtemp(prefix="st08-")
+    try:
+        src = os.path.join(tmp, "cdc")
+        chk = os.path.join(tmp, "chk")
+        tbl = os.path.join(tmp, "table")
+        os.makedirs(src)
+        base_t = 1_700_000_000
+        for k, sl in enumerate(slices):
+            part = os.path.join(tmp, f"slice{k}")
+            sl.coalesce(1).write.parquet(part)
+            f = next(
+                p for p in os.listdir(part) if p.endswith(".parquet")
+            )
+            dst = os.path.join(src, f"{k:02d}.parquet")
+            os.rename(os.path.join(part, f), dst)
+            os.utime(dst, (base_t + k, base_t + k))
+
+        applied: list[dict] = []
+
+        def sink(batch_df: DataFrame, epoch_id: int) -> None:
+            applied.append(
+                merge_into_table(
+                    spark, tbl, batch_df, key_col="key", partition_col="b"
+                )
+            )
+
+        stream = (
+            spark.readStream.schema(
+                "key long, action string, id string, val double, b int"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", chk)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        if len(applied) != 3:
+            raise AssertionError(f"expected 3 micro-batches, saw {len(applied)}")
+        if applied[1]["partitions_rewritten"] != 1:
+            raise AssertionError(
+                "COW violated: the odd-keys-only update wave rewrote "
+                f"{applied[1]['partitions_rewritten']} partitions, expected 1"
+            )
+        if any(c["noop_missing_key"] for c in applied):
+            raise AssertionError(f"CDC order broken — missing keys: {applied}")
+
+        agg = (
+            spark.read.parquet(tbl)
+            .groupBy(F.col("b").cast("int").alias("b"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum(F.floor(F.col("val") * 100 + F.lit(0.5)).cast("long")).alias(
+                    "cents"
+                ),
+            )
+        )
+        rows = agg.collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, "b int, n bigint, cents bigint")
