@@ -48,6 +48,7 @@ def merge_into_table(
     plan: DataFrame,
     key_col: str,
     partition_col: str,
+    files_per_partition: int | None = None,
 ) -> dict[str, int]:
     """Apply an action plan to the partitioned parquet table at ``table``.
 
@@ -56,6 +57,13 @@ def merge_into_table(
     partition the key lives in), and the payload columns of the table.
     Returns counts: inserted / updated / deleted / noop_missing_key /
     partitions_rewritten.
+
+    ``files_per_partition`` coalesces each rewritten partition to that many
+    files — without it the rewrite inherits the merge joins' shuffle
+    partitioning (32 task-files per partition dir at defaults), the exact
+    small-file accretion load/maintenance.py exists to undo.  Size it to
+    partition_bytes / target_file_bytes at scale; leave None to let Spark
+    decide (and schedule compaction instead).
     """
     bad = [
         r["action"]
@@ -130,6 +138,8 @@ def merge_into_table(
         merged = survivors.unionByName(incoming)
 
         scratch = f"{table}__merging_{partition_col}={val}"
+        if files_per_partition is not None:
+            merged = merged.coalesce(files_per_partition)
         merged.write.mode("overwrite").parquet(scratch)
         fs.delete(jvm.org.apache.hadoop.fs.Path(scratch + "/_SUCCESS"), False)
         _swap_aside(fs, jvm, scratch, sub, f"{table}__prev_{partition_col}={val}")

@@ -5342,7 +5342,11 @@ def j15_merge_table_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_totalprice").alias("val"),
             F.year("o_orderdate").cast("int").alias("y"),
         )
-        base.write.mode("overwrite").partitionBy("y").parquet(path)
+        # repartition on the partition column first: without it every one
+        # of the 32 tasks emits a file into every year dir (224 tiny files);
+        # with it each year is one file — the write is faster AND the merge
+        # reads back a sane layout
+        base.repartition("y").write.mode("overwrite").partitionBy("y").parquet(path)
 
         y96 = base.filter(F.col("y") == 1996)
         current = (
@@ -5359,7 +5363,10 @@ def j15_merge_table_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         plan = merge_plan(
             current, existing, key="key", payload_cols=["val"]
         ).withColumn("y", F.lit(1996))
-        counts = merge_into_table(spark, path, plan, key_col="key", partition_col="y")
+        counts = merge_into_table(
+            spark, path, plan, key_col="key", partition_col="y",
+            files_per_partition=1,
+        )
         if counts["partitions_rewritten"] != 1:
             raise AssertionError(
                 f"copy-on-write violated: rewrote {counts['partitions_rewritten']} "

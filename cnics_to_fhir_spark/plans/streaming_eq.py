@@ -797,7 +797,8 @@ def st08_stream_cdc_table_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         def sink(batch_df: DataFrame, epoch_id: int) -> None:
             applied.append(
                 merge_into_table(
-                    spark, tbl, batch_df, key_col="key", partition_col="b"
+                    spark, tbl, batch_df, key_col="key", partition_col="b",
+                    files_per_partition=1,
                 )
             )
 
