@@ -246,10 +246,45 @@ def host_fingerprint() -> dict[str, object]:
     return fp
 
 
+def wait_for_idle(threshold: float = 1.0, max_wait_s: int = 180) -> bool:
+    """Round 7's headline was recorded at start load 5.0 — a contended box
+    — and read 27% slower than the identical committed code at idle.  A
+    bench that runs while the previous selfcheck JVM drains measures the
+    scheduler, not the engine.  Wait (bounded) for the 1-minute load to
+    fall below ``threshold``; return True if idle was reached.  If the box
+    never quiets down, the caller stamps the run ``contended`` so the
+    number can't silently masquerade as a code regression."""
+    deadline = time.monotonic() + max_wait_s
+    while True:
+        try:
+            load = os.getloadavg()[0]
+        except OSError:
+            return True
+        if load < threshold:
+            return True
+        if time.monotonic() >= deadline:
+            return False
+        print(
+            f"# load {load:.1f} >= {threshold} — waiting for idle "
+            f"({int(deadline - time.monotonic())}s left)",
+            flush=True,
+        )
+        time.sleep(10)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    idle = wait_for_idle()
     host = host_fingerprint()
+    contended = not idle
+    if contended:
+        print(
+            f"# CONTENDED RUN: start load {host.get('load_1m_at_start')} "
+            "never fell below 1.0 — timings inflated by host noise; "
+            "output is stamped contended=true",
+            flush=True,
+        )
     spark = build_session("bench")
 
     # Prior round's per-query numbers (the committed sidecar, read BEFORE it
@@ -328,7 +363,18 @@ def main() -> None:
             # materialization of payload columns.
             n = e.spark(spark, sf_dir).count()
             runs.append(time.perf_counter() - t0)
-        timings[name] = round(sorted(runs)[1], 3)
+        # Sub-2s entries swing 0.8-1.5s between idle runs on this box
+        # (e2e02/e2e04, round 7) — scheduler blips are the same order as
+        # the measurement.  Median-of-5 instead of 3 below 2s makes
+        # consecutive idle runs agree within ~1.2x; above 2s the blips
+        # amortize and 3 runs suffice.
+        if sorted(runs)[1] < 2.0:
+            for _ in range(2):
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                n = e.spark(spark, sf_dir).count()
+                runs.append(time.perf_counter() - t0)
+        timings[name] = round(sorted(runs)[len(runs) // 2], 3)
         all_runs[name] = [round(r, 3) for r in runs]
         print(f"# {name}: {timings[name]}s ({n} rows)", flush=True)
 
@@ -368,7 +414,8 @@ def main() -> None:
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
-        "timing": "median_of_3",
+        "timing": "median_of_3_or_5_sub2s",
+        "contended": contended,
         "host": host,
         "prior_host_same": same_host if prior else None,
         "queries": timings,
@@ -390,7 +437,8 @@ def main() -> None:
             "unit": "sec",
             "sf": sf_val,
             "n_queries": len(timings),
-            "timing": "median_of_3",
+            "timing": "median_of_3_or_5_sub2s",
+            "contended": contended,
             "host": {
                 "cpu": str(host.get("cpu", ""))[:48],
                 "cores": host.get("cores"),

@@ -13,10 +13,17 @@ shape a lakehouse lands on:
   trickle of changes, a merge touches days, not the table.  The test pins
   this physically (untouched partitions keep byte-identical file lists and
   mtimes).
+- **O(1) Spark jobs, not O(partitions)**: classification runs as ONE
+  aggregation over the whole delta (grouped by partition × action ×
+  key-present), the rewrite is ONE ``partitionBy`` job into a single
+  scratch root, and the per-partition go-live step is a metadata rename
+  fanned out on a thread pool.  A merge touching 1,000 partitions costs
+  ~3 jobs + 1,000 concurrent renames, not ~5,000 sequential driver jobs.
 - **Crash-safe swaps**: each rewritten partition lands via the
   rename-aside swap (maintenance._swap_aside) and inherits its recovery
   story (recover_compaction_leftovers rolls back or finishes interrupted
-  swaps).
+  swaps; the shared ``__merging`` scratch root is judged against the table
+  root, which a mid-batch crash always leaves live partition-by-partition).
 - **Same honesty rules as the HTTP path**: unknown action labels fail
   loudly; returned counts state exactly what was applied and what was
   skipped (a delete/update whose key is absent from the table is a
@@ -30,6 +37,8 @@ single metadata-op window of each partition swap.
 
 from __future__ import annotations
 
+from concurrent.futures import ThreadPoolExecutor
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -40,6 +49,7 @@ from cnics_to_fhir_spark.operators.merge import (
 )
 
 _KNOWN = {ACTION_INSERT, ACTION_UPDATE, ACTION_DELETE}
+_SWAP_THREADS = 16
 
 
 def merge_into_table(
@@ -58,12 +68,12 @@ def merge_into_table(
     Returns counts: inserted / updated / deleted / noop_missing_key /
     partitions_rewritten.
 
-    ``files_per_partition`` coalesces each rewritten partition to that many
-    files — without it the rewrite inherits the merge joins' shuffle
-    partitioning (32 task-files per partition dir at defaults), the exact
-    small-file accretion load/maintenance.py exists to undo.  Size it to
-    partition_bytes / target_file_bytes at scale; leave None to let Spark
-    decide (and schedule compaction instead).
+    ``files_per_partition`` bounds each rewritten partition dir to that
+    many files (rows are spread across them by key hash); without it each
+    rewritten partition lands as ONE file (the rewrite repartitions on the
+    partition column, so a task owns whole partitions — no 32-task-file
+    fragmentation for compaction to undo).  Size it to partition_bytes /
+    target_file_bytes at scale.
     """
     bad = [
         r["action"]
@@ -77,6 +87,9 @@ def merge_into_table(
     conf = spark.sparkContext._jsc.hadoopConfiguration()
     fs = jvm.org.apache.hadoop.fs.Path(table).getFileSystem(conf)
 
+    def hpath(s: str):
+        return jvm.org.apache.hadoop.fs.Path(s)
+
     from cnics_to_fhir_spark.load.maintenance import _swap_aside
 
     table = table.rstrip("/")
@@ -87,66 +100,112 @@ def merge_into_table(
         r["p"]
         for r in plan.select(F.col(partition_col).alias("p")).distinct().collect()
     ]
-    counts = {
-        "inserted": 0,
-        "updated": 0,
-        "deleted": 0,
-        "noop_missing_key": 0,
-        "partitions_rewritten": 0,
+    # Touched partitions that already exist on disk are the ONLY ones read
+    # — copy-on-write stays partition-scoped even though classification and
+    # rewrite are now single global jobs.
+    existing_subs = {
+        val: f"{table}/{partition_col}={val}"
+        for val in parts
+        if fs.exists(hpath(f"{table}/{partition_col}={val}"))
     }
-    for val in sorted(parts):
-        sub = f"{table}/{partition_col}={val}"
-        p_sub = jvm.org.apache.hadoop.fs.Path(sub)
-        part_plan = plan.filter(F.col(partition_col) == val).localCheckpoint()
+    if existing_subs:
         existing = (
-            spark.read.parquet(sub).drop(partition_col)
-            if fs.exists(p_sub)
-            else spark.createDataFrame(
-                [], plan.select(key_col, *payload_cols).schema
-            )
+            spark.read.option("basePath", table)
+            .parquet(*existing_subs.values())
+            .select(partition_col, key_col, *payload_cols)
         )
-        # classify against what the table ACTUALLY holds — an update for an
-        # absent key (or delete of one) is reported, not invented/ignored.
-        # Everything is keyed joins (semi/anti): no key list ever rides the
-        # driver, so a million-row delta partition costs a shuffle, not RAM
-        present = existing.select(key_col).distinct()
-        touched = part_plan.filter(F.col("action").isin(ACTION_UPDATE, ACTION_DELETE))
-        n_update = (
-            part_plan.filter(F.col("action") == ACTION_UPDATE)
-            .join(present, key_col, "left_semi")
-            .count()
+    else:
+        existing = spark.createDataFrame(
+            [], plan.select(partition_col, key_col, *payload_cols).schema
         )
-        n_delete = (
-            part_plan.filter(F.col("action") == ACTION_DELETE)
-            .join(present, key_col, "left_semi")
-            .count()
-        )
-        n_missing = touched.count() - n_update - n_delete
-        n_insert = part_plan.filter(F.col("action") == ACTION_INSERT).count()
 
-        replaced_keys = touched.select(key_col).distinct()
-        survivors = existing.join(replaced_keys, key_col, "left_anti")
-        updates_present = (
-            part_plan.filter(F.col("action") == ACTION_UPDATE)
-            .join(present, key_col, "left_semi")
-        )
-        incoming = (
-            part_plan.filter(F.col("action") == ACTION_INSERT)
-            .unionByName(updates_present)
-            .select(key_col, *payload_cols)
-        )
-        merged = survivors.unionByName(incoming)
+    # Classify against what the table ACTUALLY holds — an update for an
+    # absent key (or delete of one) is reported, not invented/ignored.
+    # ONE semi-shaped join flags presence for every plan row; everything
+    # downstream (counts AND rewrite content) reads the flagged plan, so
+    # the whole merge classifies in a single aggregation instead of 4-5
+    # actions per touched partition.
+    present = (
+        existing.select(partition_col, key_col)
+        .distinct()
+        .withColumn("__present", F.lit(True))
+    )
+    flagged = (
+        plan.join(present, on=[partition_col, key_col], how="left")
+        .withColumn("__present", F.coalesce(F.col("__present"), F.lit(False)))
+        .localCheckpoint()
+    )
+    tally = {
+        (r["action"], r["__present"]): r["n"]
+        for r in flagged.groupBy("action", "__present")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    counts = {
+        "inserted": tally.get((ACTION_INSERT, True), 0)
+        + tally.get((ACTION_INSERT, False), 0),
+        "updated": tally.get((ACTION_UPDATE, True), 0),
+        "deleted": tally.get((ACTION_DELETE, True), 0),
+        "noop_missing_key": tally.get((ACTION_UPDATE, False), 0)
+        + tally.get((ACTION_DELETE, False), 0),
+        "partitions_rewritten": len(parts),
+    }
 
-        scratch = f"{table}__merging_{partition_col}={val}"
-        if files_per_partition is not None:
-            merged = merged.coalesce(files_per_partition)
-        merged.write.mode("overwrite").parquet(scratch)
-        fs.delete(jvm.org.apache.hadoop.fs.Path(scratch + "/_SUCCESS"), False)
-        _swap_aside(fs, jvm, scratch, sub, f"{table}__prev_{partition_col}={val}")
+    # Rewrite content: survivors = existing rows whose (partition, key) is
+    # not touched by an update/delete; incoming = inserts + updates whose
+    # key is present.  All keyed joins — no key list ever rides the driver.
+    touched_keys = flagged.filter(
+        F.col("action").isin(ACTION_UPDATE, ACTION_DELETE)
+    ).select(partition_col, key_col)
+    survivors = existing.join(
+        touched_keys, on=[partition_col, key_col], how="left_anti"
+    )
+    incoming = flagged.filter(
+        (F.col("action") == ACTION_INSERT)
+        | ((F.col("action") == ACTION_UPDATE) & F.col("__present"))
+    ).select(partition_col, key_col, *payload_cols)
+    merged = survivors.unionByName(incoming)
 
-        counts["inserted"] += n_insert
-        counts["updated"] += n_update
-        counts["deleted"] += n_delete
-        counts["noop_missing_key"] += n_missing
-        counts["partitions_rewritten"] += 1
+    # ONE partitioned write into a shared scratch root (a sibling of the
+    # table, so partition discovery on the table never sees it; its name
+    # maps back to the table root for recover_compaction_leftovers).  The
+    # repartition keys whole partitions (plus a bounded key-hash salt when
+    # files_per_partition is set) to one task each — no small-file spray.
+    scratch_root = f"{table}__merging"
+    if files_per_partition is not None:
+        merged = merged.repartition(
+            F.col(partition_col),
+            F.pmod(F.xxhash64(F.col(key_col)), F.lit(files_per_partition)),
+        )
+    else:
+        merged = merged.repartition(F.col(partition_col))
+    merged.write.mode("overwrite").partitionBy(partition_col).parquet(scratch_root)
+
+    # Go live: per-partition rename-aside swaps, pure metadata ops, fanned
+    # out on a thread pool (independent directories).  The table root is
+    # created first so the very first insert batch's rename is a metadata
+    # op on every FileSystem — HDFS/object-store rename into a missing
+    # parent returns false rather than creating it.
+    fs.mkdirs(hpath(table))
+    fs.delete(hpath(f"{scratch_root}/_SUCCESS"), False)
+
+    def _go_live(val) -> None:
+        tmp = f"{scratch_root}/{partition_col}={val}"
+        if not fs.exists(hpath(tmp)):
+            # every plan row for this partition was a noop (or all rows
+            # were deleted): the rewritten partition is EMPTY — represent
+            # it as an empty dir so the swap semantics stay uniform
+            fs.mkdirs(hpath(tmp))
+        _swap_aside(
+            fs,
+            jvm,
+            tmp,
+            f"{table}/{partition_col}={val}",
+            f"{table}__prev_{partition_col}={val}",
+        )
+
+    with ThreadPoolExecutor(max_workers=min(_SWAP_THREADS, max(len(parts), 1))) as ex:
+        # list() propagates the first swap failure
+        list(ex.map(_go_live, sorted(parts)))
+    fs.delete(hpath(scratch_root), True)
     return counts

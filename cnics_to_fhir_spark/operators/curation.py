@@ -274,17 +274,34 @@ def k_anonymize(
     shuffles; for high-cardinality tuples (zip × birth-year at 100 TB)
     pass ``broadcast_counts=False`` and the join shuffles both sides on
     the tuple — still one shuffle of the corpus, never a window.
+
+    NULL quasi values are a first-class group: groupBy already buckets
+    NULLs together, and the lookup join uses null-safe equality
+    (``eqNullSafe``), so a row with a missing demographic matches its
+    count row instead of silently vanishing — invariant (4) "no rows
+    vanish" holds for NULLs too (pinned by the property test's NULL
+    case).  A NULL in a small group generalizes to ``token`` like any
+    other value.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     counts = df.groupBy(*quasi_cols).agg(F.count(F.lit(1)).alias("n_group"))
     if broadcast_counts:
         counts = F.broadcast(counts)
-    keep = F.col("n_group") >= k
-    sel = [F.col(id_col)]
+    left = df.alias("__l")
+    right = counts.alias("__r")
+    cond = None
+    for c in quasi_cols:
+        eq = F.col(f"__l.{c}").eqNullSafe(F.col(f"__r.{c}"))
+        cond = eq if cond is None else (cond & eq)
+    keep = F.col("__r.n_group") >= k
+    sel = [F.col(f"__l.{id_col}").alias(id_col)]
     sel += [
-        F.when(keep, F.col(c)).otherwise(F.lit(token)).alias(f"{c}_k")
+        F.when(keep, F.col(f"__l.{c}")).otherwise(F.lit(token)).alias(f"{c}_k")
         for c in quasi_cols
     ]
-    sel += [F.col("n_group").cast("long").alias("n_group"), keep.alias("is_anonymous")]
-    return df.join(counts, on=list(quasi_cols), how="inner").select(*sel)
+    sel += [
+        F.col("__r.n_group").cast("long").alias("n_group"),
+        keep.alias("is_anonymous"),
+    ]
+    return left.join(right, on=cond, how="inner").select(*sel)

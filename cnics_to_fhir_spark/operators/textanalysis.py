@@ -517,7 +517,9 @@ def zipf_fit(
     ln(rank) and ln(freq) are each quantized ONCE to integer micro-nats;
     all five regression sums (n, Σx, Σy, Σxy, Σx²) then accumulate as
     exact BIGINTs — order-independent on both engines.  With x,y ≤
-    ln(2⁶³)·1e6 < 4.4e7 and top_n ≤ 10⁴ the sums stay < 2⁶³.  The slope
+    ln(2⁶³)·1e6 < 4.4e7 and top_n ≤ 10⁴ the SUMS stay < 2⁶³; the slope's
+    cross PRODUCTS (n·Σxy, Σx·Σy, …) can reach ~10²² near that bound, so
+    they are formed in exact decimal(38,0), not BIGINT.  The slope
     and intercept are each ONE float expression over those exact sums
     (slope = (nΣxy−ΣxΣy)/(nΣx²−Σx²); intercept = (Σy−slope·Σx)/n, both in
     micro-nats), then rounded to 1e-6 — correctly-rounded IEEE ops over
@@ -557,8 +559,16 @@ def zipf_fit(
         F.sum(F.col("xq") * F.col("yq")).alias("sxy"),
         F.sum(F.col("xq") * F.col("xq")).alias("sxx"),
     )
-    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
-    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    # The SUMS stay < 2^63 at top_n <= 10^4, but the slope's cross
+    # PRODUCTS (n*sxy, sx*sy, ...) can reach ~10^22 near that bound with
+    # web-scale counts — form them in decimal(38,0) (exact, 38 digits
+    # covers 5+19-digit operands) so the regression stays integer-exact
+    # with ANSI on or off, no silent BIGINT wraparound.
+    n_d = F.col("n").cast("decimal(38,0)")
+    sx_d = F.col("sx").cast("decimal(38,0)")
+    sy_d = F.col("sy").cast("decimal(38,0)")
+    num = n_d * F.col("sxy").cast("decimal(38,0)") - sx_d * sy_d
+    den = n_d * F.col("sxx").cast("decimal(38,0)") - sx_d * sx_d
     slope = num.cast("double") / den.cast("double")
     intercept = (
         (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))

@@ -61,21 +61,23 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # plus the sf1 probe), so entries outside the
 # driver's prefix are locally verified, never silently unchecked.
 _PRIORITY: tuple[str, ...] = (
-    # --- round-7 rotation (final): the driver's 50-entry prefix is the
-    # only independent correctness gate. After round 6 the union of
-    # CORRECTNESS_r01-r06 keys covered 143/181 catalog entries; the 38
-    # remaining never-driver-verified entries (verdict r6 item #1,
-    # cross-checked against the committed CORRECTNESS files) all rotate
-    # into this prefix now, alongside a 12-entry §2-core spine (trimmed
-    # from 14: the reference-parity verticals + one representative per
-    # §2 family). 12 + 38 = 50, so this rotation empties the tracker —
-    # every catalog entry will have been driver-verified at least once.
-    # Rotated-out entries were all driver-green in earlier rounds and
-    # remain selfcheck-verified at sf0.001/sf0.01 every round.
+    # --- round-8 rotation: CORRECTNESS_r07 went green on all 46 oracle
+    # prefix entries (+4 rows-only recorded), clearing the round-6
+    # 38-entry backlog. This prefix now holds:
+    #   1. the 12-entry §2-core spine (reference-parity verticals +
+    #      one representative per §2 family — kept every round),
+    #   2. the 10 round-7 entries that landed after the round-7 prefix
+    #      froze (9 oracle-bearing + ann11 rows-only) plus a11, whose
+    #      array column crashed the driver canonicalizer in r7 and now
+    #      emits scalar p50/p90/p99,
+    #   3. re-verification fillers: the entries whose last driver check
+    #      is oldest (rounds 1-3), so driver coverage stays fresh while
+    #      slots remain; round-8 NEW entries displace fillers from the
+    #      end of this list as they land.
+    # Every entry — prefix or not — is still oracle-checked each round
+    # by `python selfcheck.py` (full catalog, sf0.001 + sf0.01).
     #
-    # §2-core spine (driver-green in prior rounds, kept for reference
-    # parity: B1-B4 verticals, coding dispatch, lab typing, merge,
-    # crosswalk LWW, join+agg, assembly, window, stream).
+    # (1) §2-core spine
     "e2e01_conditions_pipeline",
     "e2e02_observations_pipeline",
     "e2e03_medications_pipeline",
@@ -88,62 +90,64 @@ _PRIORITY: tuple[str, ...] = (
     "b01_resource_assembly",
     "w01_topn_per_group",
     "st01_stream_batch_equivalence",
-    # [new-to-driver] the 38 never-driver-verified entries
-    # (= _NEVER_DRIVER_VERIFIED below, verbatim; oracle-bearing first,
-    # rows-only tail last — the driver records a weaker rows-only check
-    # for ann02/a10/a11/a14).
-    "dq02_ks_drift",
-    "ev10_funnel_latency",
-    "mm07_phash_neardup",
-    "dc03_domain_cap",
-    "ann08_filtered_topk",
-    "dq03_version_diff",
-    "ann09_ivfpq_topk",
-    "ev11_ewma_smoothing",
-    "w07_mad_outliers",
-    "dd04b_simhash_portable",
-    "dd05b_neardup_refined_cells",
-    "dd10_dup_clusters_star",
-    "dd11_incremental_dedup",
-    "ann02b_lsh_topk_portable",
-    "ann05_quantized_rerank",
-    "ann06_ivf_multiprobe_topk",
-    "mn01_hard_negative_mining",
-    "tx01_text_profile",
-    "tx02_bpe_token_stats",
-    "tx03_rolling_fingerprint",
-    "tx05_tfidf_topk",
-    "tx08_bpe_merge_training",
-    "mm01_binary_metadata",
-    "mm03_frame_sample",
-    "mm05_audio_features",
-    "ds01_stratified_sample",
-    "ds02_chunked_packing",
-    "ds04_deterministic_shuffle",
-    "ds05_weighted_sample",
-    "ds06_sliding_chunks",
-    "ev03_sliding_window",
-    "ev04_gap_filled_rollup",
-    "ev08_transition_matrix",
-    "st03_stream_dedup_equivalence",
-    "ann02_lsh_topk",
-    "a10_approx_distinct",
+    # (2) round-7 newcomers awaiting their first driver check
+    # (oracle-bearing first)
+    "a20_weighted_percentiles",
+    "ann10_recall_eval",
+    "dc04_k_anonymity",
+    "dq04_embedding_drift",
+    "j15_merge_table_sink",
+    "o06_stats_file_skipping",
+    "st08_stream_cdc_table_merge",
+    "tx11_zipf_fit",
+    "u03_schema_evolution_scan",
+    # (3) round-8 newcomers (driver-verified same round they ship)
+    "s05_fhir_snapshot_replay",
+    "o06b_manifest_file_skipping",
+    "dd14_semantic_dedup",
+    "ds12_mixture_sampling",
+    "tx12_minhash_containment_lang",
+    "a21_tdigest_quantiles",
+    "ev12_asof_join",
+    "dc05_pii_scrub",
+    # (4) re-verification fillers, oldest driver check first
+    "q06_forecast_revenue",
+    "q04_order_priority",
+    "q17_small_quantity_revenue",
+    "j09_salted_skew_join",
+    "j10_bloom_semi_join",
+    "a12_pivot_revenue",
+    "a13_column_profile",
+    "j11_scd2_merge",
+    "o05_zorder_key",
+    "cg01_positional_diff",
+    "q10_returned_items",
+    "q14_promo_effect",
+    "q18_large_volume_orders",
+    "q19_disjunctive_revenue",
+    "q21_sole_return_supplier",
+    "q22_dormant_balances",
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_local_supplier_volume",
+    # rows-only tail (driver records a weaker rows-only check)
+    "ann11_mmr_diversified",
     "a11_approx_percentiles",
-    "a14_hll_rollup",
 )
 
 # Catalog entries that have never appeared in any CORRECTNESS_r0*.json
 # (the driver's independent gate). Recompute after each round:
 #   catalog keys - union(CORRECTNESS_r01..r0N keys).
-# As of round 7 this holds the 38 backlog entries (29 carried from
-# rounds 1-5 + 9 added in round 6) — ALL inside the round-7 _PRIORITY
-# prefix above — plus the 10 entries round 7 itself added.  Once
-# CORRECTNESS_r07.json lands green, recompute: the 38 clear and only the
-# round-7 ten remain for the round-8 rotation.
+# CORRECTNESS_r07 landed green on its full 50-entry prefix, clearing the
+# round-6 backlog; only the 10 round-7 additions remain, all rotated into
+# the round-8 prefix above.
 _NEVER_DRIVER_VERIFIED: tuple[str, ...] = (
-    # round-7 additions (new this round; they sit OUTSIDE the fixed
-    # 50-entry round-7 prefix above and rotate into round 8's prefix —
-    # the normal one-round cadence for new entries)
+    # round-7 additions: registered after the round-7 prefix froze, so
+    # their first driver check is round 8 — all sit in block (2)/(tail)
+    # of _PRIORITY above. Recompute after round 8:
+    #   catalog keys - union(CORRECTNESS_r01..r08 keys)
+    # should leave only round-8 newcomers added after ITS prefix froze
+    # (none if block (3) ships with the same commit as the entries).
     "a20_weighted_percentiles",
     "dq04_embedding_drift",
     "ann10_recall_eval",
@@ -154,46 +158,6 @@ _NEVER_DRIVER_VERIFIED: tuple[str, ...] = (
     "u03_schema_evolution_scan",
     "j15_merge_table_sink",
     "st08_stream_cdc_table_merge",
-    # round-6 additions (new that round, by definition never driven)
-    "dq02_ks_drift",
-    "ev10_funnel_latency",
-    "mm07_phash_neardup",
-    "dc03_domain_cap",
-    "ann08_filtered_topk",
-    "dq03_version_diff",
-    "ann09_ivfpq_topk",
-    "ev11_ewma_smoothing",
-    "w07_mad_outliers",
-    # carried from rounds 1-5
-    "dd04b_simhash_portable",
-    "dd05b_neardup_refined_cells",
-    "dd10_dup_clusters_star",
-    "dd11_incremental_dedup",
-    "ann02b_lsh_topk_portable",
-    "ann05_quantized_rerank",
-    "ann06_ivf_multiprobe_topk",
-    "mn01_hard_negative_mining",
-    "tx01_text_profile",
-    "tx02_bpe_token_stats",
-    "tx03_rolling_fingerprint",
-    "tx05_tfidf_topk",
-    "tx08_bpe_merge_training",
-    "mm01_binary_metadata",
-    "mm03_frame_sample",
-    "mm05_audio_features",
-    "ds01_stratified_sample",
-    "ds02_chunked_packing",
-    "ds04_deterministic_shuffle",
-    "ds05_weighted_sample",
-    "ds06_sliding_chunks",
-    "ev03_sliding_window",
-    "ev04_gap_filled_rollup",
-    "ev08_transition_matrix",
-    "st03_stream_dedup_equivalence",
-    "ann02_lsh_topk",
-    "a10_approx_distinct",
-    "a11_approx_percentiles",
-    "a14_hll_rollup",
 )
 
 

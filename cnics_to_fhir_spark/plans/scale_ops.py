@@ -1641,13 +1641,22 @@ def a11_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     value set per group; the sketch is a bounded-size partial aggregate, so
     it map-side combines and never materializes the group). Rows-only:
     sketch outputs are engine-specific; pytest pins the rank error against
-    a09's exact values."""
+    a09's exact values. The three percentiles are projected into scalar
+    columns (p50/p90/p99) so downstream canonicalizers that sort/hash rows
+    never see an array-typed cell."""
     li = table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    pcts = li.groupBy("l_returnflag").agg(
         F.percentile_approx(
             "l_extendedprice", [0.5, 0.9, 0.99], 10_000
-        ).alias("approx_price_pcts"),
+        ).alias("pcts"),
         F.count(F.lit(1)).alias("n_rows"),
+    )
+    return pcts.select(
+        "l_returnflag",
+        F.col("pcts").getItem(0).alias("p50"),
+        F.col("pcts").getItem(1).alias("p90"),
+        F.col("pcts").getItem(2).alias("p99"),
+        "n_rows",
     )
 
 
@@ -5027,7 +5036,8 @@ def ann10_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(g.n_group AS BIGINT) AS n_group,
                g.n_group >= 5 AS is_anonymous
         FROM documents d
-        JOIN g USING (lang, source)
+        JOIN g ON d.lang IS NOT DISTINCT FROM g.lang
+              AND d.source IS NOT DISTINCT FROM g.source
     """,
 )
 def dc04_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5388,3 +5398,169 @@ def j15_merge_table_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(path, ignore_errors=True)
     return spark.createDataFrame(rows, "y int, n bigint, cents bigint")
+
+
+# ===========================================================================
+# Round 8 additions
+# ===========================================================================
+
+# ---------------------------------------------------------------------------
+# s05 — FHIR snapshot replay from canned bundles (oracle parity for S5/S6)
+# ---------------------------------------------------------------------------
+@query(
+    "s05_fhir_snapshot_replay",
+    tags="S5 S6 F20 F21",
+    oracle="""
+        SELECT CASE WHEN c_custkey % 2 = 0 THEN 'Patient'
+                    ELSE 'Condition' END AS resource_type,
+               'r' || c_custkey AS id,
+               CASE WHEN c_custkey % 2 = 0 THEN NULL
+                    ELSE 'Patient/p' || c_custkey END AS subject_ref,
+               CASE WHEN c_custkey % 7 = 0 THEN NULL
+                    ELSE 'urn:cnics' END AS identifier_0_system,
+               CASE WHEN c_custkey % 7 = 0 THEN NULL
+                    ELSE 'v' || c_custkey END AS identifier_0_value,
+               c_custkey % 7 <> 0 AS has_identifier
+        FROM customer
+    """,
+)
+def s05_fhir_snapshot_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The S5/S6 bundle-parse path under the ORACLE gate (it was pytest-only
+    — necessarily, for HTTP — until now): deterministic FHIR search-set
+    Bundles are built FROM the customer table (50 resources per bundle;
+    every 7th resource omits ``identifier`` entirely, every 3rd carries
+    TWO identifiers, odd keys are Conditions with a subject reference),
+    serialized to real Bundle JSON with to_json, then replayed through
+    ``sources/fhir.snapshot_from_bundles`` — the same from_json/explode
+    parse a bundle-export ingest runs.  The oracle computes the expected
+    snapshot directly from customer, so a parse that drops entries,
+    surfaces the wrong identifier element, or mis-states
+    ``has_identifier`` (the identifier[0] quirk, cnics_to_fhir.py:556/:652)
+    hash-mismatches.  Scale shape: pure columnar JSON construct+parse, no
+    UDFs; bundles group map-side (50-entry lists, bounded state)."""
+    from cnics_to_fhir_spark.sources.fhir import snapshot_from_bundles
+
+    k = F.col("c_custkey")
+    one_ident = F.array(
+        F.struct(
+            F.lit("urn:cnics").alias("system"),
+            F.concat(F.lit("v"), k).alias("value"),
+        )
+    )
+    two_ident = F.array(
+        F.struct(
+            F.lit("urn:cnics").alias("system"),
+            F.concat(F.lit("v"), k).alias("value"),
+        ),
+        F.struct(
+            F.lit("urn:other").alias("system"),
+            F.concat(F.lit("x"), k).alias("value"),
+        ),
+    )
+    ent = table(spark, sf_dir, "customer").select(
+        F.floor(k / 50).alias("g"),
+        F.struct(
+            F.struct(
+                F.when(k % 2 == 0, F.lit("Patient"))
+                .otherwise(F.lit("Condition"))
+                .alias("resourceType"),
+                F.concat(F.lit("r"), k).alias("id"),
+                F.when(
+                    k % 2 != 0,
+                    F.struct(
+                        F.concat(F.lit("Patient/p"), k).alias("reference")
+                    ),
+                ).alias("subject"),
+                F.when(
+                    k % 7 != 0,
+                    F.when(k % 3 == 0, two_ident).otherwise(one_ident),
+                ).alias("identifier"),
+            ).alias("resource")
+        ).alias("e"),
+    )
+    bundles = ent.groupBy("g").agg(
+        F.count(F.lit(1)).alias("total"),
+        F.collect_list("e").alias("entry"),
+    )
+    json_df = bundles.select(
+        F.to_json(F.struct(F.col("total"), F.col("entry"))).alias("bundle_json")
+    )
+    return snapshot_from_bundles(json_df)
+
+
+# ---------------------------------------------------------------------------
+# o06b — persisted multi-column manifest skipping (the million-file tier)
+# ---------------------------------------------------------------------------
+@query(
+    "o06b_manifest_file_skipping",
+    tags="O-layout S3 J8",
+    oracle="""
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               FLOOR(SUM(FLOOR(o_totalprice*100 + 0.5))) / 100.0 AS revenue
+        FROM orders
+        WHERE o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
+          AND o_custkey BETWEEN 100 AND 100000
+        GROUP BY o_orderpriority
+    """,
+)
+def o06b_manifest_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """o06's file skipping graduated to the persisted-manifest tier: the
+    footer sweep runs ONCE at write time (``write_stats_manifest``, all
+    stat columns in one distributed pass) and lands as its own parquet
+    table; the query prunes by filtering THAT table — no footer I/O at
+    query time, and the driver collects only the surviving paths (O(kept),
+    not O(total) — o06's ``collect()`` of the full manifest is fine at
+    thousands of files, not at millions).  Predicates are conjunctive
+    multi-column envelopes (date range × numeric custkey range — the
+    numeric side exercises typed Decimal comparison, where lexicographic
+    '9' > '10' pruning would silently drop files).  Asserts the prune
+    actually pruned; residual filters still apply (envelopes are not
+    guarantees).  Mirrors Iceberg's manifest + inclusive-metrics-evaluator
+    design on plain parquet."""
+    import os
+    import shutil
+    import tempfile
+
+    from cnics_to_fhir_spark.session import scratch_name
+    from cnics_to_fhir_spark.sources.file_stats import (
+        read_with_manifest_skipping,
+        write_stats_manifest,
+    )
+
+    root = os.path.join(tempfile.gettempdir(), scratch_name(spark, "o06b"))
+    path, man_path = os.path.join(root, "data"), os.path.join(root, "manifest")
+    try:
+        (
+            table(spark, sf_dir, "orders")
+            .select("o_orderdate", "o_custkey", "o_orderpriority", "o_totalprice")
+            .repartitionByRange(8, "o_orderdate")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        write_stats_manifest(spark, path, ["o_orderdate", "o_custkey"], man_path)
+        pruned, n_total, n_kept = read_with_manifest_skipping(
+            spark,
+            man_path,
+            {
+                "o_orderdate": ("1996-01-01", "1996-12-31"),
+                "o_custkey": (100, 100000),
+            },
+        )
+        if not 0 < n_kept < n_total:
+            raise AssertionError(
+                f"manifest skipping pruned nothing: kept {n_kept}/{n_total}"
+            )
+        agg = pruned.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            (
+                F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
+                / F.lit(100.0)
+            ).alias("revenue"),
+        )
+        rows = agg.collect()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "o_orderpriority string, n_orders bigint, revenue double"
+    )

@@ -256,9 +256,12 @@ class FhirUpdatesStreamReader(SimpleDataSourceStreamReader):
 
     def read(self, start: dict):
         rows = self._fetch(f"_lastUpdated=gt{start['last_updated']}")
-        if rows:
-            high = max(r[6] for r in rows if r[6] is not None)
-            return iter(rows), {"last_updated": high}
+        # a poll can return entries that all lack meta.lastUpdated (a
+        # server that strips meta): hold the cursor rather than letting
+        # max() over an empty generator kill the stream
+        stamps = [r[6] for r in rows if r[6] is not None]
+        if stamps:
+            return iter(rows), {"last_updated": max(stamps)}
         return iter(rows), dict(start)
 
     def readBetweenOffsets(self, start: dict, end: dict):

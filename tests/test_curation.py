@@ -281,8 +281,8 @@ def test_k_anonymize_rejects_bad_k(spark):
     st.lists(
         st.tuples(
             st.integers(min_value=0, max_value=300),
-            st.sampled_from(["en", "de", "fr"]),
-            st.sampled_from(["s0", "s1", "s2", "s3"]),
+            st.sampled_from(["en", "de", "fr", None]),
+            st.sampled_from(["s0", "s1", "s2", "s3", None]),
         ),
         min_size=1,
         max_size=60,

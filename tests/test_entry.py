@@ -82,7 +82,7 @@ def test_approx_percentile_error_bound(spark):
 
     sf = "/root/testdata/sf0.01"
     approx = {
-        r["l_returnflag"]: r["approx_price_pcts"]
+        r["l_returnflag"]: [r["p50"], r["p90"], r["p99"]]
         for r in catalog()["a11_approx_percentiles"].spark(spark, sf).collect()
     }
     exact = {

@@ -119,3 +119,78 @@ def test_skipping_equals_full_scan_on_random_layouts(spark, tmp_path):
         want = sorted((i, k) for i, k in enumerate(keys) if lo <= k <= hi)
         assert got == want, f"trial {trial} (shuffle={shuffle}) lo={lo} hi={hi}"
         assert 0 <= kept <= total == 7
+
+
+def test_numeric_stats_compare_as_numbers(spark, tmp_path):
+    """The '9' > '10' trap: an int64 stat column must prune numerically.
+    File A holds ids 5..9, file B holds ids 10..14; the range [9, 10]
+    intersects BOTH, but lexicographic comparison would drop file B
+    (min '10' < lo '9' reads as out-of-range-above on max '14' < '9')."""
+    path = str(tmp_path / "t")
+    os.makedirs(path)
+    pq.write_table(pa.table({"id": list(range(5, 10))}), os.path.join(path, "a.parquet"))
+    pq.write_table(pa.table({"id": list(range(10, 15))}), os.path.join(path, "b.parquet"))
+    df, total, kept = read_with_file_skipping(spark, path, "id", 9, 10)
+    assert total == 2 and kept == 2  # both intersect [9, 10]
+    assert sorted(r["id"] for r in df.collect()) == [9, 10]
+    # and numeric pruning still actually prunes when it should
+    df2, total2, kept2 = read_with_file_skipping(spark, path, "id", 12, 14)
+    assert kept2 == 1
+    assert sorted(r["id"] for r in df2.collect()) == [12, 13, 14]
+
+
+def test_numeric_manifest_rejects_string_bounds(spark, tmp_path):
+    import pytest
+
+    path = str(tmp_path / "t")
+    os.makedirs(path)
+    pq.write_table(pa.table({"id": [1, 2, 3]}), os.path.join(path, "a.parquet"))
+    with pytest.raises(TypeError, match="numeric"):
+        read_with_file_skipping(spark, path, "id", "abc", "def")
+
+
+def test_persisted_manifest_multi_column_skipping(spark, tmp_path):
+    """Million-file tier: manifest persisted as parquet once, query-time
+    pruning is a distributed filter joined over (file, col) rows with a
+    conjunctive multi-column predicate; result equals the full scan."""
+    from cnics_to_fhir_spark.sources.file_stats import (
+        read_with_manifest_skipping,
+        write_stats_manifest,
+    )
+
+    path = str(tmp_path / "t")
+    man_path = str(tmp_path / "man")
+    (
+        spark.range(100)
+        .select(
+            F.col("id"),
+            F.format_string("k%05d", F.col("id")).alias("key"),
+        )
+        .repartitionByRange(5, "id")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    n = write_stats_manifest(spark, path, ["id", "key"], man_path)
+    assert n == 5
+    df, total, kept = read_with_manifest_skipping(
+        spark, man_path, {"id": (10, 19), "key": ("k00000", "k00015")}
+    )
+    assert total == 5 and 0 < kept < total
+    got = sorted(r["id"] for r in df.collect())
+    assert got == list(range(10, 16))  # intersection of both ranges
+
+
+def test_persisted_manifest_empty_result(spark, tmp_path):
+    from cnics_to_fhir_spark.sources.file_stats import (
+        read_with_manifest_skipping,
+        write_stats_manifest,
+    )
+
+    path = str(tmp_path / "t")
+    man_path = str(tmp_path / "man")
+    spark.range(50).write.mode("overwrite").parquet(path)
+    write_stats_manifest(spark, path, ["id"], man_path)
+    df, total, kept = read_with_manifest_skipping(spark, man_path, {"id": (999, 1000)})
+    assert kept == 0
+    assert df.count() == 0
+    assert df.columns == ["id"]
