@@ -97,3 +97,41 @@ def asof_join_forward(
     out_cols.append(F.col("_m.ts").alias(f"{prefix}{ts_col}"))
     out_cols.extend(F.col(f"_m.{c}").alias(f"{prefix}{c}") for c in payload_cols)
     return carried.filter(F.col("_side") == 1).select(*out_cols)
+
+
+def asof_join_tolerance(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "user_id",
+    ts_col: str = "ts",
+    payload_cols: list[str] | None = None,
+    prefix: str = "matched_",
+    tolerance_seconds: int = 600,
+) -> DataFrame:
+    """As-of join with a staleness bound: the latest right row at-or-before
+    the left timestamp counts only if it is at most ``tolerance_seconds``
+    old — older matches become NULLs, exactly like pandas ``merge_asof``'s
+    ``tolerance``.  A point-in-time feature older than the bound is a
+    feature you must NOT train on (it leaks a stale world state), so the
+    tolerance is a correctness knob, not an optimization.
+
+    Because the carried match is always the LATEST prior right row, any
+    match inside the window IS that latest row — so the bound is a pure
+    post-projection on ``asof_join``'s output: same single keyed shuffle,
+    no extra pass, and the window logic stays in one place."""
+    payload_cols = payload_cols or ["value"]
+    out = asof_join(
+        left, right, on=on, ts_col=ts_col, payload_cols=payload_cols, prefix=prefix
+    )
+    mts = F.col(f"{prefix}{ts_col}")
+    fresh = mts.isNotNull() & (
+        F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(mts)
+        <= F.lit(tolerance_seconds)
+    )
+    proj = [F.col(c) for c in left.columns]
+    proj.append(F.when(fresh, mts).alias(f"{prefix}{ts_col}"))
+    proj.extend(
+        F.when(fresh, F.col(f"{prefix}{c}")).alias(f"{prefix}{c}")
+        for c in payload_cols
+    )
+    return out.select(*proj)

@@ -305,3 +305,138 @@ def k_anonymize(
         keep.alias("is_anonymous"),
     ]
     return left.join(right, on=cond, how="inner").select(*sel)
+
+
+def pseudonymize_entities(
+    df: DataFrame,
+    pattern: str,
+    tag: str = "EMAIL",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document CONSISTENT pseudonymization: every occurrence of the
+    same PII entity — anywhere in the corpus — is replaced by the same
+    stable token ``<TAG_k>``, where k is the entity's rank in the global
+    entity dictionary (lexicographic, dense).  Plain redaction (dc02's
+    ``<EMAIL>``) destroys linkage; pseudonymization preserves it ("these
+    400 documents quote the same address") without storing the value —
+    what de-identified clinical/support corpora actually ship.
+
+    Output: (id, redacted, n_entities).
+
+    Scale shape: the entity DICTIONARY is the hard part — it is unbounded
+    (every distinct email in a crawl), so it is never collected or
+    broadcast.  (1) one extraction pass explodes per-doc DISTINCT matches
+    — (id, entity) rows, narrow; (2) the distinct entity set gets exact
+    dense ranks from ``dataset.global_rank`` (range-repartitioned two-pass
+    rank — no single-task global window); (3) ranks shuffle-join back to
+    the (id, entity) pairs on the entity key; (4) per-doc replacement
+    folds the doc's (entity → token) pairs over the text with one
+    higher-order ``aggregate`` — the text column itself never shuffles
+    (the fold happens after an ids-only join back to the corpus).
+    Replacement order inside a doc is the sorted entity order, so overlap
+    between one entity and another's replacement is deterministic.
+    """
+    from cnics_to_fhir_spark.operators.dataset import global_rank
+
+    ents = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(
+            F.array_distinct(F.regexp_extract_all(F.col(text_col), F.lit(pattern), 0))
+        ).alias("entity"),
+    )
+    dictionary, _total = global_rank(ents.select("entity").distinct(), ["entity"])
+    dictionary = dictionary.withColumnRenamed("__rank", "rank")
+    pairs = (
+        ents.join(dictionary, "entity")
+        .groupBy("__id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("entity"), F.col("rank")))
+            ).alias("__pairs")
+        )
+    )
+    joined = df.join(pairs, df[id_col] == pairs["__id"], "left")
+    repl = F.aggregate(
+        F.coalesce(F.col("__pairs"), F.array().cast("array<struct<entity:string,rank:bigint>>")),
+        F.col(text_col),
+        lambda acc, x: F.replace(
+            acc, x["entity"], F.concat(F.lit(f"<{tag}_"), x["rank"], F.lit(">"))
+        ),
+    )
+    return joined.select(
+        F.col(id_col),
+        repl.alias("redacted"),
+        F.coalesce(F.size("__pairs"), F.lit(0)).cast("long").alias("n_entities"),
+    )
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+    threshold: float = 0.35,
+) -> DataFrame:
+    """Embedding-space benchmark decontamination: flag every corpus vector
+    whose cosine to ANY benchmark vector reaches ``threshold``.  dc01
+    catches verbatim/near-verbatim leakage at the n-gram level; paraphrased
+    eval items slip past it and surface HERE, in embedding space — the
+    second gate a training corpus passes before a benchmark score means
+    anything.
+
+    Output: every corpus row as (id, n_benchmark_hits, max_cosine_q,
+    is_contaminated) — clean rows report 0 / NULL / false, so the gate's
+    coverage is visible, not implied.
+
+    Scale shape: the comparison is blocked on the coarse quantizer cell
+    (``cell_col``) exactly like dd05 — candidates are per-cell corpus ×
+    per-cell benchmark, never corpus × benchmark.  The benchmark side is
+    tiny by definition (an eval suite) and broadcasts; the corpus never
+    shuffles — one broadcast join, one (id)-keyed aggregation of hits,
+    one ids-only left join back.  Cross-cell paraphrases are the recall
+    trade every IVF-blocked comparison makes; raise coverage with
+    multiprobe (ann05's lever) when the benchmark is small enough to
+    afford it."""
+    from cnics_to_fhir_spark.functions.numeric import stable_round
+    from cnics_to_fhir_spark.operators.similarity import cosine_with_norms, norm
+
+    c = corpus.select(
+        F.col(id_col).alias("__cid"),
+        F.col(cell_col).alias("__cell"),
+        F.col(vec_col).cast("array<double>").alias("__cv"),
+    ).withColumn("__cn", norm(F.col("__cv")))
+    b = benchmark.select(
+        F.col(cell_col).alias("__cell"),
+        F.col(vec_col).cast("array<double>").alias("__bv"),
+    ).withColumn("__bn", norm(F.col("__bv")))
+    scored = c.join(F.broadcast(b), "__cell").select(
+        "__cid",
+        stable_round(
+            cosine_with_norms(F.col("__cv"), F.col("__bv"), F.col("__cn"), F.col("__bn")),
+            6,
+        ).alias("__cos"),
+    )
+    hits = (
+        scored.filter(F.col("__cos") >= threshold)
+        .groupBy("__cid")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_benchmark_hits"),
+            F.max("__cos").alias("max_cosine_q"),
+        )
+    )
+    base = corpus.select(F.col(id_col).alias("__cid"))
+    return (
+        base.join(hits, "__cid", "left")
+        .select(
+            F.col("__cid").alias(id_col),
+            F.coalesce(F.col("n_benchmark_hits"), F.lit(0).cast("long")).alias(
+                "n_benchmark_hits"
+            ),
+            F.col("max_cosine_q"),
+            (F.coalesce(F.col("n_benchmark_hits"), F.lit(0)) > 0).alias(
+                "is_contaminated"
+            ),
+        )
+    )

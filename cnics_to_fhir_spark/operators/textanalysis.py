@@ -581,3 +581,61 @@ def zipf_fit(
         stable_round(slope, 6).alias("slope"),
         stable_round(intercept, 6).alias("intercept"),
     )
+
+
+def tfidf_hashed(
+    df: DataFrame,
+    dims: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Feature-hashed TF-IDF document vectors — the classical cheap doc
+    embedding (hashing-trick bag-of-words), emitted SPARSE as one row per
+    non-zero (doc, dim): ``weight_q = Σ_tok∈dim tf(doc,tok) · idf_q(tok)``.
+    When no neural encoder is in the loop (or as its pre-filter), these
+    vectors feed the same downstream consumers as the ``embeddings``
+    table: cosine near-dup (dd05), clustering (cl01), drift (dq04).
+
+    Exactness: idf quantizes to integer micro-nats (floor(ln((N+1)/(df+1))
+    ·1e6 + .5) — tx07's convention) BEFORE the weighted sum, tf is an
+    exact count, so every weight is a BIGINT sum of BIGINT products — no
+    float accumulation anywhere, engines agree bit-for-bit.  The hash is
+    the engine-portable md5-prefix (dedup.portable_hash), replayed
+    verbatim by the oracle.
+
+    Scale shape: three map-side-combinable keyed aggregations — (doc, tok)
+    term counts, (tok) document frequencies, (doc, dim) weight sums — plus
+    one join keyed on tok.  The df table is vocabulary-sized; N rides in
+    as a one-row broadcast (never a driver literal, so the plan is a
+    single DAG).  Output rows ≤ docs × dims — the sparse bound a dense
+    array column would forfeit (and array cells break row
+    canonicalization downstream — the a11 lesson)."""
+    from cnics_to_fhir_spark.operators.dedup import portable_hash
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    idf = dfreq.crossJoin(F.broadcast(n_docs)).select(
+        "tok",
+        F.floor(
+            F.log((F.col("n_docs") + 1).cast("double") / (F.col("df") + 1))
+            * 1000000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("idf_q"),
+    )
+    return (
+        tf.join(idf, "tok")
+        .select(
+            F.col(id_col),
+            F.pmod(portable_hash(F.col("tok")), F.lit(dims)).cast("int").alias("dim"),
+            (F.col("tf") * F.col("idf_q")).alias("w"),
+        )
+        .groupBy(id_col, "dim")
+        .agg(F.sum("w").cast("long").alias("weight_q"))
+    )

@@ -104,12 +104,12 @@ _PRIORITY: tuple[str, ...] = (
     # (3) round-8 newcomers (driver-verified same round they ship)
     "s05_fhir_snapshot_replay",
     "o06b_manifest_file_skipping",
-    "dd14_semantic_dedup",
-    "ds12_mixture_sampling",
-    "tx12_minhash_containment_lang",
-    "a21_tdigest_quantiles",
-    "ev12_asof_join",
-    "dc05_pii_scrub",
+    "dd14_semantic_decontaminate",
+    "lb01_majority_vote",
+    "tx12_tfidf_hashed",
+    "a21_quantile_sketch",
+    "ev12_asof_tolerance",
+    "dc05_pii_pseudonymize",
     # (4) re-verification fillers, oldest driver check first
     "q06_forecast_revenue",
     "q04_order_priority",
@@ -158,6 +158,16 @@ _NEVER_DRIVER_VERIFIED: tuple[str, ...] = (
     "u03_schema_evolution_scan",
     "j15_merge_table_sink",
     "st08_stream_cdc_table_merge",
+    # round-8 additions, shipped in the same commit as their prefix slot
+    # (block 3 above), so their first driver check is round 8 itself
+    "s05_fhir_snapshot_replay",
+    "o06b_manifest_file_skipping",
+    "dd14_semantic_decontaminate",
+    "lb01_majority_vote",
+    "tx12_tfidf_hashed",
+    "a21_quantile_sketch",
+    "ev12_asof_tolerance",
+    "dc05_pii_pseudonymize",
 )
 
 

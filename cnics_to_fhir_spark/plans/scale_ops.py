@@ -5564,3 +5564,358 @@ def o06b_manifest_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "o_orderpriority string, n_orders bigint, revenue double"
     )
+
+
+# ---------------------------------------------------------------------------
+# lb01 — annotation majority vote + agreement (RLHF-label aggregation)
+# ---------------------------------------------------------------------------
+@query(
+    "lb01_majority_vote",
+    tags="LB A3 A4 A5",
+    oracle="""
+        WITH votes AS (
+            SELECT event_id % 199 AS item_id, user_id, event_type, ts, event_id
+            FROM events
+        ),
+        latest AS (
+            SELECT item_id, user_id, event_type FROM (
+                SELECT item_id, user_id, event_type,
+                       ROW_NUMBER() OVER (PARTITION BY item_id, user_id
+                                          ORDER BY ts DESC, event_id DESC) AS rn
+                FROM votes
+            ) WHERE rn = 1
+        ),
+        hist AS (
+            SELECT item_id, event_type AS label, CAST(COUNT(*) AS BIGINT) AS c
+            FROM latest GROUP BY 1, 2
+        ),
+        agg AS (
+            SELECT item_id,
+                   CAST(SUM(c) AS BIGINT) AS n_votes,
+                   CAST(COUNT(*) AS BIGINT) AS n_labels,
+                   CAST(SUM(c*(c-1)) AS BIGINT) AS ap
+            FROM hist GROUP BY 1
+        ),
+        win AS (
+            SELECT item_id, label, c FROM (
+                SELECT item_id, label, c,
+                       ROW_NUMBER() OVER (PARTITION BY item_id
+                                          ORDER BY c DESC, label ASC) AS rn
+                FROM hist
+            ) WHERE rn = 1
+        )
+        SELECT a.item_id, w.label AS winner_label,
+               CAST(w.c AS BIGINT) AS winner_votes,
+               a.n_votes, a.n_labels,
+               CAST(w.c * 1000000 // a.n_votes AS BIGINT) AS winner_share_q,
+               CASE WHEN a.n_votes > 1
+                    THEN CAST(a.ap * 1000000 // (a.n_votes*(a.n_votes-1)) AS BIGINT)
+               END AS pairwise_agree_q
+        FROM agg a JOIN win w USING (item_id)
+    """,
+)
+def lb01_majority_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-campaign aggregation: events replayed as annotation votes
+    (item = event_id mod 199, annotator = user_id, label = event_type) —
+    each annotator collapses to their LATEST vote per item, the item takes
+    the most-voted label (ties → lexicographically smallest), and per-item
+    agreement ships alongside: winner share plus Fleiss-style pairwise
+    observed agreement, both in exact integer micro-units.  The front door
+    of every preference/label dataset build — low-agreement items get
+    re-queued, not trained on.  Two map-side-combinable keyed aggregations,
+    no windows, no driver state (operators/labels.py majority_label)."""
+    from cnics_to_fhir_spark.operators.labels import majority_label
+
+    e = table(spark, sf_dir, "events").select(
+        (F.col("event_id") % 199).alias("item_id"),
+        F.col("user_id").alias("annotator_id"),
+        F.col("event_type").alias("label"),
+        "ts",
+        "event_id",
+    )
+    return majority_label(
+        e, item_col="item_id", annotator_col="annotator_id", label_col="label",
+        ts_col="ts", vote_id_col="event_id",
+    )
+
+
+# ---------------------------------------------------------------------------
+# ev12 — as-of join with a staleness tolerance
+# ---------------------------------------------------------------------------
+@query(
+    "ev12_asof_tolerance",
+    tags="AJ J1 W E1",
+    oracle="""
+        WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
+             v AS (SELECT user_id, ts, MIN(value) AS value
+                   FROM events WHERE event_type = 'view' GROUP BY user_id, ts)
+        SELECT c.event_id, c.user_id,
+               STRFTIME(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+               CASE WHEN v.ts IS NOT NULL
+                         AND CAST(FLOOR(epoch(c.ts)) AS BIGINT)
+                             - CAST(FLOOR(epoch(v.ts)) AS BIGINT) <= 600
+                    THEN STRFTIME(v.ts, '%Y-%m-%d %H:%M:%S') END AS view_ts,
+               CASE WHEN v.ts IS NOT NULL
+                         AND CAST(FLOOR(epoch(c.ts)) AS BIGINT)
+                             - CAST(FLOOR(epoch(v.ts)) AS BIGINT) <= 600
+                    THEN ROUND(v.value, 2) END AS view_value
+        FROM c ASOF LEFT JOIN v
+          ON c.user_id = v.user_id AND c.ts >= v.ts
+    """,
+)
+def ev12_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """aj01's point-in-time lookup with a 10-minute staleness bound — a
+    'view' older than the tolerance must NOT enrich the click (training on
+    stale features leaks a world state the model won't have at serving
+    time), so it becomes NULL instead.  Because the as-of match is always
+    the LATEST prior row, the bound is a pure post-projection: same single
+    keyed shuffle as aj01, no second pass (operators/asof.py
+    asof_join_tolerance; tolerance compares whole epoch seconds on both
+    engines)."""
+    from cnics_to_fhir_spark.operators.asof import asof_join_tolerance
+
+    e = table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    views = e.filter(F.col("event_type") == "view").select("user_id", "ts", "value")
+    out = asof_join_tolerance(
+        clicks, views, on="user_id", ts_col="ts", payload_cols=["value"],
+        tolerance_seconds=600,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.date_format("matched_ts", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
+        F.round("matched_value", 2).alias("view_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dc05 — cross-document consistent pseudonymization
+# ---------------------------------------------------------------------------
+@query(
+    "dc05_pii_pseudonymize",
+    tags="DC F14 F22 J1 O1",
+    oracle="""
+        WITH marked AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN text || ' contact user' || CAST(doc_id % 53 AS VARCHAR)
+                             || '@example.com'
+                        ELSE text END AS text
+            FROM documents
+        ),
+        ents AS (
+            SELECT doc_id,
+                   UNNEST(list_distinct(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))) AS entity
+            FROM marked
+        ),
+        dict AS (
+            SELECT entity, ROW_NUMBER() OVER (ORDER BY entity) AS rank
+            FROM (SELECT DISTINCT entity FROM ents)
+        ),
+        pairs AS (SELECT doc_id, entity, rank FROM ents JOIN dict USING (entity))
+        SELECT m.doc_id,
+               CASE WHEN p.entity IS NULL THEN m.text
+                    ELSE replace(m.text, p.entity,
+                                 '<EMAIL_' || CAST(p.rank AS VARCHAR) || '>')
+               END AS redacted,
+               CAST(CASE WHEN p.entity IS NULL THEN 0 ELSE 1 END AS BIGINT)
+                   AS n_entities
+        FROM marked m LEFT JOIN pairs p USING (doc_id)
+    """,
+)
+def dc05_pii_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent pseudonymization of planted emails (doc_id-residue
+    planting, dc02's convention — ~53 distinct addresses repeated across
+    half the corpus): every occurrence of the same address becomes the
+    same stable <EMAIL_k> token corpus-wide, k = the address's dense rank
+    in the global entity dictionary.  Linkage survives ("these documents
+    share an author contact"), the value doesn't — redaction that keeps
+    joins alive.  The dictionary is built with global_rank (no single-task
+    window) and joins back on the entity key; it is never collected or
+    broadcast, because in a real crawl it is unbounded
+    (operators/curation.py pseudonymize_entities)."""
+    from cnics_to_fhir_spark.operators.curation import pseudonymize_entities
+
+    did = F.col("doc_id")
+    marked = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            did % 2 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                (did % 53).cast("string"),
+                F.lit("@example.com"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return pseudonymize_entities(
+        marked,
+        pattern=r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+        tag="EMAIL",
+    )
+
+
+# ---------------------------------------------------------------------------
+# dd14 — embedding-space benchmark decontamination
+# ---------------------------------------------------------------------------
+@query(
+    "dd14_semantic_decontaminate",
+    tags="DC DD-cosine J8 A5",
+    oracle="""
+        WITH b AS (
+            SELECT label, CAST(embedding AS DOUBLE[]) AS bv
+            FROM embeddings WHERE vec_id % 97 = 0
+        ),
+        c AS (
+            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS cv
+            FROM embeddings WHERE vec_id % 97 <> 0
+        ),
+        scored AS (
+            SELECT c.vec_id,
+                   FLOOR((list_dot_product(c.cv, b.bv)
+                         / (SQRT(list_dot_product(c.cv, c.cv))
+                            * SQRT(list_dot_product(b.bv, b.bv))))*1e6 + 0.5)/1e6
+                       AS cos
+            FROM c JOIN b ON c.label = b.label
+        ),
+        hits AS (
+            SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_benchmark_hits,
+                   MAX(cos) AS max_cosine_q
+            FROM scored WHERE cos >= 0.35 GROUP BY 1
+        )
+        SELECT c.vec_id,
+               CAST(COALESCE(h.n_benchmark_hits, 0) AS BIGINT) AS n_benchmark_hits,
+               h.max_cosine_q,
+               COALESCE(h.n_benchmark_hits, 0) > 0 AS is_contaminated
+        FROM c LEFT JOIN hits h USING (vec_id)
+    """,
+)
+def dd14_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic benchmark decontamination: ~1% of the vectors (vec_id
+    divisible by 97) play the eval suite; every remaining corpus vector is
+    checked for cosine ≥ 0.35 against any benchmark vector IN ITS COARSE
+    CELL.  dc01 catches verbatim n-gram leakage; paraphrased eval items
+    surface here, in embedding space — the second gate before a benchmark
+    score means anything.  The benchmark side broadcasts (eval suites are
+    small by definition), the corpus never shuffles, and clean rows stay
+    visible as 0-hit rows so gate coverage is auditable
+    (operators/curation.py semantic_decontaminate)."""
+    from cnics_to_fhir_spark.operators.curation import semantic_decontaminate
+
+    emb = table(spark, sf_dir, "embeddings")
+    benchmark = emb.filter(F.col("vec_id") % 97 == 0)
+    corpus = emb.filter(F.col("vec_id") % 97 != 0)
+    return semantic_decontaminate(corpus, benchmark, threshold=0.35)
+
+
+# ---------------------------------------------------------------------------
+# tx12 — feature-hashed TF-IDF document vectors (sparse, integer-exact)
+# ---------------------------------------------------------------------------
+@query(
+    "tx12_tfidf_hashed",
+    tags="TX A5 J1 F18",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM toks WHERE tok <> '' GROUP BY 1, 2
+        ),
+        dfreq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+        idf AS (
+            SELECT tok,
+                   CAST(FLOOR(ln(CAST(n_docs + 1 AS DOUBLE)/(df + 1))*1e6 + 0.5)
+                        AS BIGINT) AS idf_q
+            FROM dfreq, n
+        )
+        SELECT tf.doc_id,
+               CAST(CAST(('0x' || substring(md5(tf.tok), 1, 15)) AS UBIGINT) % 64
+                    AS INTEGER) AS dim,
+               CAST(SUM(tf.tf * idf.idf_q) AS BIGINT) AS weight_q
+        FROM tf JOIN idf USING (tok)
+        GROUP BY 1, 2
+    """,
+)
+def tx12_tfidf_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashed TF-IDF doc vectors, sparse (doc, dim, weight_q) rows
+    — the classical no-model document embedding, feeding the same
+    consumers as the neural ``embeddings`` table (near-dup, clustering,
+    drift).  idf quantizes to integer micro-nats BEFORE the weighted sum
+    (tx07's convention), tf is an exact count, the hash is the portable
+    md5 prefix — every weight is a BIGINT sum of BIGINT products, no
+    float accumulation.  Three map-side-combinable aggregations + one
+    vocabulary-keyed join; N rides in as a one-row broadcast
+    (operators/textanalysis.py tfidf_hashed)."""
+    from cnics_to_fhir_spark.operators.textanalysis import tfidf_hashed
+
+    return tfidf_hashed(table(spark, sf_dir, "documents"), dims=64)
+
+
+# ---------------------------------------------------------------------------
+# a21 — mergeable quantile summary sketch (exact-arithmetic, oracle-checked)
+# ---------------------------------------------------------------------------
+@query(
+    "a21_quantile_sketch",
+    tags="A5 APPROX W DS",
+    oracle="""
+        WITH s AS (
+            SELECT event_type AS grp, value AS v, event_id AS k,
+                   CAST(CAST(('0x' || substring(
+                       md5(CAST(event_id AS VARCHAR)), 1, 15)) AS UBIGINT) % 32
+                       AS INTEGER) AS salt
+            FROM events
+        ),
+        ranked AS (
+            SELECT grp, salt, v,
+                   ROW_NUMBER() OVER (PARTITION BY grp, salt ORDER BY v, k) AS r,
+                   COUNT(*) OVER (PARTITION BY grp, salt) AS m
+            FROM s
+        ),
+        centroids AS (
+            SELECT grp, salt, ((r - 1) * 64) // m AS chunk,
+                   MAX(v) AS cv, CAST(COUNT(*) AS BIGINT) AS cw
+            FROM ranked GROUP BY 1, 2, 3
+        ),
+        merged AS (
+            SELECT grp, cv, CAST(SUM(cw) AS BIGINT) AS w
+            FROM centroids GROUP BY 1, 2
+        ),
+        cum AS (
+            SELECT grp, cv, w,
+                   SUM(w) OVER (PARTITION BY grp ORDER BY cv
+                                ROWS UNBOUNDED PRECEDING) AS c
+            FROM merged
+        ),
+        tot AS (SELECT grp, CAST(SUM(w) AS BIGINT) AS tw FROM merged GROUP BY 1),
+        t AS (SELECT CAST(UNNEST([50, 90, 99]) AS INTEGER) AS pct)
+        SELECT cum.grp AS event_type, t.pct, cum.cv AS value, tot.tw AS n_rows
+        FROM cum JOIN tot USING (grp), t
+        WHERE (t.pct*tot.tw + 99)//100 <= cum.c
+          AND (t.pct*tot.tw + 99)//100 > cum.c - cum.w
+    """,
+)
+def a21_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable two-level quantile summary over event values per type —
+    the t-digest SHAPE (shard-local weighted centroids, weight-merge,
+    cumulative-weight query) in exact rank arithmetic, so unlike
+    percentile_approx (a11, rows-only) this sketch is partition- and
+    engine-independent and sits fully under the oracle.  32 md5 shards ×
+    64 centroids: the corpus shuffles once on (group, shard), each shard
+    sorts locally, and everything downstream is centroid-sized; rank
+    error ≤ n/64 is pinned by pytest against the exact percentile
+    (operators/sketches.py quantile_summary_sketch)."""
+    from cnics_to_fhir_spark.operators.sketches import quantile_summary_sketch
+
+    return quantile_summary_sketch(
+        table(spark, sf_dir, "events"),
+        value_col="value", group_col="event_type", key_col="event_id",
+        pcts=(50, 90, 99), n_salts=32, delta=64,
+    )

@@ -88,3 +88,31 @@ def test_asof_join_duplicate_right_ts_is_deterministic(spark):
         fwd = asof_join_forward(left, right).collect()[0]
         assert back["matched_value"] == 3.0
         assert fwd["next_value"] == 4.0
+
+
+def test_asof_tolerance_nulls_stale_matches(spark):
+    from cnics_to_fhir_spark.operators.asof import asof_join_tolerance
+
+    left = spark.createDataFrame(
+        [
+            (1, 100, _ts("2024-01-01 10:00:00")),  # view 5 min old → kept
+            (2, 100, _ts("2024-01-01 11:00:00")),  # latest view 65 min old → NULL
+            (3, 100, _ts("2024-01-01 09:55:00")),  # exactly at tolerance → kept
+            (4, 200, _ts("2024-01-01 10:00:00")),  # no views at all → NULL
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(100, _ts("2024-01-01 09:55:00"), 7.0)],
+        "user_id long, ts timestamp, value double",
+    )
+    out = {
+        r["event_id"]: r
+        for r in asof_join_tolerance(
+            left, right, tolerance_seconds=300
+        ).collect()
+    }
+    assert out[1]["matched_value"] == 7.0
+    assert out[2]["matched_value"] is None and out[2]["matched_ts"] is None
+    assert out[3]["matched_value"] == 7.0  # age == tolerance is inside ("<=")
+    assert out[4]["matched_value"] is None

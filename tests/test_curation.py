@@ -309,3 +309,55 @@ def test_k_anonymize_property(spark, rows, k):
             assert (r["lang_k"], r["source_k"]) == tup and r["is_anonymous"]
         else:
             assert (r["lang_k"], r["source_k"]) == ("*", "*") and not r["is_anonymous"]
+
+
+def test_pseudonymize_is_consistent_across_docs_and_folds_multi_entity(spark):
+    from cnics_to_fhir_spark.operators.curation import pseudonymize_entities
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail alice@x.com today"),
+            (2, "cc alice@x.com and bob@y.org please"),  # two entities, one doc
+            (3, "nothing to hide"),
+            (4, "bob@y.org again bob@y.org"),  # repeated occurrence, one entity
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in pseudonymize_entities(
+            df, pattern=r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+        ).collect()
+    }
+    # dictionary ranks are lexicographic: alice@x.com → 1, bob@y.org → 2
+    assert out[1]["redacted"] == "mail <EMAIL_1> today"
+    assert out[2]["redacted"] == "cc <EMAIL_1> and <EMAIL_2> please"
+    assert out[3]["redacted"] == "nothing to hide" and out[3]["n_entities"] == 0
+    assert out[4]["redacted"] == "<EMAIL_2> again <EMAIL_2>"  # all occurrences
+    assert out[2]["n_entities"] == 2
+
+
+def test_semantic_decontaminate_flags_same_cell_hits_only(spark):
+    from cnics_to_fhir_spark.operators.curation import semantic_decontaminate
+
+    benchmark = spark.createDataFrame(
+        [(100, [1.0, 0.0], 0)], "vec_id long, embedding array<double>, label int"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.05], 0),   # same cell, cosine ≈ 0.9988 → hit
+            (2, [0.0, 1.0], 0),    # same cell, orthogonal → clean
+            (3, [1.0, 0.0], 1),    # identical vector but OTHER cell → the
+                                   # documented IVF recall trade: not flagged
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    out = {
+        r["vec_id"]: r
+        for r in semantic_decontaminate(corpus, benchmark, threshold=0.9).collect()
+    }
+    assert out[1]["is_contaminated"] and out[1]["n_benchmark_hits"] == 1
+    assert out[1]["max_cosine_q"] is not None and out[1]["max_cosine_q"] > 0.99
+    assert not out[2]["is_contaminated"] and out[2]["max_cosine_q"] is None
+    assert not out[3]["is_contaminated"]
+    assert len(out) == 3  # every corpus row stays visible

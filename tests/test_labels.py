@@ -1,0 +1,90 @@
+"""Annotation aggregation semantics (operators/labels.py) on hand-checkable
+fixtures; the testdata-scale hash equivalence runs in the oracle
+(lb01_majority_vote)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from cnics_to_fhir_spark.operators.labels import majority_label
+
+
+def _ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+def _votes(spark, rows):
+    return spark.createDataFrame(
+        rows, "item_id long, annotator_id long, label string, ts timestamp, vote_id long"
+    )
+
+
+def test_majority_and_agreement_exact(spark):
+    df = _votes(
+        spark,
+        [
+            # item 1: a/a/b → winner a, 3 votes, pairs agreeing = 2·1+0 = 2 of 6
+            (1, 10, "a", _ts("2024-01-01 00:00:00"), 1),
+            (1, 11, "a", _ts("2024-01-01 00:00:00"), 2),
+            (1, 12, "b", _ts("2024-01-01 00:00:00"), 3),
+            # item 2: single vote → share 100%, pairwise NULL (not fake 100%)
+            (2, 10, "c", _ts("2024-01-01 00:00:00"), 4),
+        ],
+    )
+    out = {
+        r["item_id"]: r
+        for r in majority_label(
+            df, ts_col="ts", vote_id_col="vote_id"
+        ).collect()
+    }
+    i1 = out[1]
+    assert (i1["winner_label"], i1["winner_votes"], i1["n_votes"], i1["n_labels"]) == ("a", 2, 3, 2)
+    assert i1["winner_share_q"] == 666666  # 2/3 in micro-units, floor
+    assert i1["pairwise_agree_q"] == 333333  # 2 agreeing pairs of 6 ordered
+    i2 = out[2]
+    assert (i2["winner_share_q"], i2["pairwise_agree_q"]) == (1000000, None)
+
+
+def test_relabel_counts_once_with_latest_vote(spark):
+    df = _votes(
+        spark,
+        [
+            # annotator 10 flips a → b; only the LATEST (b) may count,
+            # so b wins 2-1 over a despite three raw 'a' rows overall
+            (1, 10, "a", _ts("2024-01-01 00:00:00"), 1),
+            (1, 10, "b", _ts("2024-01-02 00:00:00"), 2),
+            (1, 11, "b", _ts("2024-01-01 00:00:00"), 3),
+            (1, 12, "a", _ts("2024-01-01 00:00:00"), 4),
+        ],
+    )
+    row = majority_label(df, ts_col="ts", vote_id_col="vote_id").collect()[0]
+    assert (row["winner_label"], row["winner_votes"], row["n_votes"]) == ("b", 2, 3)
+
+
+def test_equal_ts_breaks_by_vote_id_then_tie_breaks_to_smallest_label(spark):
+    df = _votes(
+        spark,
+        [
+            # same annotator, same ts: higher vote_id ("z") is the kept vote
+            (1, 10, "a", _ts("2024-01-01 00:00:00"), 1),
+            (1, 10, "z", _ts("2024-01-01 00:00:00"), 2),
+            # 1-1 tie between z and b → lexicographically smallest label wins
+            (1, 11, "b", _ts("2024-01-01 00:00:00"), 3),
+        ],
+    )
+    row = majority_label(df, ts_col="ts", vote_id_col="vote_id").collect()[0]
+    assert row["winner_label"] == "b"
+    assert row["n_votes"] == 2
+
+
+def test_no_ts_mode_counts_every_row_as_one_vote(spark):
+    df = _votes(
+        spark,
+        [
+            (1, 10, "a", _ts("2024-01-01 00:00:00"), 1),
+            (1, 11, "a", _ts("2024-01-02 00:00:00"), 2),
+            (1, 12, "b", _ts("2024-01-01 00:00:00"), 3),
+        ],
+    ).selectExpr("item_id", "label")
+    row = majority_label(df, ts_col=None).collect()[0]
+    assert (row["winner_label"], row["winner_votes"], row["n_votes"]) == ("a", 2, 3)

@@ -67,3 +67,47 @@ def test_rollup_chains_to_global(spark):
         .alias("d")
     ).collect()[0]["d"]
     assert total["approx_distinct"] == direct
+
+
+def test_quantile_sketch_rank_error_bound_and_determinism(spark):
+    """The summary's answer must sit within n/delta ranks of the exact
+    percentile target, and be identical across repartitionings (the
+    mergeable-sketch property percentile_approx does NOT have)."""
+    from cnics_to_fhir_spark.operators.sketches import quantile_summary_sketch
+
+    ev = read_table(spark, SF_DIR, "events")
+    out = quantile_summary_sketch(
+        ev, value_col="value", group_col="event_type", key_col="event_id",
+        pcts=(50, 90, 99), n_salts=8, delta=64,
+    )
+    rows = out.collect()
+    values = {r["event_type"]: dict() for r in rows}
+    for r in rows:
+        values[r["event_type"]][r["pct"]] = (r["value"], r["n_rows"])
+
+    exact = {
+        (r["event_type"],): sorted(
+            x["value"] for x in ev.filter(F.col("event_type") == r["event_type"])
+            .select("value").collect()
+        )
+        for r in ev.select("event_type").distinct().collect()
+    }
+    for (etype,), vals in exact.items():
+        n = len(vals)
+        assert values[etype][50][1] == n
+        for pct, (got, _) in values[etype].items():
+            target = -(-pct * n // 100)  # ceil
+            # true rank range of the returned value in the sorted data
+            import bisect
+
+            lo = bisect.bisect_left(vals, got) + 1
+            hi = bisect.bisect_right(vals, got)
+            err_bound = n // 64 + 8  # n/delta + one per shard (ceil slack)
+            assert lo - err_bound <= target <= hi + err_bound, (
+                etype, pct, got, target, lo, hi)
+
+    rep = quantile_summary_sketch(
+        ev.repartition(7, "user_id"), value_col="value", group_col="event_type",
+        key_col="event_id", pcts=(50, 90, 99), n_salts=8, delta=64,
+    ).collect()
+    assert sorted(map(tuple, rep)) == sorted(map(tuple, rows))

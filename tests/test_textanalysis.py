@@ -281,3 +281,38 @@ def test_zipf_fit_random_corpora_match_mirror(spark):
         # is dropped; ranks 1..n are distinct so den>0 whenever n>=2
         assert len(out) == 1, f"trial {trial}"
         assert out[0]["slope"] == exp_slope and out[0]["intercept"] == exp_intercept
+
+
+def test_tfidf_hashed_matches_pure_python_mirror(spark):
+    """Exact weights vs an out-of-band python mirror of the same
+    tf·idf_q arithmetic and md5-prefix feature hashing."""
+    import hashlib
+    import math
+    from collections import Counter, defaultdict
+
+    from cnics_to_fhir_spark.operators.textanalysis import tfidf_hashed
+
+    corpus = [
+        (1, "a b a c"),
+        (2, "a b"),
+        (3, "c c d"),
+        (4, ""),  # empty doc contributes no rows but counts toward N
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["dim"]): r["weight_q"]
+        for r in tfidf_hashed(df, dims=8).collect()
+    }
+
+    n_docs = len(corpus)
+    tf = {doc: Counter(t for t in text.split(" ") if t) for doc, text in corpus}
+    dfreq = Counter(tok for c in tf.values() for tok in c)
+    want = defaultdict(int)
+    for doc, counts in tf.items():
+        for tok, k in counts.items():
+            idf_q = math.floor(
+                math.log((n_docs + 1) / (dfreq[tok] + 1)) * 1e6 + 0.5
+            )
+            dim = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % 8
+            want[(doc, dim)] += k * idf_q
+    assert got == dict(want)
