@@ -151,6 +151,15 @@ HEADLINE = [
     "ann11_mmr_diversified",
     "u03_schema_evolution_scan",
     "j15_merge_table_sink",
+    # round-8 additions
+    "s05_fhir_snapshot_replay",
+    "o06b_manifest_file_skipping",
+    "lb01_majority_vote",
+    "ev12_asof_tolerance",
+    "dc05_pii_pseudonymize",
+    "dd14_semantic_decontaminate",
+    "tx12_tfidf_hashed",
+    "a21_quantile_sketch",
     # Iterative ops (dd06, cl01, ann04, dd09, and the round-5 additions
     # gr02/dd10/ann06 — k-means or fixpoint loops) and
     # streaming-equivalence runs
