@@ -160,6 +160,8 @@ HEADLINE = [
     "dd14_semantic_decontaminate",
     "tx12_tfidf_hashed",
     "a21_quantile_sketch",
+    "dq05_expectation_suite",
+    # lb02_bradley_terry is excluded with the other iterative ops below.
     # Iterative ops (dd06, cl01, ann04, dd09, and the round-5 additions
     # gr02/dd10/ann06 — k-means or fixpoint loops) and
     # streaming-equivalence runs

@@ -1,0 +1,104 @@
+"""Declarative data-quality expectation suite — the Great-Expectations
+shape (named checks → violation counts → pass/fail report) as Spark plans.
+
+A training-data pipeline gates every ingest on expectations: null rates,
+value ranges, key uniqueness, referential integrity.  The report is the
+artifact — a table of (check, n_rows, n_violations, passed) that CI can
+diff — so checks are DataFrame-valued, never assertions that die on the
+first failure.
+
+Scale shape: all row-predicate checks over one table FUSE INTO A SINGLE
+SCAN (one aggregation computing every violation count map-side);
+uniqueness is one keyed count; referential integrity is one left-anti
+join (broadcast when the parent's key column is dimension-sized).  The
+report itself is O(checks) rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_REPORT_SCHEMA = "check string, n_rows bigint, n_violations bigint, passed boolean"
+
+
+def _report(check: Column, n_rows: Column, n_violations: Column) -> list[Column]:
+    return [
+        check.alias("check"),
+        n_rows.cast("long").alias("n_rows"),
+        n_violations.cast("long").alias("n_violations"),
+        (n_violations == 0).alias("passed"),
+    ]
+
+
+def expect_rows(df: DataFrame, checks: dict[str, Column]) -> DataFrame:
+    """Row-predicate expectations — ``checks`` maps a check name to a
+    boolean Column that is TRUE when the row VIOLATES the expectation
+    (NULL predicate results count as violations: an unevaluable
+    expectation is a failed one, never a silently passed one).  Every
+    check is evaluated in ONE scan of ``df``: a single aggregation with
+    one conditional-sum per check, all map-side combinable."""
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for name, viol in checks.items():
+        aggs.append(
+            F.sum(
+                F.when(F.coalesce(viol, F.lit(True)), F.lit(1)).otherwise(F.lit(0))
+            ).alias(f"__v_{name}")
+        )
+    one = df.agg(*aggs)
+    reports = [
+        one.select(*_report(F.lit(name), F.col("__n"), F.col(f"__v_{name}")))
+        for name in checks
+    ]
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def expect_unique(df: DataFrame, cols: list[str], name: str | None = None) -> DataFrame:
+    """Key-uniqueness expectation: a violation is every ROW beyond the
+    first in a duplicated key group (so n_violations = n_rows − distinct
+    keys; 0 means the key is unique).  One keyed count aggregation —
+    map-side partials make the duplicate scan cheap at any scale."""
+    name = name or f"unique({','.join(cols)})"
+    per_key = df.groupBy(*cols).agg(F.count(F.lit(1)).alias("__c"))
+    agg = per_key.agg(
+        F.sum("__c").alias("__n"), F.sum(F.col("__c") - 1).alias("__v")
+    )
+    return agg.select(*_report(F.lit(name), F.col("__n"), F.col("__v")))
+
+
+def expect_foreign_key(
+    child: DataFrame,
+    parent: DataFrame,
+    child_key: str,
+    parent_key: str,
+    name: str | None = None,
+    broadcast_parent: bool = True,
+) -> DataFrame:
+    """Referential-integrity expectation: child rows whose key has no
+    match in the parent's key set are violations (NULL child keys are
+    orphans too — an unattributable row can't be joined downstream).
+    One left-anti join; the parent side reduces to its distinct keys
+    first and broadcasts when dimension-sized (``broadcast_parent=False``
+    for fact-to-fact integrity, which shuffles both sides on the key)."""
+    name = name or f"fk({child_key}->{parent_key})"
+    keys = parent.select(F.col(parent_key).alias(child_key)).distinct()
+    if broadcast_parent:
+        keys = F.broadcast(keys)
+    n = child.agg(F.count(F.lit(1)).alias("__n"))
+    orphans = child.join(keys, on=child_key, how="left_anti").agg(
+        F.count(F.lit(1)).alias("__v")
+    )
+    return n.crossJoin(orphans).select(
+        *_report(F.lit(name), F.col("__n"), F.col("__v"))
+    )
+
+
+def expectation_suite(*reports: DataFrame) -> DataFrame:
+    """Union the per-check reports into one suite table."""
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out

@@ -110,6 +110,8 @@ _PRIORITY: tuple[str, ...] = (
     "a21_quantile_sketch",
     "ev12_asof_tolerance",
     "dc05_pii_pseudonymize",
+    "lb02_bradley_terry",
+    "dq05_expectation_suite",
     # (4) re-verification fillers, oldest driver check first
     "q06_forecast_revenue",
     "q04_order_priority",
@@ -168,6 +170,8 @@ _NEVER_DRIVER_VERIFIED: tuple[str, ...] = (
     "a21_quantile_sketch",
     "ev12_asof_tolerance",
     "dc05_pii_pseudonymize",
+    "lb02_bradley_terry",
+    "dq05_expectation_suite",
 )
 
 

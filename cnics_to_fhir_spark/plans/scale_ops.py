@@ -5919,3 +5919,183 @@ def a21_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_col="value", group_col="event_type", key_col="event_id",
         pcts=(50, 90, 99), n_salts=32, delta=64,
     )
+
+
+# ---------------------------------------------------------------------------
+# lb02 — Bradley-Terry preference ratings (integer-exact MM iterations)
+# ---------------------------------------------------------------------------
+def _lb02_oracle(iters: int = 4) -> str:
+    """Unrolled-iteration oracle for lb02: each MM step is one CTE pair
+    (denominator join-agg, rating update) replaying the engine's integer
+    arithmetic verbatim — DuckDB's `//` and Spark's DIV agree on
+    positive BIGINTs."""
+    steps = []
+    for k in range(iters):
+        steps.append(f"""
+        d{k + 1} AS MATERIALIZED (
+            SELECT p.i,
+                   CAST(SUM(p.n * 1000000000000 // (ri.s + rj.s)) AS BIGINT) AS d
+            FROM pairs p
+            JOIN r{k} ri ON ri.i = p.i
+            JOIN r{k} rj ON rj.i = p.j
+            GROUP BY 1
+        ),
+        r{k + 1} AS MATERIALIZED (
+            SELECT r.i,
+                   CASE WHEN COALESCE(d.d, 0) > 0
+                        THEN CAST(w.w * 1000000000000 // d.d AS BIGINT)
+                        ELSE r.s END AS s
+            FROM r{k} r
+            LEFT JOIN d{k + 1} d ON d.i = r.i
+            JOIN winsg w ON w.i = r.i
+        )""")
+    return f"""
+        WITH ranked AS (
+            SELECT l.l_orderkey, p.p_brand,
+                   ROW_NUMBER() OVER (PARTITION BY l.l_orderkey
+                                      ORDER BY l.l_extendedprice DESC,
+                                               l.l_linenumber ASC) AS rn
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        ),
+        top2 AS (
+            SELECT l_orderkey,
+                   MAX(CASE WHEN rn = 1 THEN p_brand END) AS wb,
+                   MAX(CASE WHEN rn = 2 THEN p_brand END) AS lb
+            FROM ranked WHERE rn <= 2 GROUP BY 1
+        ),
+        m AS (SELECT wb AS a, lb AS b FROM top2
+              WHERE lb IS NOT NULL AND wb <> lb),
+        sym AS (SELECT a, b FROM m UNION ALL SELECT b AS a, a AS b FROM m),
+        pairs AS MATERIALIZED (
+            SELECT a AS i, b AS j, CAST(COUNT(*) AS BIGINT) AS n
+            FROM sym GROUP BY 1, 2
+        ),
+        winraw AS (SELECT a AS i, CAST(COUNT(*) AS BIGINT) AS w FROM m GROUP BY 1),
+        ents AS (SELECT DISTINCT i FROM pairs),
+        winsg AS MATERIALIZED (
+            SELECT e.i, CAST(COALESCE(wr.w, 0) AS BIGINT) AS w, g.g
+            FROM ents e
+            LEFT JOIN winraw wr ON wr.i = e.i
+            JOIN (SELECT i, CAST(SUM(n) AS BIGINT) AS g
+                  FROM pairs GROUP BY 1) g ON g.i = e.i
+        ),
+        r0 AS MATERIALIZED (SELECT i, CAST(1000000 AS BIGINT) AS s FROM ents),{",".join(steps)}
+        SELECT w.i AS entity, r{iters}.s AS rating, w.w AS wins, w.g AS games
+        FROM winsg w JOIN r{iters} ON r{iters}.i = w.i
+    """
+
+
+@query(
+    "lb02_bradley_terry",
+    tags="LB GR A5 W J8",
+    oracle=_lb02_oracle(4),
+)
+def lb02_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry strength ratings over pairwise preferences — the
+    reward-model-data staple (Chatbot-Arena-style ranking) run on a
+    deterministic stand-in match log: within each order, the
+    highest-extendedprice lineitem's brand 'beats' the runner-up's
+    (rank ties broken by linenumber), cross-brand matches only.  Four MM
+    iterations in exact integer micro-units (operators/labels.py
+    bradley_terry): every pair term is one integer division, every
+    denominator an exact BIGINT sum, so the oracle replays the unrolled
+    iterations bit-for-bit — a float BT would diverge across engines on
+    summation order alone.  The match derivation is one window over the
+    order key; the iteration loop never touches the match log again,
+    only the O(brands²) pair table."""
+    from cnics_to_fhir_spark.operators.labels import bradley_terry
+    from pyspark.sql.window import Window
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_extendedprice", "l_linenumber"
+    )
+    pt = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = li.join(F.broadcast(pt), li["l_partkey"] == pt["p_partkey"])
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.col("l_extendedprice").desc(), F.col("l_linenumber").asc()
+    )
+    top2 = (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .groupBy("l_orderkey")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("p_brand"))).alias("wb"),
+            F.max(F.when(F.col("rn") == 2, F.col("p_brand"))).alias("lb"),
+        )
+    )
+    matches = top2.filter(
+        F.col("lb").isNotNull() & (F.col("wb") != F.col("lb"))
+    ).select(F.col("wb").alias("winner"), F.col("lb").alias("loser"))
+    return bradley_terry(matches, iters=4)
+
+
+# ---------------------------------------------------------------------------
+# dq05 — declarative data-quality expectation suite
+# ---------------------------------------------------------------------------
+@query(
+    "dq05_expectation_suite",
+    tags="DQ A5 J5 E3",
+    oracle="""
+        SELECT 'quantity_in_1_50' AS check, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN COALESCE(NOT (l_quantity BETWEEN 1 AND 50),
+                                           TRUE)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+               SUM(CASE WHEN COALESCE(NOT (l_quantity BETWEEN 1 AND 50), TRUE)
+                        THEN 1 ELSE 0 END) = 0 AS passed
+        FROM lineitem
+        UNION ALL
+        SELECT 'extendedprice_positive', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN COALESCE(NOT (l_extendedprice > 0), TRUE)
+                             THEN 1 ELSE 0 END) AS BIGINT),
+               SUM(CASE WHEN COALESCE(NOT (l_extendedprice > 0), TRUE)
+                        THEN 1 ELSE 0 END) = 0
+        FROM lineitem
+        UNION ALL
+        SELECT 'shipdate_not_null', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT),
+               SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) = 0
+        FROM lineitem
+        UNION ALL
+        SELECT 'unique(o_orderkey)', CAST(SUM(c) AS BIGINT),
+               CAST(SUM(c - 1) AS BIGINT), SUM(c - 1) = 0
+        FROM (SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey)
+        UNION ALL
+        SELECT 'fk(o_custkey->c_custkey)',
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+                WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                  WHERE c.c_custkey = o.o_custkey)),
+               (SELECT COUNT(*) FROM orders o
+                WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                  WHERE c.c_custkey = o.o_custkey)) = 0
+    """,
+)
+def dq05_expectation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Great-Expectations-shaped ingest gate as one suite table: three
+    row-predicate checks over lineitem (all FUSED into a single scan —
+    one aggregation, one conditional-sum per check, NULL predicate
+    results counted as violations, never silently passed), o_orderkey
+    uniqueness (one keyed count), and orders→customer referential
+    integrity (distinct parent keys broadcast into a left-anti probe;
+    NULL child keys are orphans).  The report is the artifact — a table
+    CI diffs, not an assertion that dies on the first failure
+    (operators/quality.py)."""
+    from cnics_to_fhir_spark.operators import quality
+
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    rows = quality.expect_rows(
+        li,
+        {
+            "quantity_in_1_50": ~F.col("l_quantity").between(1, 50),
+            "extendedprice_positive": ~(F.col("l_extendedprice") > 0),
+            "shipdate_not_null": F.col("l_shipdate").isNull(),
+        },
+    )
+    return quality.expectation_suite(
+        rows,
+        quality.expect_unique(o, ["o_orderkey"]),
+        quality.expect_foreign_key(o, c, "o_custkey", "c_custkey"),
+    )

@@ -88,3 +88,71 @@ def test_no_ts_mode_counts_every_row_as_one_vote(spark):
     ).selectExpr("item_id", "label")
     row = majority_label(df, ts_col=None).collect()[0]
     assert (row["winner_label"], row["winner_votes"], row["n_votes"]) == ("a", 2, 3)
+
+
+def test_bradley_terry_two_player_fixed_point(spark):
+    from cnics_to_fhir_spark.operators.labels import bradley_terry
+
+    m = spark.createDataFrame(
+        [("A", "B")] * 3 + [("B", "A")], "winner string, loser string"
+    )
+    out = {r["entity"]: r for r in bradley_terry(m, iters=4).collect()}
+    # two-player BT fixed point: ratings proportional to win counts
+    assert out["A"]["rating"] == 1_500_000
+    assert out["B"]["rating"] == 500_000
+    assert (out["A"]["wins"], out["A"]["games"]) == (3, 4)
+    assert (out["B"]["wins"], out["B"]["games"]) == (1, 4)
+
+
+def test_bradley_terry_matches_pure_python_mirror(spark):
+    from cnics_to_fhir_spark.operators.labels import bradley_terry
+
+    log = [
+        ("A", "B"), ("A", "B"), ("B", "C"), ("C", "A"),
+        ("B", "A"), ("A", "C"), ("A", "C"), ("C", "B"),
+    ]
+    out = {
+        r["entity"]: r["rating"]
+        for r in bradley_terry(
+            spark.createDataFrame(log, "winner string, loser string"), iters=4
+        ).collect()
+    }
+
+    from collections import Counter, defaultdict
+
+    n = Counter()
+    w = Counter()
+    for a, b in log:
+        n[(a, b)] += 1
+        n[(b, a)] += 1
+        w[a] += 1
+    ents = sorted({e for p in n for e in p})
+    s = {e: 1_000_000 for e in ents}
+    SQ = 10**12
+    for _ in range(4):
+        d = defaultdict(int)
+        for (i, j), nij in n.items():
+            d[i] += nij * SQ // (s[i] + s[j])
+        s = {e: (w[e] * SQ // d[e] if d[e] > 0 else s[e]) for e in ents}
+    assert out == s
+
+
+def test_bradley_terry_winless_entity_goes_to_zero_not_crash(spark):
+    from cnics_to_fhir_spark.operators.labels import bradley_terry
+
+    m = spark.createDataFrame(
+        [("A", "Z"), ("B", "Z"), ("A", "B"), ("B", "A")],
+        "winner string, loser string",
+    )
+    out = {r["entity"]: r for r in bradley_terry(m, iters=4).collect()}
+    assert out["Z"]["rating"] == 0 and out["Z"]["wins"] == 0 and out["Z"]["games"] == 2
+
+
+def test_bradley_terry_overflow_guard_raises(spark):
+    import pytest
+
+    from cnics_to_fhir_spark.operators.labels import bradley_terry
+
+    m = spark.createDataFrame([("A", "B")], "winner string, loser string")
+    with pytest.raises(ValueError, match="integer bound"):
+        bradley_terry(m, scale=10**10)
