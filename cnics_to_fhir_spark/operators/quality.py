@@ -63,8 +63,11 @@ def expect_unique(df: DataFrame, cols: list[str], name: str | None = None) -> Da
     map-side partials make the duplicate scan cheap at any scale."""
     name = name or f"unique({','.join(cols)})"
     per_key = df.groupBy(*cols).agg(F.count(F.lit(1)).alias("__c"))
+    # Coalesce: an EMPTY table is trivially unique (0 rows, 0 violations),
+    # not a NULL-violation report that reads as failure.
     agg = per_key.agg(
-        F.sum("__c").alias("__n"), F.sum(F.col("__c") - 1).alias("__v")
+        F.coalesce(F.sum("__c"), F.lit(0)).alias("__n"),
+        F.coalesce(F.sum(F.col("__c") - 1), F.lit(0)).alias("__v"),
     )
     return agg.select(*_report(F.lit(name), F.col("__n"), F.col("__v")))
 

@@ -890,3 +890,110 @@ def e2e08_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").alias("total_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# e2e09 — labeled-dataset export: votes → majority labels → agreement gate
+#          → corpus join → validated export
+# ---------------------------------------------------------------------------
+@query(
+    "e2e09_label_export_pipeline",
+    tags="E2E LB DQ J1 A5",
+    oracle="""
+        WITH votes AS (
+            SELECT event_id % 199 AS item_id, user_id, event_type, ts, event_id
+            FROM events
+        ),
+        latest AS (
+            SELECT item_id, user_id, event_type FROM (
+                SELECT item_id, user_id, event_type,
+                       ROW_NUMBER() OVER (PARTITION BY item_id, user_id
+                                          ORDER BY ts DESC, event_id DESC) AS rn
+                FROM votes
+            ) WHERE rn = 1
+        ),
+        hist AS (
+            SELECT item_id, event_type AS label, CAST(COUNT(*) AS BIGINT) AS c
+            FROM latest GROUP BY 1, 2
+        ),
+        agg AS (
+            SELECT item_id, CAST(SUM(c) AS BIGINT) AS n_votes,
+                   CAST(COUNT(*) AS BIGINT) AS n_labels
+            FROM hist GROUP BY 1
+        ),
+        win AS (
+            SELECT item_id, label, c FROM (
+                SELECT item_id, label, c,
+                       ROW_NUMBER() OVER (PARTITION BY item_id
+                                          ORDER BY c DESC, label ASC) AS rn
+                FROM hist
+            ) WHERE rn = 1
+        ),
+        confident AS (
+            SELECT a.item_id, w.label,
+                   CAST(w.c AS BIGINT) AS winner_votes, a.n_votes,
+                   CAST(w.c * 1000000 // a.n_votes AS BIGINT) AS winner_share_q
+            FROM agg a JOIN win w USING (item_id)
+            WHERE a.n_votes >= 3
+              AND (w.c * 1000000 // a.n_votes) * a.n_labels >= 1000000
+        )
+        SELECT d.doc_id, c.label, c.winner_votes, c.n_votes, c.winner_share_q,
+               d.lang, d.source
+        FROM confident c JOIN documents d ON d.doc_id = c.item_id
+    """,
+)
+def e2e09_label_export_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The labeled-dataset EXPORT vertical: raw annotation votes (events
+    replayed as lb01's campaign) → majority labels with agreement stats →
+    confidence gate (≥3 votes AND winner share ABOVE the uniform 1/n_labels
+    baseline — a scale-robust form: absolute share thresholds empty out as
+    per-item vote counts grow and shares concentrate toward uniform; the
+    integer form share_q·n_labels ≥ 10⁶ stays exact) → join onto the
+    document corpus
+    → export validated IN-ENTRY with the dq05 machinery (doc_id
+    uniqueness; a duplicate would double-weight an example silently).
+    The oracle replays every stage in one statement, so a bug anywhere in
+    the chain — vote collapse, tiebreak, gating arithmetic, the join —
+    breaks the hash, not just one operator's unit test.
+
+    Scale shape: lb01's two keyed aggregations + one ids-keyed join into
+    the corpus (labels table ≤ items, broadcast-able at campaign scale);
+    the validation suite adds one keyed count over the O(items) export,
+    never a second corpus scan."""
+    from cnics_to_fhir_spark.operators import quality
+    from cnics_to_fhir_spark.operators.labels import majority_label
+
+    e = table(spark, sf_dir, "events").select(
+        (F.col("event_id") % 199).alias("item_id"),
+        F.col("user_id").alias("annotator_id"),
+        F.col("event_type").alias("label"),
+        "ts",
+        "event_id",
+    )
+    labels = majority_label(
+        e, item_col="item_id", annotator_col="annotator_id", label_col="label",
+        ts_col="ts", vote_id_col="event_id",
+    )
+    confident = labels.filter(
+        (F.col("n_votes") >= 3)
+        & (F.col("winner_share_q") * F.col("n_labels") >= 1000000)
+    )
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    export = docs.join(
+        F.broadcast(confident), docs["doc_id"] == confident["item_id"]
+    ).select(
+        "doc_id",
+        F.col("winner_label").alias("label"),
+        "winner_votes",
+        "n_votes",
+        "winner_share_q",
+        "lang",
+        "source",
+    )
+    export = export.localCheckpoint(eager=True)
+    gate = quality.expect_unique(export, ["doc_id"]).collect()[0]
+    if not gate["passed"]:
+        raise AssertionError(
+            f"label export is not unique per doc: {gate['n_violations']} dups"
+        )
+    return export

@@ -112,6 +112,7 @@ _PRIORITY: tuple[str, ...] = (
     "dc05_pii_pseudonymize",
     "lb02_bradley_terry",
     "dq05_expectation_suite",
+    "e2e09_label_export_pipeline",
     # (4) re-verification fillers, oldest driver check first
     "q06_forecast_revenue",
     "q04_order_priority",
@@ -172,6 +173,7 @@ _NEVER_DRIVER_VERIFIED: tuple[str, ...] = (
     "dc05_pii_pseudonymize",
     "lb02_bradley_terry",
     "dq05_expectation_suite",
+    "e2e09_label_export_pipeline",
 )
 
 

@@ -58,3 +58,9 @@ def test_suite_unions_reports(spark):
     )
     assert {r["check"] for r in suite.collect()} == {"unique(k)", "k_pos"}
     assert all(r["passed"] for r in suite.collect())
+
+
+def test_expect_unique_on_empty_table_passes(spark):
+    df = spark.createDataFrame([], "k long")
+    row = quality.expect_unique(df, ["k"]).collect()[0]
+    assert (row["n_rows"], row["n_violations"], row["passed"]) == (0, 0, True)
