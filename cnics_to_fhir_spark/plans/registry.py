@@ -113,6 +113,7 @@ _PRIORITY: tuple[str, ...] = (
     "lb02_bradley_terry",
     "dq05_expectation_suite",
     "e2e09_label_export_pipeline",
+    "u04_rename_evolution_scan",
     # (4) re-verification fillers, oldest driver check first
     "q06_forecast_revenue",
     "q04_order_priority",
@@ -174,6 +175,7 @@ _NEVER_DRIVER_VERIFIED: tuple[str, ...] = (
     "lb02_bradley_terry",
     "dq05_expectation_suite",
     "e2e09_label_export_pipeline",
+    "u04_rename_evolution_scan",
 )
 
 

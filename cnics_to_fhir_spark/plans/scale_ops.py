@@ -6099,3 +6099,94 @@ def dq05_expectation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality.expect_unique(o, ["o_orderkey"]),
         quality.expect_foreign_key(o, c, "o_custkey", "c_custkey"),
     )
+
+
+# ---------------------------------------------------------------------------
+# u04 — column-RENAME evolution via sidecar name mapping
+# ---------------------------------------------------------------------------
+@query(
+    "u04_rename_evolution_scan",
+    tags="SET S1 F18 A5",
+    oracle="""
+        WITH merged AS (
+            SELECT o_totalprice, o_orderpriority
+            FROM orders WHERE o_orderkey % 2 = 0
+            UNION ALL
+            SELECT o_totalprice, o_orderpriority
+            FROM orders WHERE o_orderkey % 2 = 1
+        )
+        SELECT o_orderpriority AS priority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT))/100.0 AS revenue
+        FROM merged GROUP BY 1
+    """,
+)
+def u04_rename_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """u03's missing half: a column was RENAMED between file generations
+    (priority_code → o_orderpriority).  mergeSchema cannot express a
+    rename — to a footer-merging scan the two names are two columns and
+    the old generation's VALUES silently become NULLs under the new name
+    (rows survive, data doesn't).  The table-format answer is metadata:
+    a per-generation physical→logical name mapping (Iceberg name mapping)
+    in a JSON sidecar, applied as a pure alias projection at scan time —
+    historical files are never rewritten, and a mapping that names an
+    absent column raises instead of silently resurrecting the shadowing
+    bug.  The entry proves the point end-to-end: both generations'
+    priorities aggregate under ONE logical column and revenue sums in
+    exact integer cents across the rename boundary
+    (sources/evolution.py read_with_name_mapping)."""
+    import os
+    import shutil
+    import tempfile
+
+    from cnics_to_fhir_spark.session import scratch_name
+    from cnics_to_fhir_spark.sources.evolution import (
+        read_with_name_mapping,
+        write_name_mapping,
+    )
+
+    path = os.path.join(tempfile.gettempdir(), scratch_name(spark, "u04_files"))
+    try:
+        orders = table(spark, sf_dir, "orders")
+        (
+            orders.filter(F.col("o_orderkey") % 2 == 0)
+            .select(
+                "o_orderkey",
+                "o_totalprice",
+                F.col("o_orderpriority").alias("priority_code"),
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(path, "gen=1"))
+        )
+        (
+            orders.filter(F.col("o_orderkey") % 2 == 1)
+            .select("o_orderkey", "o_totalprice", "o_orderpriority")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(os.path.join(path, "gen=2"))
+        )
+        write_name_mapping(path, {"gen=1": {"priority_code": "o_orderpriority"}})
+        merged = read_with_name_mapping(spark, path)
+        if [f for f in merged.columns if f == "priority_code"]:
+            raise AssertionError("physical name leaked through the mapping")
+        agg = merged.groupBy(
+            F.col("o_orderpriority").alias("priority")
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            (
+                F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
+                / F.lit(100.0)
+            ).alias("revenue"),
+        )
+        rows = agg.collect()
+        # the rename boundary must be invisible: no NULL priority may exist
+        if any(r["priority"] is None for r in rows):
+            raise AssertionError(
+                "rename shadowing: generation-1 values fell out of the logical column"
+            )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "priority string, n_orders bigint, revenue double"
+    )
