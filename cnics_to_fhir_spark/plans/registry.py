@@ -114,6 +114,7 @@ _PRIORITY: tuple[str, ...] = (
     "dq05_expectation_suite",
     "e2e09_label_export_pipeline",
     "u04_rename_evolution_scan",
+    "st09_stream_quality_gate",
     # (4) re-verification fillers, oldest driver check first
     "q06_forecast_revenue",
     "q04_order_priority",
@@ -176,6 +177,7 @@ _NEVER_DRIVER_VERIFIED: tuple[str, ...] = (
     "dq05_expectation_suite",
     "e2e09_label_export_pipeline",
     "u04_rename_evolution_scan",
+    "st09_stream_quality_gate",
 )
 
 

@@ -843,3 +843,87 @@ def st08_stream_cdc_table_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return spark.createDataFrame(rows, "b int, n bigint, cents bigint")
+
+
+@query(
+    "st09_stream_quality_gate",
+    tags="2.10 DQ A5 STREAM",
+    oracle="""
+        SELECT 'value_non_negative' AS check, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN COALESCE(NOT (value >= 0), TRUE)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+               SUM(CASE WHEN COALESCE(NOT (value >= 0), TRUE)
+                        THEN 1 ELSE 0 END) = 0 AS passed
+        FROM events
+        UNION ALL
+        SELECT 'ts_not_null', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) = 0
+        FROM events
+        UNION ALL
+        SELECT 'event_type_known', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN COALESCE(event_type NOT IN
+                             ('click','view','purchase','signup','error'), TRUE)
+                             THEN 1 ELSE 0 END) AS BIGINT),
+               SUM(CASE WHEN COALESCE(event_type NOT IN
+                        ('click','view','purchase','signup','error'), TRUE)
+                        THEN 1 ELSE 0 END) = 0
+        FROM events
+    """,
+)
+def st09_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest quality gate: the dq05 expectation machinery run
+    INSIDE foreachBatch — every micro-batch reports its per-check
+    violation counts, and the accumulated ledger must equal the one-shot
+    batch suite over the whole corpus.  The property under test is
+    ADDITIVITY: row-predicate counters are sums, so the report is
+    batch-count- and arrival-order-agnostic by construction — which is
+    exactly why production streaming DQ ships counters, not per-batch
+    verdicts.  (Cross-batch expectations — key uniqueness — are NOT
+    additive; they need stateful dedup, st03's machinery, and that
+    boundary is the design point this entry documents.)  A REAL
+    micro-batch run: 4 parquet files, maxFilesPerTrigger=1
+    (operators/quality.py expect_rows inside streaming/foreachBatch)."""
+    from cnics_to_fhir_spark.operators import quality
+
+    checks = {
+        "value_non_negative": ~(F.col("value") >= 0),
+        "ts_not_null": F.col("ts").isNull(),
+        "event_type_known": ~F.col("event_type").isin(
+            "click", "view", "purchase", "signup", "error"
+        ),
+    }
+    ev = table(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
+
+    tmp = tempfile.mkdtemp(prefix="st09-")
+    try:
+        src, chk = os.path.join(tmp, "src"), os.path.join(tmp, "chk")
+        ev.repartition(4).write.parquet(src)
+        stream = (
+            spark.readStream.schema("event_id long, ts timestamp, event_type string, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        ledger: list = []
+
+        def gate(batch: DataFrame, epoch_id: int) -> None:
+            for r in quality.expect_rows(batch, checks).collect():
+                ledger.append((r["check"], r["n_rows"], r["n_violations"]))
+
+        q = stream.writeStream.foreachBatch(gate).option(
+            "checkpointLocation", chk
+        ).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    per_batch = spark.createDataFrame(
+        ledger, "check string, n_rows long, n_violations long"
+    )
+    return per_batch.groupBy("check").agg(
+        F.sum("n_rows").cast("long").alias("n_rows"),
+        F.sum("n_violations").cast("long").alias("n_violations"),
+        (F.sum("n_violations") == 0).alias("passed"),
+    )
