@@ -163,6 +163,7 @@ HEADLINE = [
     "dq05_expectation_suite",
     "e2e09_label_export_pipeline",
     "u04_rename_evolution_scan",
+    "ds13_leakage_safe_split",
     # lb02_bradley_terry is excluded with the other iterative ops below.
     # Iterative ops (dd06, cl01, ann04, dd09, and the round-5 additions
     # gr02/dd10/ann06 — k-means or fixpoint loops) and

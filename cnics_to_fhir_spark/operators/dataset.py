@@ -540,3 +540,52 @@ def global_ntile(
             .otherwise(F.lit(rem) + F.expr(f"(__rank - {cut} - 1) div {q}") + 1)
         )
     return ranked.withColumn(bucket_col, bucket.cast("long")).drop("__rank")
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    dup_pairs: DataFrame,
+    id_col: str = "doc_id",
+    bounds: tuple[str, str] = ("c0", "e0"),
+) -> DataFrame:
+    """Train/val/test assignment that near-duplicates CANNOT straddle —
+    the split-leakage guard a plain hash split (ds07) lacks: if two
+    near-dup docs land in train and test, the benchmark is graded on
+    memorized training data.  The split key is the near-dup CLUSTER, not
+    the document: connected components over ``dup_pairs`` (star
+    contraction, O(log² n) rounds), every member inherits its component
+    representative's md5 bucket, singletons are their own representative —
+    so by construction every edge's endpoints share a split.
+
+    ``bounds`` are 2-hex-digit md5-prefix boundaries (default: 75% train /
+    12.5% val / 12.5% test); lowercase-hex lexicographic order equals
+    numeric order, so the predicate replays engine-portably (ds01's
+    convention).
+
+    Scale shape: the components run on the PAIR graph (near-dup output,
+    orders of magnitude smaller than the corpus); the corpus itself pays
+    one ids-keyed left join to pick up its representative and a pure
+    projection for the bucket — no shuffle of text, no window.
+    → (id, rep, split)."""
+    from cnics_to_fhir_spark.operators.graph import connected_components_star
+
+    comps = connected_components_star(dup_pairs).select(
+        F.col("doc_id").alias("__id"), F.col("cluster_rep").alias("__rep")
+    )
+    assign = (
+        df.select(F.col(id_col).alias("__id"))
+        .join(comps, "__id", "left")
+        .select(
+            "__id", F.coalesce(F.col("__rep"), F.col("__id")).alias("rep")
+        )
+    )
+    bucket = _md5_prefix(F.col("rep"), 2)
+    lo, hi = bounds
+    return assign.select(
+        F.col("__id").alias(id_col),
+        "rep",
+        F.when(bucket < F.lit(lo), F.lit("train"))
+        .when(bucket < F.lit(hi), F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )

@@ -115,6 +115,7 @@ _PRIORITY: tuple[str, ...] = (
     "e2e09_label_export_pipeline",
     "u04_rename_evolution_scan",
     "st09_stream_quality_gate",
+    "ds13_leakage_safe_split",
     # (4) re-verification fillers, oldest driver check first
     "q06_forecast_revenue",
     "q04_order_priority",
@@ -178,6 +179,7 @@ _NEVER_DRIVER_VERIFIED: tuple[str, ...] = (
     "e2e09_label_export_pipeline",
     "u04_rename_evolution_scan",
     "st09_stream_quality_gate",
+    "ds13_leakage_safe_split",
 )
 
 

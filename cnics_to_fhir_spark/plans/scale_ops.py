@@ -6190,3 +6190,82 @@ def u04_rename_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "priority string, n_orders bigint, revenue double"
     )
+
+
+# ---------------------------------------------------------------------------
+# ds13 — leakage-safe train/val/test split (near-dups never straddle)
+# ---------------------------------------------------------------------------
+@query(
+    "ds13_leakage_safe_split",
+    tags="DS DD-clusters GR A5",
+    oracle="""
+        WITH RECURSIVE base AS (
+            SELECT doc_id AS id,
+                   array_to_string((string_split(text, ' '))[1:4], ' ') AS block,
+                   list_distinct(
+                       CASE WHEN len(string_split(text, ' ')) >= 3
+                            THEN list_transform(
+                                   range(1, len(string_split(text, ' ')) - 1),
+                                   i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))
+                            ELSE [text]
+                       END) AS shingles
+            FROM documents
+        ),
+        pairs AS (
+            SELECT a.id AS id_a, b.id AS id_b
+            FROM base a JOIN base b ON a.block = b.block AND a.id < b.id
+            WHERE FLOOR((CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                  / len(list_distinct(a.shingles || b.shingles)))*1e6 + 0.5)/1e6 >= 0.5
+        ),
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION ALL
+            SELECT id_b AS src, id_a AS dst FROM pairs
+        ),
+        reach AS (
+            SELECT DISTINCT src AS id, src AS r FROM edges
+            UNION
+            SELECT e.dst AS id, reach.r FROM reach JOIN edges e ON e.src = reach.id
+        ),
+        comp AS (SELECT id, MIN(r) AS rep FROM reach GROUP BY id),
+        assign AS (
+            SELECT d.doc_id, COALESCE(c.rep, d.doc_id) AS rep
+            FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+        )
+        SELECT doc_id, rep,
+               CASE WHEN substring(md5(CAST(rep AS VARCHAR)), 1, 2) < 'c0'
+                         THEN 'train'
+                    WHEN substring(md5(CAST(rep AS VARCHAR)), 1, 2) < 'e0'
+                         THEN 'val'
+                    ELSE 'test' END AS split
+        FROM assign
+    """,
+)
+def ds13_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split leakage is the quiet benchmark-inflation bug: a plain hash
+    split (ds07) happily puts two near-duplicate documents in train and
+    test, and the eval then grades memorization.  This entry splits by
+    the near-dup CLUSTER instead — dd02's Jaccard pairs → star-contraction
+    components (dd10's algorithm, O(log² n) rounds on the PAIR graph,
+    never the corpus) → every member inherits its representative's md5
+    bucket (75/12.5/12.5) — so no pair can straddle, BY CONSTRUCTION, and
+    the entry ASSERTS it anyway (a zero-straddler count over the pair
+    join; a silent guarantee is just a comment).  Corpus-side cost: one
+    ids-keyed left join + a projection (operators/dataset.py
+    leakage_safe_split)."""
+    from cnics_to_fhir_spark.operators.dataset import leakage_safe_split
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, k=3, block_words=4, threshold=0.5)
+    pairs = pairs.localCheckpoint(eager=True)  # feeds the split AND the guard
+    out = leakage_safe_split(docs, pairs).localCheckpoint(eager=True)
+    a = out.select(F.col("doc_id").alias("id_a"), F.col("split").alias("sa"))
+    b = out.select(F.col("doc_id").alias("id_b"), F.col("split").alias("sb"))
+    straddlers = (
+        pairs.join(a, "id_a").join(b, "id_b").filter(F.col("sa") != F.col("sb")).count()
+    )
+    if straddlers:
+        raise AssertionError(
+            f"leakage guard violated: {straddlers} near-dup pairs straddle splits"
+        )
+    return out

@@ -399,3 +399,20 @@ def test_weighted_percentiles_matches_naive_across_partitions(spark):
                 expected[p] = v
                 break
     assert got == expected
+
+
+def test_leakage_safe_split_clusters_share_split_and_singletons_covered(spark):
+    from cnics_to_fhir_spark.operators.dataset import leakage_safe_split
+
+    docs = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id long")
+    # components: {1,2,3} (chain), {5,6}; 4 and 7 are singletons
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+    )
+    out = {r["doc_id"]: r for r in leakage_safe_split(docs, pairs).collect()}
+    assert len(out) == 7  # every doc assigned, singletons included
+    assert out[1]["split"] == out[2]["split"] == out[3]["split"]
+    assert out[1]["rep"] == out[2]["rep"] == out[3]["rep"] == 1
+    assert out[5]["split"] == out[6]["split"] and out[5]["rep"] == 5
+    assert out[4]["rep"] == 4 and out[7]["rep"] == 7
+    assert {r["split"] for r in out.values()} <= {"train", "val", "test"}
