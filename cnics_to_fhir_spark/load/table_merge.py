@@ -100,13 +100,26 @@ def merge_into_table(
         r["p"]
         for r in plan.select(F.col(partition_col).alias("p")).distinct().collect()
     ]
+
+    # Partition DIRECTORY names must be built with Spark's own Hive path
+    # escaping: partitionBy writes 'day=2024-01-01 10%3A00' for a value
+    # containing ':', so a raw f"{col}={val}" path here would (a) miss the
+    # existing partition (misclassifying its updates as noop_missing_key)
+    # and (b) make _go_live swap in an EMPTY dir while the real merged
+    # rows die with the scratch cleanup. Calling the JVM's escapePathName
+    # keeps this bit-identical to whatever the writer does.
+    _esc = jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName
+
+    def pdir(val) -> str:
+        return f"{partition_col}={_esc(str(val))}"
+
     # Touched partitions that already exist on disk are the ONLY ones read
     # — copy-on-write stays partition-scoped even though classification and
     # rewrite are now single global jobs.
     existing_subs = {
-        val: f"{table}/{partition_col}={val}"
+        val: f"{table}/{pdir(val)}"
         for val in parts
-        if fs.exists(hpath(f"{table}/{partition_col}={val}"))
+        if fs.exists(hpath(f"{table}/{pdir(val)}"))
     }
     if existing_subs:
         existing = (
@@ -190,7 +203,7 @@ def merge_into_table(
     fs.delete(hpath(f"{scratch_root}/_SUCCESS"), False)
 
     def _go_live(val) -> None:
-        tmp = f"{scratch_root}/{partition_col}={val}"
+        tmp = f"{scratch_root}/{pdir(val)}"
         if not fs.exists(hpath(tmp)):
             # every plan row for this partition was a noop (or all rows
             # were deleted): the rewritten partition is EMPTY — represent
@@ -200,12 +213,12 @@ def merge_into_table(
             fs,
             jvm,
             tmp,
-            f"{table}/{partition_col}={val}",
-            f"{table}__prev_{partition_col}={val}",
+            f"{table}/{pdir(val)}",
+            f"{table}__prev_{pdir(val)}",
         )
 
     with ThreadPoolExecutor(max_workers=min(_SWAP_THREADS, max(len(parts), 1))) as ex:
         # list() propagates the first swap failure
-        list(ex.map(_go_live, sorted(parts)))
+        list(ex.map(_go_live, sorted(parts, key=str)))
     fs.delete(hpath(scratch_root), True)
     return counts

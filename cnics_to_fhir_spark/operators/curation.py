@@ -347,18 +347,34 @@ def pseudonymize_entities(
     )
     dictionary, _total = global_rank(ents.select("entity").distinct(), ["entity"])
     dictionary = dictionary.withColumnRenamed("__rank", "rank")
+    # Replacement order: LONGEST entity first (struct-min on (−length,
+    # entity, rank)) — replacing a shorter entity first would rewrite
+    # inside any longer entity that contains it ('a@x.com' inside
+    # 'na@x.com'), destroying the longer one's token and its linkage.
+    # Longest-first is containment-safe: a longer entity can never appear
+    # inside a shorter one, and replacement tokens ('<TAG_k>') cannot
+    # match an entity pattern's occurrence again.
     pairs = (
         ents.join(dictionary, "entity")
         .groupBy("__id")
         .agg(
             F.array_sort(
-                F.collect_list(F.struct(F.col("entity"), F.col("rank")))
+                F.collect_list(
+                    F.struct(
+                        (-F.length("entity")).alias("neg_len"),
+                        F.col("entity"),
+                        F.col("rank"),
+                    )
+                )
             ).alias("__pairs")
         )
     )
     joined = df.join(pairs, df[id_col] == pairs["__id"], "left")
     repl = F.aggregate(
-        F.coalesce(F.col("__pairs"), F.array().cast("array<struct<entity:string,rank:bigint>>")),
+        F.coalesce(
+            F.col("__pairs"),
+            F.array().cast("array<struct<neg_len:int,entity:string,rank:bigint>>"),
+        ),
         F.col(text_col),
         lambda acc, x: F.replace(
             acc, x["entity"], F.concat(F.lit(f"<{tag}_"), x["rank"], F.lit(">"))

@@ -183,9 +183,14 @@ def bradley_terry(
             .join(base.select("a", "w"), "a")
             .select(
                 "a",
+                # Rating FLOOR at 1 micro-unit: w·sq DIV d truncates to 0
+                # once games exceed 2e6·wins (1 win in >2M games — real at
+                # arena scale), and two zero-rated entities that played
+                # each other would then divide by si+sj=0 next iteration
+                # (NULL terms with ANSI off, a hard error with ANSI on).
                 F.when(
                     F.coalesce(F.col("d"), F.lit(0)) > 0,
-                    F.expr(f"CAST(w * {sq} DIV d AS BIGINT)"),
+                    F.expr(f"CAST(GREATEST(w * {sq} DIV d, 1) AS BIGINT)"),
                 )
                 .otherwise(F.col("s"))
                 .alias("s"),

@@ -41,8 +41,16 @@ def expect_rows(df: DataFrame, checks: dict[str, Column]) -> DataFrame:
     aggs = [F.count(F.lit(1)).alias("__n")]
     for name, viol in checks.items():
         aggs.append(
-            F.sum(
-                F.when(F.coalesce(viol, F.lit(True)), F.lit(1)).otherwise(F.lit(0))
+            # Outer coalesce: SUM over ZERO rows is NULL — an empty batch
+            # (routine inside a streaming foreachBatch gate) must report
+            # (0, 0, passed), exactly like expect_unique's empty case.
+            F.coalesce(
+                F.sum(
+                    F.when(F.coalesce(viol, F.lit(True)), F.lit(1)).otherwise(
+                        F.lit(0)
+                    )
+                ),
+                F.lit(0),
             ).alias(f"__v_{name}")
         )
     one = df.agg(*aggs)

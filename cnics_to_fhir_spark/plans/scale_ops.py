@@ -5943,7 +5943,7 @@ def _lb02_oracle(iters: int = 4) -> str:
         r{k + 1} AS MATERIALIZED (
             SELECT r.i,
                    CASE WHEN COALESCE(d.d, 0) > 0
-                        THEN CAST(w.w * 1000000000000 // d.d AS BIGINT)
+                        THEN GREATEST(CAST(w.w * 1000000000000 // d.d AS BIGINT), 1)
                         ELSE r.s END AS s
             FROM r{k} r
             LEFT JOIN d{k + 1} d ON d.i = r.i

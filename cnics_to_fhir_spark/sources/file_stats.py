@@ -129,8 +129,15 @@ def parquet_file_stats(
                             break
                         lo = st.min if lo is None or st.min < lo else lo
                         hi = st.max if hi is None or st.max > hi else hi
-                    kind, lo_s = (None, None) if lo is None else _render(lo)
-                    hi_s = None if hi is None else _render(hi)[1]
+                    # Render BOTH bounds and reconcile kinds: a binary
+                    # column whose min happens to decode as UTF-8 but
+                    # whose max doesn't would otherwise mis-tag the row
+                    # 'str' with a hex max — an ordering unrelated to the
+                    # bytes.  Any kind mismatch demotes the row to 'raw',
+                    # which every pruning tier refuses loudly.
+                    lo_kind, lo_s = (None, None) if lo is None else _render(lo)
+                    hi_kind, hi_s = (None, None) if hi is None else _render(hi)
+                    kind = lo_kind if lo_kind == hi_kind else "raw"
                     out.append(
                         {
                             "file": path,
@@ -249,6 +256,38 @@ def read_with_manifest_skipping(
     Returns (df, n_files_total, n_files_kept)."""
     man = spark.read.parquet(manifest_path)
     n_total = man.select("file").distinct().count()
+    # Refuse loudly rather than prune wrongly (the module contract):
+    # (a) a predicate on a column the manifest never swept would zero out
+    #     every file via the n_preds conjunction below — silently empty
+    #     results over data that exists;
+    # (b) kind='raw' stats (non-UTF-8 binary min/max, stored as hex) have
+    #     no meaningful order against a literal — the footer tier raises
+    #     for these in _prune, so this tier must too.
+    missing = set(predicates) - {
+        r["col"]
+        for r in man.select("col").distinct().collect()
+    }
+    if missing:
+        raise ValueError(
+            f"manifest at {manifest_path} has no stats for predicate "
+            f"column(s) {sorted(missing)} — rebuild it with those columns "
+            "or drop the predicate"
+        )
+    raw_cols = [
+        r["col"]
+        for r in man.filter(
+            F.col("col").isin(list(predicates)) & (F.col("kind") == "raw")
+        )
+        .select("col")
+        .distinct()
+        .collect()
+    ]
+    if raw_cols:
+        raise TypeError(
+            f"manifest stats for {sorted(raw_cols)} are non-UTF-8 binary "
+            "(kind='raw'); range pruning on them would compare hex text — "
+            "refusing, like the footer tier"
+        )
     # Per-column keep decision, typed.  The kind tag rides each manifest
     # row, so the filter expression branches on it JVM-side; numeric
     # comparison casts both sides to decimal(38,9) (footer stats for

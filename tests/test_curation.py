@@ -361,3 +361,20 @@ def test_semantic_decontaminate_flags_same_cell_hits_only(spark):
     assert not out[2]["is_contaminated"] and out[2]["max_cosine_q"] is None
     assert not out[3]["is_contaminated"]
     assert len(out) == 3  # every corpus row stays visible
+
+
+def test_pseudonymize_replaces_longest_entity_first(spark):
+    """Containment hazard: replacing 'a@x.com' before 'na@x.com' rewrites
+    the tail of the longer entity and destroys its token. Longest-first
+    ordering is containment-safe."""
+    from cnics_to_fhir_spark.operators.curation import pseudonymize_entities
+
+    df = spark.createDataFrame(
+        [(1, "na@x.com and a@x.com wrote")], "doc_id long, text string"
+    )
+    row = pseudonymize_entities(
+        df, pattern=r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    ).collect()[0]
+    # ranks: a@x.com -> 1, na@x.com -> 2 (lexicographic dictionary)
+    assert row["redacted"] == "<EMAIL_2> and <EMAIL_1> wrote"
+    assert row["n_entities"] == 2

@@ -194,3 +194,36 @@ def test_persisted_manifest_empty_result(spark, tmp_path):
     assert kept == 0
     assert df.count() == 0
     assert df.columns == ["id"]
+
+
+def test_manifest_skipping_refuses_absent_predicate_column(spark, tmp_path):
+    import pytest
+
+    from cnics_to_fhir_spark.sources.file_stats import (
+        read_with_manifest_skipping,
+        write_stats_manifest,
+    )
+
+    data, man = str(tmp_path / "d"), str(tmp_path / "m")
+    spark.createDataFrame([(1, "a")], "k long, s string").coalesce(1).write.parquet(data)
+    write_stats_manifest(spark, data, ["k"], man)
+    with pytest.raises(ValueError, match="no stats for predicate"):
+        read_with_manifest_skipping(spark, man, {"k": (0, 9), "s": ("a", "z")})
+
+
+def test_manifest_skipping_refuses_raw_binary_stats(spark, tmp_path):
+    import pytest
+
+    from cnics_to_fhir_spark.sources.file_stats import (
+        read_with_manifest_skipping,
+        write_stats_manifest,
+    )
+
+    data, man = str(tmp_path / "d"), str(tmp_path / "m")
+    spark.createDataFrame(
+        [(1, bytearray(b"\xff\xfe")), (2, bytearray(b"\x00\x01"))],
+        "k long, b binary",
+    ).coalesce(1).write.parquet(data)
+    write_stats_manifest(spark, data, ["b"], man)
+    with pytest.raises(TypeError, match="non-UTF-8 binary"):
+        read_with_manifest_skipping(spark, man, {"b": ("a", "z")})

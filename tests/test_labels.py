@@ -133,11 +133,15 @@ def test_bradley_terry_matches_pure_python_mirror(spark):
         d = defaultdict(int)
         for (i, j), nij in n.items():
             d[i] += nij * SQ // (s[i] + s[j])
-        s = {e: (w[e] * SQ // d[e] if d[e] > 0 else s[e]) for e in ents}
+        s = {e: (max(w[e] * SQ // d[e], 1) if d[e] > 0 else s[e]) for e in ents}
     assert out == s
 
 
-def test_bradley_terry_winless_entity_goes_to_zero_not_crash(spark):
+def test_bradley_terry_winless_entity_floors_at_one_not_zero(spark):
+    """A winless (or 1-win-in-millions) entity's rating truncates to 0
+    without the floor — and two zero-rated opponents would divide by
+    si+sj=0 the next iteration. The floor pins the minimum at 1
+    micro-unit so the update stays total."""
     from cnics_to_fhir_spark.operators.labels import bradley_terry
 
     m = spark.createDataFrame(
@@ -145,7 +149,7 @@ def test_bradley_terry_winless_entity_goes_to_zero_not_crash(spark):
         "winner string, loser string",
     )
     out = {r["entity"]: r for r in bradley_terry(m, iters=4).collect()}
-    assert out["Z"]["rating"] == 0 and out["Z"]["wins"] == 0 and out["Z"]["games"] == 2
+    assert out["Z"]["rating"] == 1 and out["Z"]["wins"] == 0 and out["Z"]["games"] == 2
 
 
 def test_bradley_terry_overflow_guard_raises(spark):

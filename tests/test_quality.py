@@ -64,3 +64,9 @@ def test_expect_unique_on_empty_table_passes(spark):
     df = spark.createDataFrame([], "k long")
     row = quality.expect_unique(df, ["k"]).collect()[0]
     assert (row["n_rows"], row["n_violations"], row["passed"]) == (0, 0, True)
+
+
+def test_expect_rows_on_empty_table_passes(spark):
+    df = spark.createDataFrame([], "v double")
+    out = _by_check(quality.expect_rows(df, {"v_pos": ~(F.col("v") > 0)}))
+    assert (out["v_pos"]["n_rows"], out["v_pos"]["n_violations"], out["v_pos"]["passed"]) == (0, 0, True)

@@ -157,3 +157,31 @@ def test_crashed_merge_swap_is_recoverable(spark, tmp_path):
     assert len(report["cleaned"]) == 1 and "__merging" in report["cleaned"][0]
     got = {r["key"]: r["val"] for r in spark.read.parquet(path).collect()}
     assert got[1] == "v1"  # pre-merge state restored, nothing lost
+
+
+def test_merge_handles_hive_escaped_partition_values(spark, tmp_path):
+    """partitionBy writes 'day=... 10%3A00' for a value containing ':';
+    the merge's path handling must use the same escaping or it swaps an
+    EMPTY dir live and deletes the merged rows with the scratch."""
+    table = str(tmp_path / "t")
+    hot = "2024-01-01 10:00"
+    base = spark.createDataFrame(
+        [(1, "old-1", hot), (2, "old-2", hot), (3, "old-3", "2024-01-02")],
+        "key long, val string, day string",
+    )
+    base.repartition(1).write.partitionBy("day").parquet(table)
+    assert os.path.isdir(os.path.join(table, "day=2024-01-01 10%3A00"))
+
+    plan = spark.createDataFrame(
+        [(1, "update", "id1", "new-1", hot), (9, "insert", None, "new-9", hot)],
+        "key long, action string, id string, val string, day string",
+    )
+    counts = merge_into_table(spark, table, plan, key_col="key", partition_col="day")
+    assert counts["updated"] == 1 and counts["inserted"] == 1
+    assert counts["noop_missing_key"] == 0  # key 1 WAS found despite the ':'
+    got = {
+        (r["day"], r["key"]): r["val"] for r in spark.read.parquet(table).collect()
+    }
+    assert got[(hot, 1)] == "new-1" and got[(hot, 9)] == "new-9"
+    assert got[(hot, 2)] == "old-2" and got[("2024-01-02", 3)] == "old-3"
+    assert not glob.glob(str(tmp_path / "t__*"))  # no swap debris
