@@ -164,6 +164,7 @@ HEADLINE = [
     "e2e09_label_export_pipeline",
     "u04_rename_evolution_scan",
     "ds13_leakage_safe_split",
+    "lb03_fleiss_kappa",
     # lb02_bradley_terry is excluded with the other iterative ops below.
     # Iterative ops (dd06, cl01, ann04, dd09, and the round-5 additions
     # gr02/dd10/ann06 — k-means or fixpoint loops) and

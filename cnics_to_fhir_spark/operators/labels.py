@@ -211,3 +211,101 @@ def bradley_terry(
         F.col("w").alias("wins"),
         F.col("g").alias("games"),
     )
+
+
+def fleiss_kappa(
+    df: DataFrame,
+    item_col: str = "item_id",
+    annotator_col: str = "annotator_id",
+    label_col: str = "label",
+    ts_col: str | None = None,
+    vote_id_col: str | None = None,
+) -> DataFrame:
+    """Dataset-level chance-corrected inter-annotator reliability —
+    Fleiss' kappa generalized to unequal raters per item: the one number
+    that says whether a labeling campaign produced signal ("substantial
+    agreement") or noise dressed as labels ("barely above chance" — lb01's
+    per-item shares can look fine while kappa exposes that the base-rate
+    chance agreement explains them).
+
+    Every step is exact integer arithmetic, so the result is engine- and
+    partitioning-identical:
+
+    - P̄_o: each rated item's pairwise agreement quantizes to micro-units
+      EXACTLY as lb01 does (ap_i·10⁶ DIV n_i(n_i−1)), then the integer
+      mean over rated items (n_i ≥ 2; singleton items carry no agreement
+      evidence and are excluded but reported).
+    - P̄_e: Σ_l c_l²·10⁶ DIV N² over the rated items' votes, computed in
+      DECIMAL(38,0) — N² at 10⁷ votes is 10¹⁴ and the ·10⁶ product would
+      silently wrap BIGINT with ANSI off (tx11's zipf lesson).
+    - κ = (P̄_o − P̄_e)·10⁶ DIV (10⁶ − P̄_e), NULL when P̄_e = 10⁶ (a
+      single-label campaign has no chance-corrected signal, not κ=0).
+
+    One extra (label)-keyed aggregation on top of lb01's two — the label
+    histogram is vocabulary-bounded, so the whole computation after the
+    vote collapse is O(items × labels) rows.
+
+    Output: one row (n_items, n_rated_items, n_votes, po_q, pe_q,
+    kappa_q)."""
+    votes = df
+    if ts_col is not None:
+        order = [F.col(ts_col)]
+        if vote_id_col is not None:
+            order.append(F.col(vote_id_col))
+        latest = votes.groupBy(item_col, annotator_col).agg(
+            F.max(F.struct(*order, F.col(label_col).alias("label"))).alias("_v")
+        )
+        votes = latest.select(item_col, F.col("_v.label").alias(label_col))
+    else:
+        votes = votes.select(item_col, label_col)
+
+    hist = votes.groupBy(item_col, label_col).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    per_item = hist.groupBy(item_col).agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("c") * (F.col("c") - 1)).cast("long").alias("ap"),
+    )
+    rated = per_item.filter(F.col("n") >= 2)
+    po = rated.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rated_items"),
+        F.coalesce(
+            F.expr("CAST(SUM(ap * 1000000 DIV (n * (n - 1))) DIV COUNT(1) AS BIGINT)"),
+            F.lit(None).cast("long"),
+        ).alias("po_q"),
+        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_votes"),
+    )
+    # label totals over the RATED items' votes only (the same population
+    # P̄_o averages over)
+    rated_votes = hist.join(
+        rated.select(item_col), item_col, "left_semi"
+    )
+    pe = (
+        rated_votes.groupBy(label_col)
+        .agg(F.sum("c").cast("long").alias("cl"))
+        .agg(
+            F.expr(
+                "CAST(CAST(SUM(cl * cl) AS DECIMAL(38,0)) * 1000000"
+                " DIV (CAST(SUM(cl) AS DECIMAL(38,0)) * SUM(cl)) AS BIGINT)"
+            ).alias("pe_q")
+        )
+    )
+    totals = per_item.agg(F.count(F.lit(1)).cast("long").alias("n_items"))
+    out = totals.crossJoin(po).crossJoin(pe)
+    return out.select(
+        "n_items",
+        "n_rated_items",
+        "n_votes",
+        "po_q",
+        "pe_q",
+        # κ is the one quantity here that can go NEGATIVE.  Integer
+        # division semantics measured, not assumed: Spark's DIV and
+        # DuckDB's // on integers BOTH truncate toward zero (C-style);
+        # python's // floors — so the pytest mirror must truncate
+        # (int(a/b) shape), not floor.  κ quantizes toward zero on
+        # below-chance campaigns, a documented, engine-agreed choice.
+        F.when(
+            F.col("pe_q") < 1000000,
+            F.expr("CAST((po_q - pe_q) * 1000000 DIV (1000000 - pe_q) AS BIGINT)"),
+        ).alias("kappa_q"),
+    )

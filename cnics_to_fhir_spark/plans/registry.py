@@ -11,7 +11,10 @@ Determinism rules (the oracle compares an order-insensitive value hash):
 - cast DuckDB integer SUMs to BIGINT (DuckDB widens to HUGEINT, Spark stays
   long);
 - never emit a nondeterministically-chosen row (LIMIT without total order,
-  first() over duplicate keys, ...).
+  first() over duplicate keys, ...);
+- integer division of a NEGATIVE numerator: Spark's DIV and DuckDB's //
+  both truncate toward zero (C-style) — python's // floors, so pure-python
+  test mirrors must use int(a/b)-style truncation (lb03's kappa lesson).
 """
 
 from __future__ import annotations
@@ -116,6 +119,7 @@ _PRIORITY: tuple[str, ...] = (
     "u04_rename_evolution_scan",
     "st09_stream_quality_gate",
     "ds13_leakage_safe_split",
+    "lb03_fleiss_kappa",
     # (4) re-verification fillers, oldest driver check first
     "q06_forecast_revenue",
     "q04_order_priority",
@@ -180,6 +184,7 @@ _NEVER_DRIVER_VERIFIED: tuple[str, ...] = (
     "u04_rename_evolution_scan",
     "st09_stream_quality_gate",
     "ds13_leakage_safe_split",
+    "lb03_fleiss_kappa",
 )
 
 

@@ -6269,3 +6269,80 @@ def ds13_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"leakage guard violated: {straddlers} near-dup pairs straddle splits"
         )
     return out
+
+
+# ---------------------------------------------------------------------------
+# lb03 — Fleiss' kappa: dataset-level chance-corrected agreement
+# ---------------------------------------------------------------------------
+@query(
+    "lb03_fleiss_kappa",
+    tags="LB A5 F18",
+    oracle="""
+        WITH votes AS (
+            SELECT event_id % 199 AS item_id, user_id, event_type, ts, event_id
+            FROM events
+        ),
+        latest AS (
+            SELECT item_id, user_id, event_type FROM (
+                SELECT item_id, user_id, event_type,
+                       ROW_NUMBER() OVER (PARTITION BY item_id, user_id
+                                          ORDER BY ts DESC, event_id DESC) AS rn
+                FROM votes
+            ) WHERE rn = 1
+        ),
+        hist AS (
+            SELECT item_id, event_type AS label, CAST(COUNT(*) AS BIGINT) AS c
+            FROM latest GROUP BY 1, 2
+        ),
+        per_item AS (
+            SELECT item_id, CAST(SUM(c) AS BIGINT) AS n,
+                   CAST(SUM(c*(c-1)) AS BIGINT) AS ap
+            FROM hist GROUP BY 1
+        ),
+        rated AS (SELECT * FROM per_item WHERE n >= 2),
+        po AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_rated_items,
+                   CAST(SUM(ap * 1000000 // (n*(n-1))) // COUNT(*) AS BIGINT)
+                       AS po_q,
+                   CAST(SUM(n) AS BIGINT) AS n_votes
+            FROM rated
+        ),
+        pe AS (
+            SELECT CAST(SUM(cl*cl) * 1000000 // (SUM(cl)*SUM(cl)) AS BIGINT)
+                       AS pe_q
+            FROM (SELECT h.label, CAST(SUM(h.c) AS BIGINT) AS cl
+                  FROM hist h JOIN rated r USING (item_id) GROUP BY 1)
+        ),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_items FROM per_item)
+        SELECT tot.n_items, po.n_rated_items, po.n_votes, po.po_q, pe.pe_q,
+               CASE WHEN pe.pe_q < 1000000
+                    THEN CAST((po.po_q - pe.pe_q) * 1000000
+                              // (1000000 - pe.pe_q) AS BIGINT)
+               END AS kappa_q
+        FROM tot, po, pe
+    """,
+)
+def lb03_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The label campaign's single health number: Fleiss' kappa
+    (chance-corrected agreement) over the same vote log as lb01 — per-item
+    shares can look respectable while kappa exposes that base-rate chance
+    explains them (here the synthetic 'labels' are uniform event types, so
+    kappa should sit near 0: the campaign-health gate would REJECT this
+    corpus, which is exactly the point of running it).  Every step is
+    integer-exact — per-item agreements quantize exactly like lb01's,
+    their integer mean is P̄_o, P̄_e computes in DECIMAL(38,0) because
+    Σc_l²·10⁶ wraps BIGINT past ~10⁷ votes, and κ is one integer division
+    over exact micro-units (operators/labels.py fleiss_kappa)."""
+    from cnics_to_fhir_spark.operators.labels import fleiss_kappa
+
+    e = table(spark, sf_dir, "events").select(
+        (F.col("event_id") % 199).alias("item_id"),
+        F.col("user_id").alias("annotator_id"),
+        F.col("event_type").alias("label"),
+        "ts",
+        "event_id",
+    )
+    return fleiss_kappa(
+        e, item_col="item_id", annotator_col="annotator_id", label_col="label",
+        ts_col="ts", vote_id_col="event_id",
+    )

@@ -160,3 +160,50 @@ def test_bradley_terry_overflow_guard_raises(spark):
     m = spark.createDataFrame([("A", "B")], "winner string, loser string")
     with pytest.raises(ValueError, match="integer bound"):
         bradley_terry(m, scale=10**10)
+
+
+def test_fleiss_kappa_matches_hand_computation(spark):
+    """Classic check: two items, 3 raters each.  Item 1: a/a/a (perfect),
+    item 2: a/a/b.  Po = mean(1, 1/3) = 2/3; label totals over rated
+    votes: a=5, b=1 of 6 -> Pe = (25+1)/36.  kappa = (Po-Pe)/(1-Pe)."""
+    from cnics_to_fhir_spark.operators.labels import fleiss_kappa
+
+    df = _votes(
+        spark,
+        [
+            (1, 10, "a", _ts("2024-01-01 00:00:00"), 1),
+            (1, 11, "a", _ts("2024-01-01 00:00:00"), 2),
+            (1, 12, "a", _ts("2024-01-01 00:00:00"), 3),
+            (2, 10, "a", _ts("2024-01-01 00:00:00"), 4),
+            (2, 11, "a", _ts("2024-01-01 00:00:00"), 5),
+            (2, 12, "b", _ts("2024-01-01 00:00:00"), 6),
+            # singleton item: excluded from Po/Pe but counted in n_items
+            (3, 10, "c", _ts("2024-01-01 00:00:00"), 7),
+        ],
+    )
+    row = fleiss_kappa(df, ts_col="ts", vote_id_col="vote_id").collect()[0]
+    assert (row["n_items"], row["n_rated_items"], row["n_votes"]) == (3, 2, 6)
+    # per-item agreements: 1_000_000 and 2*1e6 DIV 6 = 333333; mean = 666666
+    assert row["po_q"] == (1000000 + 333333) // 2
+    assert row["pe_q"] == 26 * 1000000 // 36
+    # TRUNCATING division (toward zero): Spark DIV and DuckDB // agree on
+    # it for integers; python's // floors, hence int(a/b)-style mirror
+    num = (row["po_q"] - row["pe_q"]) * 1000000
+    den = 1000000 - row["pe_q"]
+    expect_kappa = -((-num) // den) if num < 0 else num // den
+    assert row["kappa_q"] == expect_kappa
+    assert row["kappa_q"] < 0  # below-chance on this tiny fixture
+
+
+def test_fleiss_kappa_single_label_campaign_is_null_not_zero(spark):
+    from cnics_to_fhir_spark.operators.labels import fleiss_kappa
+
+    df = _votes(
+        spark,
+        [
+            (1, 10, "a", _ts("2024-01-01 00:00:00"), 1),
+            (1, 11, "a", _ts("2024-01-01 00:00:00"), 2),
+        ],
+    )
+    row = fleiss_kappa(df, ts_col="ts", vote_id_col="vote_id").collect()[0]
+    assert row["pe_q"] == 1000000 and row["kappa_q"] is None
