@@ -997,3 +997,132 @@ def e2e09_label_export_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"label export is not unique per doc: {gate['n_violations']} dups"
         )
     return export
+
+
+# ---------------------------------------------------------------------------
+# e2e10 — pretraining data build: exact dedup → leakage-safe split →
+#          temperature mixture, one DAG, one oracle statement
+# ---------------------------------------------------------------------------
+@query(
+    "e2e10_pretraining_data_build",
+    tags="E2E DD-exact DD-clusters DS GR A5",
+    oracle="""
+        WITH RECURSIVE survivors AS (
+            SELECT doc_id, text, source FROM (
+                SELECT doc_id, text, source,
+                       ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                          ORDER BY doc_id) AS rn
+                FROM documents
+            ) WHERE rn = 1
+        ),
+        base AS (
+            SELECT doc_id AS id,
+                   array_to_string((string_split(text, ' '))[1:4], ' ') AS block,
+                   list_distinct(
+                       CASE WHEN len(string_split(text, ' ')) >= 3
+                            THEN list_transform(
+                                   range(1, len(string_split(text, ' ')) - 1),
+                                   i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))
+                            ELSE [text]
+                       END) AS shingles
+            FROM survivors
+        ),
+        pairs AS (
+            SELECT a.id AS id_a, b.id AS id_b
+            FROM base a JOIN base b ON a.block = b.block AND a.id < b.id
+            WHERE FLOOR((CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                  / len(list_distinct(a.shingles || b.shingles)))*1e6 + 0.5)/1e6 >= 0.5
+        ),
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION ALL
+            SELECT id_b AS src, id_a AS dst FROM pairs
+        ),
+        reach AS (
+            SELECT DISTINCT src AS id, src AS r FROM edges
+            UNION
+            SELECT e.dst AS id, reach.r FROM reach JOIN edges e ON e.src = reach.id
+        ),
+        comp AS (SELECT id, MIN(r) AS rep FROM reach GROUP BY id),
+        assign AS (
+            SELECT s.doc_id, s.source,
+                   CASE WHEN substring(md5(CAST(COALESCE(c.rep, s.doc_id)
+                                                AS VARCHAR)), 1, 2) < 'c0'
+                             THEN 'train'
+                        WHEN substring(md5(CAST(COALESCE(c.rep, s.doc_id)
+                                                AS VARCHAR)), 1, 2) < 'e0'
+                             THEN 'val'
+                        ELSE 'test' END AS split
+            FROM survivors s LEFT JOIN comp c ON c.id = s.doc_id
+        ),
+        train AS (SELECT * FROM assign WHERE split = 'train'),
+        counts AS (SELECT source, COUNT(*) AS n FROM train GROUP BY 1),
+        mx AS (SELECT MAX(n) AS n_max FROM counts),
+        w AS (
+            SELECT source,
+                   CAST(FLOOR(100 * sqrt(CAST(n_max AS DOUBLE) / n)) AS BIGINT) AS wt
+            FROM counts, mx
+        ),
+        nn AS (
+            SELECT t.doc_id, t.source, t.split,
+                   CAST(w.wt // 100
+                        + CASE WHEN CAST(CAST(('0x' || substring(
+                                   md5(CAST(t.doc_id AS VARCHAR)), 1, 15))
+                                   AS UBIGINT) % 100 AS BIGINT) < w.wt % 100
+                               THEN 1 ELSE 0 END AS BIGINT) AS n_epochs
+            FROM train t JOIN w USING (source)
+        )
+        SELECT doc_id, source, split, n_epochs, CAST(e AS BIGINT) AS epoch
+        FROM nn, UNNEST(range(1, n_epochs + 1)) AS u(e)
+        WHERE n_epochs > 0
+        UNION ALL
+        SELECT doc_id, source, split, CAST(1 AS BIGINT) AS n_epochs,
+               CAST(1 AS BIGINT) AS epoch
+        FROM assign WHERE split <> 'train'
+    """,
+)
+def e2e10_pretraining_data_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE pretraining-data vertical, end to end in one DAG and one oracle
+    statement: exact dedup (md5 keeper = smallest id) → near-dup pair
+    graph over the survivors → leakage-safe train/val/test split (near-dup
+    CLUSTERS never straddle — ds13's guarantee, now downstream of dedup
+    exactly where a real build runs it) → τ=2 temperature mixture over
+    the TRAIN split only (data-derived integer weights, epoch_upsample's
+    exact arithmetic; eval splits are never upsampled — duplicated eval
+    rows would double-count errors).  A bug in ANY stage — keeper choice,
+    component closure, bucket rule, weight quantization, epoch explode —
+    breaks one hash.
+
+    Scale shape is the sum of its parts, all previously probed sub-linear:
+    one content-hash aggregation, the pair-graph contraction (pairs, not
+    corpus), one ids-keyed split join, a bounded-by-sources weight
+    round-trip, and a shuffle-free epoch explode.  Output: (doc_id,
+    source, split, n_epochs, epoch) — train rows replicated per epoch,
+    val/test exactly once."""
+    from cnics_to_fhir_spark.operators.dataset import (
+        epoch_upsample,
+        leakage_safe_split,
+        temperature_weights,
+    )
+    from cnics_to_fhir_spark.operators.dedup import drop_exact_dups, ngram_jaccard_pairs
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    survivors = drop_exact_dups(docs).localCheckpoint(eager=True)
+    pairs = ngram_jaccard_pairs(survivors, k=3, block_words=4, threshold=0.5)
+    split = leakage_safe_split(survivors, pairs)
+    assign = survivors.select("doc_id", "source").join(
+        split.select("doc_id", "split"), "doc_id"
+    )
+    train = assign.filter(F.col("split") == "train")
+    weights = temperature_weights(train, "source")
+    mixed = epoch_upsample(train, weights).select(
+        "doc_id", "source", "split", "n_epochs", "epoch"
+    )
+    rest = assign.filter(F.col("split") != "train").select(
+        "doc_id",
+        "source",
+        "split",
+        F.lit(1).cast("long").alias("n_epochs"),
+        F.lit(1).cast("long").alias("epoch"),
+    )
+    return mixed.unionByName(rest)

@@ -120,6 +120,7 @@ _PRIORITY: tuple[str, ...] = (
     "st09_stream_quality_gate",
     "ds13_leakage_safe_split",
     "lb03_fleiss_kappa",
+    "e2e10_pretraining_data_build",
     # (4) re-verification fillers, oldest driver check first
     "q06_forecast_revenue",
     "q04_order_priority",
@@ -185,6 +186,7 @@ _NEVER_DRIVER_VERIFIED: tuple[str, ...] = (
     "st09_stream_quality_gate",
     "ds13_leakage_safe_split",
     "lb03_fleiss_kappa",
+    "e2e10_pretraining_data_build",
 )
 
 
