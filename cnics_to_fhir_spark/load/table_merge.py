@@ -100,6 +100,18 @@ def merge_into_table(
         r["p"]
         for r in plan.select(F.col(partition_col).alias("p")).distinct().collect()
     ]
+    # Spark's writer maps BOTH NULL and '' partition values to the same
+    # __HIVE_DEFAULT_PARTITION__ directory, and '' reads back as NULL — so
+    # an empty-string partition value would silently collapse into the NULL
+    # partition (two distinct plan partitions, one directory).  NULL is
+    # supported below (Hive default dir + null-safe joins); '' is an
+    # ambiguity only the caller can resolve, so it fails loudly here.
+    if any(p == "" for p in parts):
+        raise ValueError(
+            "merge_into_table: empty-string partition values collapse into "
+            "the NULL partition on write (__HIVE_DEFAULT_PARTITION__); map "
+            "them to NULL or a sentinel before merging"
+        )
 
     # Partition DIRECTORY names must be built with Spark's own Hive path
     # escaping: partitionBy writes 'day=2024-01-01 10%3A00' for a value
@@ -107,10 +119,15 @@ def merge_into_table(
     # existing partition (misclassifying its updates as noop_missing_key)
     # and (b) make _go_live swap in an EMPTY dir while the real merged
     # rows die with the scratch cleanup. Calling the JVM's escapePathName
-    # keeps this bit-identical to whatever the writer does.
-    _esc = jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName
+    # keeps this bit-identical to whatever the writer does.  NULL values
+    # get the writer's own default-partition name for the same reason.
+    _catalog_utils = jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    _esc = _catalog_utils.escapePathName
+    _default_part = _catalog_utils.DEFAULT_PARTITION_NAME()
 
     def pdir(val) -> str:
+        if val is None:
+            return f"{partition_col}={_default_part}"
         return f"{partition_col}={_esc(str(val))}"
 
     # Touched partitions that already exist on disk are the ONLY ones read
@@ -138,13 +155,27 @@ def merge_into_table(
     # downstream (counts AND rewrite content) reads the flagged plan, so
     # the whole merge classifies in a single aggregation instead of 4-5
     # actions per touched partition.
+    # Joins on the partition column are NULL-SAFE: rows in the NULL
+    # partition must match their on-disk counterparts (plain equality
+    # would classify every NULL-partition update as noop_missing_key and
+    # then resurrect the "deleted" old rows as survivors).
     present = (
-        existing.select(partition_col, key_col)
+        existing.select(
+            F.col(partition_col).alias("__pp"), F.col(key_col).alias("__pk")
+        )
         .distinct()
         .withColumn("__present", F.lit(True))
     )
     flagged = (
-        plan.join(present, on=[partition_col, key_col], how="left")
+        plan.join(
+            present,
+            on=(
+                F.col(partition_col).eqNullSafe(F.col("__pp"))
+                & F.col(key_col).eqNullSafe(F.col("__pk"))
+            ),
+            how="left",
+        )
+        .drop("__pp", "__pk")
         .withColumn("__present", F.coalesce(F.col("__present"), F.lit(False)))
         .localCheckpoint()
     )
@@ -169,9 +200,14 @@ def merge_into_table(
     # key is present.  All keyed joins — no key list ever rides the driver.
     touched_keys = flagged.filter(
         F.col("action").isin(ACTION_UPDATE, ACTION_DELETE)
-    ).select(partition_col, key_col)
+    ).select(F.col(partition_col).alias("__tp"), F.col(key_col).alias("__tk"))
     survivors = existing.join(
-        touched_keys, on=[partition_col, key_col], how="left_anti"
+        touched_keys,
+        on=(
+            F.col(partition_col).eqNullSafe(F.col("__tp"))
+            & F.col(key_col).eqNullSafe(F.col("__tk"))
+        ),
+        how="left_anti",
     )
     incoming = flagged.filter(
         (F.col("action") == ACTION_INSERT)

@@ -158,29 +158,46 @@ def bradley_terry(
     )
     # Overflow guard reads the already-materialized tables — two bounded
     # scalar round-trips over O(entities²) rows, not extra corpus scans.
+    # Three products must stay under 2⁶³ with ANSI off (silent wrap):
+    #   n_ij·scale² (pair term numerator), W_i·scale² (update numerator),
+    #   and the denominator SUM d_i = Σ_j n_ij·scale² DIV (si+sj) — each
+    #   term is ≤ n_ij·scale²/2 (ratings floor at 1, so si+sj ≥ 2), so
+    #   d_i ≤ g_i·scale²/2 and bounding max(g)·scale²/2 bounds the sum.
     guard = pairs.agg(F.max("n").alias("mx")).first()["mx"] or 0
-    wguard = base.agg(F.max("w").alias("mx")).first()["mx"] or 0
-    if max(guard, wguard) * scale * scale >= 2**63:
+    wg = base.agg(F.max("w").alias("mw"), F.max("g").alias("mg")).first()
+    wguard, gguard = wg["mw"] or 0, wg["mg"] or 0
+    sq = int(scale) * int(scale)
+    if max(guard, wguard) * sq >= 2**63 or gguard * sq // 2 >= 2**63:
         raise ValueError(
-            f"bradley_terry integer bound exceeded (max count {max(guard, wguard)}"
-            f" at scale {scale}): move products to DECIMAL(38,0)"
+            f"bradley_terry integer bound exceeded (max pair/wins count "
+            f"{max(guard, wguard)}, max per-entity games {gguard} at scale "
+            f"{scale}): move products to DECIMAL(38,0)"
         )
     r = base.select("a", F.lit(int(scale)).cast("long").alias("s"))
-    sq = int(scale) * int(scale)
     for it in range(iters):
+        # The rating table is O(entities) — the MODEL's dimensionality,
+        # tiny next to the pair table — but post-localCheckpoint relations
+        # carry no stats, so AQE never picks broadcast on its own and the
+        # si/sj probes would sort-merge-shuffle the pair table twice per
+        # iteration.  Broadcast the rating side explicitly.
         den = (
-            pairs.join(r.select(F.col("a").alias("a"), F.col("s").alias("si")), "a")
+            pairs.join(
+                F.broadcast(r.select(F.col("a").alias("a"), F.col("s").alias("si"))),
+                "a",
+            )
             .join(
-                r.select(F.col("a").alias("b"), F.col("s").alias("sj")),
+                F.broadcast(r.select(F.col("a").alias("b"), F.col("s").alias("sj"))),
                 "b",
             )
             .select("a", F.expr(f"CAST(n * {sq} DIV (si + sj) AS BIGINT)").alias("t"))
             .groupBy("a")
             .agg(F.sum("t").cast("long").alias("d"))
         )
+        # den and the wins column are the same O(entities) size class as
+        # the broadcast rating table — keep the update join shuffle-free.
         r = (
-            r.join(den, "a", "left")
-            .join(base.select("a", "w"), "a")
+            r.join(F.broadcast(den), "a", "left")
+            .join(F.broadcast(base.select("a", "w")), "a")
             .select(
                 "a",
                 # Rating FLOOR at 1 micro-unit: w·sq DIV d truncates to 0
@@ -205,7 +222,7 @@ def bradley_terry(
         # multi-consumed shuffle outputs reliably without it.
         if checkpoint_every and (it + 1) % checkpoint_every == 0 and it + 1 < iters:
             r = r.localCheckpoint(eager=True)
-    return base.join(r, "a").select(
+    return base.join(F.broadcast(r), "a").select(
         F.col("a").alias("entity"),
         F.col("s").alias("rating"),
         F.col("w").alias("wins"),

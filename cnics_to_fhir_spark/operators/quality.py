@@ -36,10 +36,14 @@ def expect_rows(df: DataFrame, checks: dict[str, Column]) -> DataFrame:
     boolean Column that is TRUE when the row VIOLATES the expectation
     (NULL predicate results count as violations: an unevaluable
     expectation is a failed one, never a silently passed one).  Every
-    check is evaluated in ONE scan of ``df``: a single aggregation with
-    one conditional-sum per check, all map-side combinable."""
+    check is evaluated in ONE scan of ``df`` BY PLAN SHAPE: a single
+    aggregation with one conditional-sum per check (all map-side
+    combinable), then a ``stack`` projection explodes the one-row result
+    into (check, n_rows, n_violations) rows — no per-check union branches
+    whose single-scan behavior would hinge on exchange reuse kicking in."""
+    names = list(checks)
     aggs = [F.count(F.lit(1)).alias("__n")]
-    for name, viol in checks.items():
+    for i, viol in enumerate(checks.values()):
         aggs.append(
             # Outer coalesce: SUM over ZERO rows is NULL — an empty batch
             # (routine inside a streaming foreachBatch gate) must report
@@ -51,17 +55,19 @@ def expect_rows(df: DataFrame, checks: dict[str, Column]) -> DataFrame:
                     )
                 ),
                 F.lit(0),
-            ).alias(f"__v_{name}")
+            ).alias(f"__v{i}")
         )
     one = df.agg(*aggs)
-    reports = [
-        one.select(*_report(F.lit(name), F.col("__n"), F.col(f"__v_{name}")))
-        for name in checks
-    ]
-    out = reports[0]
-    for r in reports[1:]:
-        out = out.unionByName(r)
-    return out
+    # Check names are data, not SQL: they ride as bound literal Columns
+    # inside named_struct, never spliced into an expr string.
+    entries = F.array(
+        *[
+            F.struct(F.lit(name).alias("check"), F.col(f"__v{i}").alias("__v"))
+            for i, name in enumerate(names)
+        ]
+    )
+    exploded = one.select(F.col("__n"), F.inline(entries))
+    return exploded.select(*_report(F.col("check"), F.col("__n"), F.col("__v")))
 
 
 def expect_unique(df: DataFrame, cols: list[str], name: str | None = None) -> DataFrame:

@@ -1126,3 +1126,270 @@ def e2e10_pretraining_data_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1).cast("long").alias("epoch"),
     )
     return mixed.unionByName(rest)
+
+
+# ---------------------------------------------------------------------------
+# e2e11 — incremental corpus update: new batch dedups against the corpus,
+#          inherits existing clusters' splits, existing splits never move
+# ---------------------------------------------------------------------------
+@query(
+    "e2e11_incremental_corpus_update",
+    tags="E2E DD DS GR J1",
+    oracle="""
+        WITH RECURSIVE
+        docs AS (
+            SELECT doc_id, text, (doc_id % 10 = 0) AS is_new FROM documents
+        ),
+        base AS (
+            SELECT doc_id AS id, is_new,
+                   array_to_string((string_split(text, ' '))[1:4], ' ') AS block,
+                   list_distinct(
+                       CASE WHEN len(string_split(text, ' ')) >= 3
+                            THEN list_transform(
+                                   range(1, len(string_split(text, ' ')) - 1),
+                                   i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))
+                            ELSE [text]
+                       END) AS shingles
+            FROM docs
+        ),
+        allpairs AS (
+            SELECT a.id AS id_a, b.id AS id_b, a.is_new AS new_a, b.is_new AS new_b
+            FROM base a JOIN base b ON a.block = b.block AND a.id < b.id
+            WHERE FLOOR((CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                  / len(list_distinct(a.shingles || b.shingles)))*1e6 + 0.5)/1e6 >= 0.5
+        ),
+        cedges AS (
+            SELECT id_a AS src, id_b AS dst FROM allpairs WHERE NOT new_a AND NOT new_b
+            UNION ALL
+            SELECT id_b AS src, id_a AS dst FROM allpairs WHERE NOT new_a AND NOT new_b
+        ),
+        creach AS (
+            SELECT DISTINCT src AS id, src AS r FROM cedges
+            UNION
+            SELECT e.dst AS id, creach.r FROM creach JOIN cedges e ON e.src = creach.id
+        ),
+        ccomp AS (SELECT id, MIN(r) AS rep FROM creach GROUP BY id),
+        corpus_split AS (
+            SELECT d.doc_id,
+                   CASE WHEN substring(md5(CAST(COALESCE(c.rep, d.doc_id)
+                                                AS VARCHAR)), 1, 2) < 'c0'
+                             THEN 'train'
+                        WHEN substring(md5(CAST(COALESCE(c.rep, d.doc_id)
+                                                AS VARCHAR)), 1, 2) < 'e0'
+                             THEN 'val'
+                        ELSE 'test' END AS split
+            FROM docs d LEFT JOIN ccomp c ON c.id = d.doc_id
+            WHERE NOT d.is_new
+        ),
+        uedges AS (
+            SELECT id_a AS src, id_b AS dst FROM allpairs
+            UNION ALL
+            SELECT id_b AS src, id_a AS dst FROM allpairs
+        ),
+        ureach AS (
+            SELECT DISTINCT src AS id, src AS r FROM uedges
+            UNION
+            SELECT e.dst AS id, ureach.r FROM ureach JOIN uedges e ON e.src = ureach.id
+        ),
+        ucomp AS (SELECT id, MIN(r) AS rep FROM ureach GROUP BY id),
+        nassign AS (
+            SELECT d.doc_id, COALESCE(u.rep, d.doc_id) AS urep
+            FROM docs d LEFT JOIN ucomp u ON u.id = d.doc_id
+            WHERE d.is_new
+        ),
+        comp_corpus AS (
+            SELECT u.rep AS urep, MIN(cs.doc_id) AS min_cid,
+                   COUNT(DISTINCT cs.split) AS n_splits
+            FROM ucomp u JOIN corpus_split cs ON cs.doc_id = u.id
+            GROUP BY u.rep
+        ),
+        new_out AS (
+            SELECT na.doc_id, TRUE AS is_new,
+                   CASE WHEN cc.urep IS NOT NULL THEN mcs.split
+                        WHEN substring(md5(CAST(na.urep AS VARCHAR)), 1, 2) < 'c0'
+                             THEN 'train'
+                        WHEN substring(md5(CAST(na.urep AS VARCHAR)), 1, 2) < 'e0'
+                             THEN 'val'
+                        ELSE 'test' END AS split,
+                   (cc.urep IS NOT NULL) AS inherited,
+                   COALESCE(cc.n_splits > 1, FALSE) AS conflict
+            FROM nassign na
+            LEFT JOIN comp_corpus cc ON cc.urep = na.urep
+            LEFT JOIN corpus_split mcs ON mcs.doc_id = cc.min_cid
+        )
+        SELECT doc_id, FALSE AS is_new, split,
+               FALSE AS inherited, FALSE AS conflict
+        FROM corpus_split
+        UNION ALL
+        SELECT doc_id, is_new, split, inherited, conflict FROM new_out
+    """,
+)
+def e2e11_incremental_corpus_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production gap e2e10 leaves open: a NEW batch of documents
+    arrives at an already-split corpus.  Existing docs must KEEP their
+    split (retraining-set stability — a doc that migrates from train to
+    test silently converts memorization into measured accuracy), while
+    new docs (1) near-dup-check against the corpus through dd11's
+    incremental pattern (corpus×corpus pairs never re-verified), (2)
+    inherit the split of the cluster they join — transitively, through
+    within-batch chains — and (3) genuinely-new docs get the md5 bucket
+    of their (all-new) component representative, ds13's rule.
+
+    A new doc can BRIDGE two existing clusters that were split apart
+    before the link was known; stability forbids moving either side, so
+    the entry flags those docs ``conflict=true`` (split = the min-rep
+    cluster's, deterministic) instead of pretending the straddle away —
+    production quarantines them.  In-entry assertions (ds13's "a silent
+    guarantee is just a comment"): zero within-batch near-dup pairs
+    straddle, and zero non-conflict inherited docs disagree with any
+    corpus neighbor.
+
+    Scale shape: phase 1 is e2e10's (components on the corpus PAIR graph);
+    the ingest itself touches the corpus only through the (id, block)
+    candidate projection (bucket-join, corpus stationary) and collapses
+    every cross pair to the corpus CLUSTER REP — so the ingest component
+    step runs on a graph of O(batch + touched reps) nodes, independent of
+    corpus-internal similarity, and the conflict/inherit summary is one
+    keyed aggregation over it.  The oracle replays BOTH closures
+    (corpus-phase and union) in one recursive-CTE statement; equality of
+    the rep-collapsed incremental graph with the full union closure is
+    exactly the contraction argument in the docstring.
+
+    Output: (doc_id, is_new, split, inherited, conflict) for every doc."""
+    from cnics_to_fhir_spark.operators.dataset import leakage_safe_split
+    from cnics_to_fhir_spark.operators.dedup import (
+        incremental_jaccard_pairs,
+        ngram_jaccard_pairs,
+    )
+    from cnics_to_fhir_spark.operators.graph import connected_components_star
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+
+    # Phase 1 — the pre-existing state a real system has on disk: the
+    # corpus's leakage-safe split (e2e10's machinery, checkpointed because
+    # the ingest consults it three times: rep collapse, inherit, output).
+    corpus_pairs = ngram_jaccard_pairs(corpus, k=3, block_words=4, threshold=0.5)
+    existing = leakage_safe_split(corpus, corpus_pairs).localCheckpoint(eager=True)
+
+    # Phase 2 — the ingest. Cross pairs collapse their corpus endpoint to
+    # its phase-1 cluster rep (batch ids are %10==0, reps are corpus ids —
+    # disjoint node spaces), so components run on O(batch + touched reps).
+    inc = incremental_jaccard_pairs(corpus, batch, k=3, block_words=4, threshold=0.5)
+    cross_edges = (
+        inc.filter(F.col("cross"))
+        .select(
+            F.when(F.col("id_a") % 10 == 0, F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .alias("new_id"),
+            F.when(F.col("id_a") % 10 == 0, F.col("id_b"))
+            .otherwise(F.col("id_a"))
+            .alias("corpus_id"),
+        )
+        .join(
+            existing.select(F.col("doc_id").alias("corpus_id"), "rep"), "corpus_id"
+        )
+        .select(
+            F.least("new_id", "rep").alias("id_a"),
+            F.greatest("new_id", "rep").alias("id_b"),
+        )
+    )
+    within = inc.filter(~F.col("cross")).select("id_a", "id_b")
+    comps = connected_components_star(
+        cross_edges.unionByName(within).distinct()
+    ).localCheckpoint(eager=True)
+
+    # Per ingest component: the corpus clusters it touches (members that
+    # are reps), their min rep (deterministic inheritance source) and how
+    # many DISTINCT splits they carry (>1 = a bridge conflict).
+    rep_splits = comps.filter(F.col("doc_id") % 10 != 0).join(
+        existing.select("doc_id", "split"), "doc_id"
+    )
+    comp_sum = (
+        rep_splits.groupBy("cluster_rep")
+        .agg(
+            F.min("doc_id").alias("min_rep"),
+            F.countDistinct("split").alias("n_splits"),
+        )
+        .join(
+            existing.select(
+                F.col("doc_id").alias("min_rep"), F.col("split").alias("inherit_split")
+            ),
+            "min_rep",
+        )
+    )
+    bucket = F.substring(F.md5(F.col("urep").cast("string")), 1, 2)
+    fresh_split = (
+        F.when(bucket < F.lit("c0"), F.lit("train"))
+        .when(bucket < F.lit("e0"), F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    nassign = (
+        batch.select("doc_id")
+        .join(comps.withColumnRenamed("doc_id", "doc_id_c").select(
+            F.col("doc_id_c").alias("doc_id"), "cluster_rep"), "doc_id", "left")
+        .select("doc_id", F.coalesce("cluster_rep", "doc_id").alias("urep"))
+    )
+    new_out = (
+        nassign.join(
+            comp_sum.withColumnRenamed("cluster_rep", "urep"), "urep", "left"
+        )
+        .select(
+            "doc_id",
+            F.lit(True).alias("is_new"),
+            F.when(F.col("min_rep").isNotNull(), F.col("inherit_split"))
+            .otherwise(fresh_split)
+            .alias("split"),
+            F.col("min_rep").isNotNull().alias("inherited"),
+            F.coalesce(F.col("n_splits") > 1, F.lit(False)).alias("conflict"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    # In-entry guarantees (bounded actions on the O(batch) ingest tables):
+    # (1) within-batch near-dup pairs never straddle; (2) a non-conflict
+    # inherited doc always agrees with every corpus cluster it touches.
+    # Existing docs' splits are passed through from phase-1 state by
+    # construction — the ingest never recomputes them.
+    nsplit = new_out.select("doc_id", "split", "conflict")
+    straddle = (
+        within.join(nsplit.select(F.col("doc_id").alias("id_a"),
+                                  F.col("split").alias("split_a")), "id_a")
+        .join(nsplit.select(F.col("doc_id").alias("id_b"),
+                            F.col("split").alias("split_b")), "id_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select(F.lit("within_batch_straddle").alias("kind"))
+    )
+    disagree = (
+        cross_edges.join(
+            nsplit.select(F.col("doc_id").alias("id_a"), "split", "conflict"), "id_a"
+        )
+        .join(
+            existing.select(F.col("doc_id").alias("id_b"),
+                            F.col("split").alias("corpus_split")),
+            "id_b",
+        )
+        .filter(~F.col("conflict") & (F.col("split") != F.col("corpus_split")))
+        .select(F.lit("neighbor_disagree").alias("kind"))
+    )
+    # ONE bounded action for both guarantees (job-count overhead, not data,
+    # dominates these O(ingest) probes).
+    violations = {
+        r["kind"]: r["n"]
+        for r in straddle.unionByName(disagree)
+        .groupBy("kind")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    if violations:
+        raise AssertionError(f"split-stability guarantees violated: {violations}")
+
+    corpus_out = existing.select(
+        "doc_id",
+        F.lit(False).alias("is_new"),
+        "split",
+        F.lit(False).alias("inherited"),
+        F.lit(False).alias("conflict"),
+    )
+    return corpus_out.unionByName(new_out)

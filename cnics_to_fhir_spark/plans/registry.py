@@ -64,19 +64,20 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # plus the sf1 probe), so entries outside the
 # driver's prefix are locally verified, never silently unchecked.
 _PRIORITY: tuple[str, ...] = (
-    # --- round-8 rotation: CORRECTNESS_r07 went green on all 46 oracle
-    # prefix entries (+4 rows-only recorded), clearing the round-6
-    # 38-entry backlog. This prefix now holds:
+    # --- round-9 rotation: CORRECTNESS_r08 went green on its full
+    # 50-entry prefix (all 9 pending round-7 entries + all 16 round-8
+    # newcomers + 13 fillers). This prefix now holds:
     #   1. the 12-entry §2-core spine (reference-parity verticals +
     #      one representative per §2 family — kept every round),
-    #   2. the 10 round-7 entries that landed after the round-7 prefix
-    #      froze (9 oracle-bearing + ann11 rows-only) plus a11, whose
-    #      array column crashed the driver canonicalizer in r7 and now
-    #      emits scalar p50/p90/p99,
-    #   3. re-verification fillers: the entries whose last driver check
-    #      is oldest (rounds 1-3), so driver coverage stays fresh while
-    #      slots remain; round-8 NEW entries displace fillers from the
-    #      end of this list as they land.
+    #   2. the 7 rows-only entries (oracle=None, pytest error-pinned):
+    #      their ONLY driver records are r01 (dd03/dd04), r07's `no_oracle`
+    #      rows (a14) or r07's canonicalizer CRASH (a11 — since fixed to
+    #      scalar p50/p90/p99) — and a10/ann02/ann11 have NONE. This round
+    #      closes the ledger: every catalog entry ever shipped gets a
+    #      clean, non-crashing driver record,
+    #   3. round-9 NEW entries (driver-verified same round they ship),
+    #   4. re-verification fillers: oracle entries whose last driver check
+    #      is oldest (rounds 1-3), displaced from the end as newcomers land.
     # Every entry — prefix or not — is still oracle-checked each round
     # by `python selfcheck.py` (full catalog, sf0.001 + sf0.01).
     #
@@ -93,57 +94,48 @@ _PRIORITY: tuple[str, ...] = (
     "b01_resource_assembly",
     "w01_topn_per_group",
     "st01_stream_batch_equivalence",
-    # (2) round-7 newcomers awaiting their first driver check
-    # (oracle-bearing first)
-    "a20_weighted_percentiles",
-    "ann10_recall_eval",
-    "dc04_k_anonymity",
-    "dq04_embedding_drift",
-    "j15_merge_table_sink",
-    "o06_stats_file_skipping",
-    "st08_stream_cdc_table_merge",
-    "tx11_zipf_fit",
-    "u03_schema_evolution_scan",
-    # (3) round-8 newcomers (driver-verified same round they ship)
-    "s05_fhir_snapshot_replay",
-    "o06b_manifest_file_skipping",
-    "dd14_semantic_decontaminate",
-    "lb01_majority_vote",
-    "tx12_tfidf_hashed",
-    "a21_quantile_sketch",
-    "ev12_asof_tolerance",
-    "dc05_pii_pseudonymize",
-    "lb02_bradley_terry",
-    "dq05_expectation_suite",
-    "e2e09_label_export_pipeline",
-    "u04_rename_evolution_scan",
-    "st09_stream_quality_gate",
-    "ds13_leakage_safe_split",
-    "lb03_fleiss_kappa",
-    "e2e10_pretraining_data_build",
-    # (4) re-verification fillers, oldest driver check first
-    "q06_forecast_revenue",
-    "q04_order_priority",
-    "q17_small_quantity_revenue",
-    "j09_salted_skew_join",
-    "j10_bloom_semi_join",
-    "a12_pivot_revenue",
-    "a13_column_profile",
-    "j11_scd2_merge",
-    "o05_zorder_key",
-    "cg01_positional_diff",
-    "q10_returned_items",
-    "q14_promo_effect",
-    "q18_large_volume_orders",
+    # (2) the rows-only family — first (or first CLEAN) driver records
+    "a11_approx_percentiles",
+    "a10_approx_distinct",
+    "a14_hll_rollup",
+    "ann02_lsh_topk",
+    "ann11_mmr_diversified",
+    "dd03_minhash_lsh",
+    "dd04_simhash_near_dup",
+    # (3) round-9 newcomers (driver-verified same round they ship)
+    "e2e11_incremental_corpus_update",
+    "ds14_temperature_mixture_join",
+    # (4) re-verification fillers, oldest driver check first (r1/r2,
+    # then the round-3 block)
     "q19_disjunctive_revenue",
     "q21_sole_return_supplier",
     "q22_dormant_balances",
     "q01_pricing_summary",
     "q03_shipping_priority",
     "q05_local_supplier_volume",
-    # rows-only tail (driver records a weaker rows-only check)
-    "ann11_mmr_diversified",
-    "a11_approx_percentiles",
+    "a01_distinct",
+    "a02_collect_set",
+    "a05_group_counts",
+    "dd06_dup_clusters",
+    "f08_demographic_maps",
+    "f17_date_format",
+    "f20_json_roundtrip",
+    "j02_join_distinct",
+    "j05_anti_join",
+    "j06b_merge_dup_keys",
+    "j07_semi_join",
+    "o02_order_limit",
+    "p04_nullsafe_inequality",
+    "u01_union_by_name",
+    # r4 block (overflow past 50 is harmless — the driver truncates)
+    "a04_last_write_wins",
+    "aj01_asof_join",
+    "ann03_ivf_topk",
+    "dc02_pii_redaction",
+    "dd08_boilerplate_removal",
+    "dd09_semantic_dedup",
+    "ds07_hash_split",
+    "ds08_epoch_mixture",
 )
 
 # Catalog entries that have never appeared in any CORRECTNESS_r0*.json
@@ -153,40 +145,14 @@ _PRIORITY: tuple[str, ...] = (
 # round-6 backlog; only the 10 round-7 additions remain, all rotated into
 # the round-8 prefix above.
 _NEVER_DRIVER_VERIFIED: tuple[str, ...] = (
-    # round-7 additions: registered after the round-7 prefix froze, so
-    # their first driver check is round 8 — all sit in block (2)/(tail)
-    # of _PRIORITY above. Recompute after round 8:
-    #   catalog keys - union(CORRECTNESS_r01..r08 keys)
-    # should leave only round-8 newcomers added after ITS prefix froze
-    # (none if block (3) ships with the same commit as the entries).
-    "a20_weighted_percentiles",
-    "dq04_embedding_drift",
-    "ann10_recall_eval",
-    "dc04_k_anonymity",
-    "tx11_zipf_fit",
-    "o06_stats_file_skipping",
+    # Recomputed after round 8 (catalog keys − union of CORRECTNESS_r01-r08
+    # keys): the r08 prefix went 50/50 green, so only ONE entry has never
+    # appeared in any CORRECTNESS file — ann11 (rows-only, registered after
+    # the r07 prefix froze and cut from r08's 50 at position 51). It heads
+    # block (2) of the round-9 prefix above; round-9 newcomers ship in the
+    # same commit as their block-(3) slot, so this tuple should be EMPTY
+    # after round 9.
     "ann11_mmr_diversified",
-    "u03_schema_evolution_scan",
-    "j15_merge_table_sink",
-    "st08_stream_cdc_table_merge",
-    # round-8 additions, shipped in the same commit as their prefix slot
-    # (block 3 above), so their first driver check is round 8 itself
-    "s05_fhir_snapshot_replay",
-    "o06b_manifest_file_skipping",
-    "dd14_semantic_decontaminate",
-    "lb01_majority_vote",
-    "tx12_tfidf_hashed",
-    "a21_quantile_sketch",
-    "ev12_asof_tolerance",
-    "dc05_pii_pseudonymize",
-    "lb02_bradley_terry",
-    "dq05_expectation_suite",
-    "e2e09_label_export_pipeline",
-    "u04_rename_evolution_scan",
-    "st09_stream_quality_gate",
-    "ds13_leakage_safe_split",
-    "lb03_fleiss_kappa",
-    "e2e10_pretraining_data_build",
 )
 
 

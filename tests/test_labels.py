@@ -162,6 +162,66 @@ def test_bradley_terry_overflow_guard_raises(spark):
         bradley_terry(m, scale=10**10)
 
 
+def test_bradley_terry_guard_fires_on_real_win_counts(spark):
+    """Actually cross the 9.2e6-wins bound at the default scale (2⁶³/10¹²
+    ≈ 9.22e6) with COUNTS, not an inflated scale — deleting the guard
+    would let W·scale² wrap silently with ANSI off."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from cnics_to_fhir_spark.operators.labels import bradley_terry
+
+    m = spark.range(9_300_000).select(
+        F.lit("A").alias("winner"), F.lit("B").alias("loser")
+    )
+    with pytest.raises(ValueError, match="integer bound"):
+        bradley_terry(m)
+
+
+def test_bradley_terry_denominator_guard_fires(spark):
+    """The denominator d_i = Σ_j n_ij·scale² DIV (si+sj) can wrap even when
+    every per-pair count and per-entity win count passes: 3 opponents ×
+    6.2e6 games each keeps max(n)=6.2e6 and max(w)=6.2e6 under the 9.22e6
+    bound, but loser A's g=1.86e7 games put d_A's worst case (ratings
+    floored to 1 ⇒ si+sj=2) at g·scale²/2 ≈ 9.3e18 > 2⁶³."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from cnics_to_fhir_spark.operators.labels import bradley_terry
+
+    per = 6_200_000
+    m = None
+    for winner in ("B", "C", "D"):
+        part = spark.range(per).select(
+            F.lit(winner).alias("winner"), F.lit("A").alias("loser")
+        )
+        m = part if m is None else m.unionByName(part)
+    with pytest.raises(ValueError, match="per-entity games"):
+        bradley_terry(m)
+
+
+def test_fleiss_kappa_pe_decimal_path_fires_past_bigint(spark):
+    """P̄_e's Σcl²·10⁶ product crosses 2⁶³ at ~3.04e6 single-label votes
+    (cl²·10⁶ = 1.6e19 at 4e6 votes): without the DECIMAL(38,0) cast the
+    BIGINT product wraps NEGATIVE with ANSI off and pe_q reads as junk.
+    A 4e6-vote single-label campaign must still report pe_q = 10⁶ exactly
+    (and kappa NULL — no chance-corrected signal)."""
+    from pyspark.sql import functions as F
+
+    from cnics_to_fhir_spark.operators.labels import fleiss_kappa
+
+    votes = spark.range(4_000_000).select(
+        (F.col("id") % 2_000_000).alias("item_id"),
+        F.col("id").alias("annotator_id"),
+        F.lit("a").alias("label"),
+    )
+    row = fleiss_kappa(votes).collect()[0]
+    assert row["n_votes"] == 4_000_000
+    assert row["po_q"] == 1_000_000
+    assert row["pe_q"] == 1_000_000  # would be negative/wrapped without DECIMAL
+    assert row["kappa_q"] is None
+
+
 def test_fleiss_kappa_matches_hand_computation(spark):
     """Classic check: two items, 3 raters each.  Item 1: a/a/a (perfect),
     item 2: a/a/b.  Po = mean(1, 1/3) = 2/3; label totals over rated
