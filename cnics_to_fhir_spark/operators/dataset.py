@@ -377,6 +377,59 @@ def temperature_weights(
     }
 
 
+def temperature_mixture_join(
+    df: DataFrame,
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    scale: int = 100,
+) -> DataFrame:
+    """Join-based τ=2 temperature mixture: identical semantics (and bit-
+    identical output) to ``temperature_mixture``, but the weight table
+    NEVER rides the driver — counts, n_max, and w_s = floor(scale·
+    sqrt(n_max/n_s)) all stay DataFrame-side, and the per-doc epoch count
+    comes from a (source)-keyed join instead of a literal CASE ladder.
+
+    Use this variant when source cardinality is unbounded (per-domain or
+    per-URL-prefix mixing — millions of 'sources'): the dict variant's
+    O(sources) collect and CASE-expression plan both stop scaling there.
+    The n_max scalar broadcasts (one row); the weight join is left to AQE,
+    which broadcasts it while it fits and shuffle-joins past that — the
+    corpus side shuffles AT MOST once, on the same key the weights were
+    aggregated on.
+
+    Scale shape: one (source)-keyed count, one scalar max, one keyed join,
+    then epoch_upsample's shuffle-free integer explode arithmetic.
+    Output: input columns + (n_epochs, epoch), exactly like
+    ``epoch_upsample``."""
+    from cnics_to_fhir_spark.operators.dedup import portable_hash
+
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    mx = counts.agg(F.max("__n").alias("__n_max"))
+    w = counts.crossJoin(F.broadcast(mx)).select(
+        source_col,
+        F.floor(
+            F.lit(int(scale)) * F.sqrt(F.col("__n_max").cast("double") / F.col("__n"))
+        )
+        .cast("long")
+        .alias("__wt"),
+    )
+    joined = df.join(w, source_col)
+    frac_hit = (portable_hash(F.col(key_col).cast("string")) % 100) < (
+        F.col("__wt") % 100
+    )
+    n = (F.col("__wt") / F.lit(100)).cast("long") + frac_hit.cast("long")
+    return (
+        joined.select(*df.columns, n.alias("n_epochs"))
+        .filter(F.col("n_epochs") > 0)
+        .select(
+            "*",
+            F.explode(
+                F.sequence(F.lit(1).cast("long"), F.col("n_epochs"))
+            ).alias("epoch"),
+        )
+    )
+
+
 def temperature_mixture(
     df: DataFrame,
     source_col: str = "source",

@@ -2733,6 +2733,56 @@ def ds09_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# ds14 — temperature mixture, join-based (unbounded source cardinality)
+# ---------------------------------------------------------------------------
+@query(
+    "ds14_temperature_mixture_join",
+    tags="DS A5 J1 O3",
+    oracle="""
+        WITH skewed AS (
+            SELECT doc_id, source FROM documents
+            WHERE NOT regexp_matches(source, '^src1[0-9]$') OR doc_id % 3 = 0
+        ),
+        counts AS (SELECT source, COUNT(*) AS n FROM skewed GROUP BY source),
+        mx AS (SELECT MAX(n) AS n_max FROM counts),
+        w AS (
+            SELECT source,
+                   CAST(FLOOR(100 * sqrt(CAST(n_max AS DOUBLE) / n)) AS BIGINT) AS wt
+            FROM counts, mx
+        ),
+        nn AS (
+            SELECT s.doc_id, s.source,
+                   CAST(w.wt // 100
+                        + CASE WHEN CAST(CAST(('0x' || substring(md5(CAST(s.doc_id AS VARCHAR)), 1, 15))
+                                         AS UBIGINT) % 100 AS BIGINT) < w.wt % 100
+                               THEN 1 ELSE 0 END AS BIGINT) AS n_epochs
+            FROM skewed s JOIN w USING (source)
+        )
+        SELECT doc_id, source, n_epochs, CAST(e AS BIGINT) AS epoch
+        FROM nn, UNNEST(range(1, n_epochs + 1)) AS u(e)
+        WHERE n_epochs > 0
+    """,
+)
+def ds14_temperature_mixture_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ds09's mixture with the driver round-trip REMOVED: the weight table
+    (counts → scalar n_max broadcast → w_s = floor(100·sqrt(n_max/n_s)))
+    stays DataFrame-side and reaches each doc through a (source)-keyed
+    join, so source cardinality is unbounded — per-domain or per-URL-
+    prefix mixing with millions of 'sources' breaks the dict variant's
+    O(sources) collect and its CASE-ladder plan, not this one.  Same
+    deterministic integer epoch arithmetic, same oracle shape as ds09;
+    the two entries' identical hashes pin that the join variant changes
+    the PLAN, never the mixture (operators/dataset.py
+    temperature_mixture_join)."""
+    from cnics_to_fhir_spark.operators.dataset import temperature_mixture_join
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source")
+    tail = F.col("source").rlike("^src1[0-9]$")
+    skewed = docs.filter(~tail | (F.col("doc_id") % 3 == 0))
+    return temperature_mixture_join(skewed)
+
+
+# ---------------------------------------------------------------------------
 # mm06 — perceptual image dedup over REAL decoded pixels (average-hash)
 # ---------------------------------------------------------------------------
 @query(

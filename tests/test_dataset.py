@@ -226,6 +226,25 @@ def test_temperature_weights_balance_direction(spark):
     assert dataset.temperature_mixture(eq).count() == 40
 
 
+def test_temperature_mixture_join_matches_dict_variant(spark):
+    """The join-based variant must be BIT-identical to the collect-based
+    one on any input — it changes the plan (weights never ride the
+    driver), never the mixture. Includes a fractional-weight source so
+    the per-doc hash coin is exercised, and a 1-doc source (max weight)."""
+    rows = [(i, "big") for i in range(100)] + [
+        (i, "mid") for i in range(100, 140)
+    ] + [(999, "solo")]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    a = sorted(map(tuple, dataset.temperature_mixture(df).collect()))
+    b = sorted(map(tuple, dataset.temperature_mixture_join(df).collect()))
+    assert a == b
+    # weight sanity via the dict variant: mid = floor(100*sqrt(2.5)) = 158,
+    # solo = floor(100*sqrt(100)) = 1000 -> exactly 10 epochs
+    w = dataset.temperature_weights(df)
+    assert w == {"big": 100, "mid": 158, "solo": 1000}
+    assert sum(1 for r in b if r[1] == "solo") == 10
+
+
 def test_global_rank_is_exact_total_order(spark):
     from cnics_to_fhir_spark.operators.dataset import global_rank
 
