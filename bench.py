@@ -166,6 +166,9 @@ HEADLINE = [
     "ds13_leakage_safe_split",
     "lb03_fleiss_kappa",
     "e2e10_pretraining_data_build",
+    # round-9 additions
+    "ds14_temperature_mixture_join",
+    "e2e11_incremental_corpus_update",
     # lb02_bradley_terry is excluded with the other iterative ops below.
     # Iterative ops (dd06, cl01, ann04, dd09, and the round-5 additions
     # gr02/dd10/ann06 — k-means or fixpoint loops) and

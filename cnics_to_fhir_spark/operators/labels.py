@@ -230,6 +230,77 @@ def bradley_terry(
     )
 
 
+def annotator_reliability(
+    df: DataFrame,
+    item_col: str = "item_id",
+    annotator_col: str = "annotator_id",
+    label_col: str = "label",
+    ts_col: str | None = None,
+    vote_id_col: str | None = None,
+) -> DataFrame:
+    """Per-annotator reliability: how often each annotator agrees with the
+    LEAVE-ONE-OUT majority of every item they rated — the labeling-ops
+    signal that routes bad annotators to re-training and weights good ones
+    up.  Comparing against the plain majority (lb01's winner) inflates
+    everyone: an annotator's own vote props up the very majority they're
+    graded against (a single-voter item scores a guaranteed hit).  The
+    LOO panel removes exactly their vote, and items where the panel would
+    be empty (n_votes < 2) are excluded, not counted as trivial wins.
+
+    Deterministic, integer-exact pipeline (lb01's collapse rules):
+
+    1. collapse to the latest vote per (item, annotator);
+    2. per-item label histogram; items keep only annotators whose LOO
+       panel is non-empty (item has ≥ 2 voters);
+    3. each vote fans out to the item's labels (vocabulary-bounded), the
+       own-vote label's count is decremented by one, and the LOO winner is
+       min over the (−adjusted_count, label) struct — a label only the
+       annotator voted for (adjusted 0) can never beat a real panel label
+       (adjusted ≥ 1), and ties break lexicographically like lb01;
+    4. agreement aggregates per annotator in micro-units via exact DIV.
+
+    Scale shape: three keyed aggregations plus one histogram join whose
+    fan-out is the label vocabulary (tens) — all map-side combinable, no
+    windows wider than (item, annotator), no driver state.
+
+    Output: (annotator, n_items, n_agree, agree_share_q)."""
+    votes = df
+    if ts_col is not None:
+        order = [F.col(ts_col)]
+        if vote_id_col is not None:
+            order.append(F.col(vote_id_col))
+        latest = votes.groupBy(item_col, annotator_col).agg(
+            F.max(F.struct(*order, F.col(label_col).alias("label"))).alias("_v")
+        )
+        votes = latest.select(item_col, annotator_col, F.col("_v.label").alias(label_col))
+    else:
+        votes = votes.select(item_col, annotator_col, label_col)
+
+    hist = votes.groupBy(item_col, label_col).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    panel = hist.groupBy(item_col).agg(F.sum("c").cast("long").alias("__n"))
+    elig = votes.join(
+        panel.filter(F.col("__n") >= 2).select(item_col), item_col, "left_semi"
+    )
+    fan = elig.join(
+        hist.select(item_col, F.col(label_col).alias("__hl"), "c"), item_col
+    )
+    adj = F.col("c") - (F.col("__hl") == F.col(label_col)).cast("long")
+    loo = fan.groupBy(item_col, annotator_col, label_col).agg(
+        F.min(F.struct((-adj).alias("neg"), F.col("__hl").alias("label"))).alias("_w")
+    )
+    agree = (F.col("_w.label") == F.col(label_col)).cast("long")
+    return loo.groupBy(annotator_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum(agree).cast("long").alias("n_agree"),
+        F.expr(
+            f"CAST(SUM(CASE WHEN _w.label = {label_col} THEN 1 ELSE 0 END)"
+            " * 1000000 DIV COUNT(1) AS BIGINT)"
+        ).alias("agree_share_q"),
+    )
+
+
 def fleiss_kappa(
     df: DataFrame,
     item_col: str = "item_id",

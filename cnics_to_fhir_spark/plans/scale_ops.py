@@ -6396,3 +6396,78 @@ def lb03_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, item_col="item_id", annotator_col="annotator_id", label_col="label",
         ts_col="ts", vote_id_col="event_id",
     )
+
+
+# ---------------------------------------------------------------------------
+# lb04 — per-annotator reliability vs the leave-one-out majority
+# ---------------------------------------------------------------------------
+@query(
+    "lb04_annotator_reliability",
+    tags="LB A3 A5 J1",
+    oracle="""
+        WITH votes AS (
+            SELECT event_id % 199 AS item_id, user_id, event_type, ts, event_id
+            FROM events
+        ),
+        latest AS (
+            SELECT item_id, user_id, event_type FROM (
+                SELECT item_id, user_id, event_type,
+                       ROW_NUMBER() OVER (PARTITION BY item_id, user_id
+                                          ORDER BY ts DESC, event_id DESC) AS rn
+                FROM votes
+            ) WHERE rn = 1
+        ),
+        hist AS (
+            SELECT item_id, event_type AS label, CAST(COUNT(*) AS BIGINT) AS c
+            FROM latest GROUP BY 1, 2
+        ),
+        n_item AS (SELECT item_id, SUM(c) AS n FROM hist GROUP BY 1),
+        elig AS (
+            SELECT l.item_id, l.user_id, l.event_type AS my_label
+            FROM latest l JOIN n_item ni USING (item_id) WHERE ni.n >= 2
+        ),
+        fan AS (
+            SELECT e.item_id, e.user_id, e.my_label, h.label AS hl,
+                   h.c - CASE WHEN h.label = e.my_label THEN 1 ELSE 0 END AS adj
+            FROM elig e JOIN hist h USING (item_id)
+        ),
+        loo AS (
+            SELECT item_id, user_id, my_label, hl AS loo_winner FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY item_id, user_id
+                                             ORDER BY adj DESC, hl ASC) AS rn
+                FROM fan
+            ) WHERE rn = 1
+        )
+        SELECT user_id AS annotator_id,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(CASE WHEN my_label = loo_winner THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_agree,
+               CAST(SUM(CASE WHEN my_label = loo_winner THEN 1 ELSE 0 END)
+                    * 1000000 // COUNT(*) AS BIGINT) AS agree_share_q
+        FROM loo GROUP BY 1
+    """,
+)
+def lb04_annotator_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Annotator-quality scoring over the same campaign as lb01/lb03:
+    each annotator graded against the LEAVE-ONE-OUT majority of every
+    item they voted on (own vote removed — grading against the plain
+    majority lets annotators prop up the very consensus they're scored
+    by, and single-voter items become guaranteed hits).  The labeling-ops
+    routing signal: low scorers get re-trained or down-weighted before
+    their labels train anything.  Histogram fan-out is vocabulary-bounded,
+    everything else is keyed aggregation — no windows past (item,
+    annotator), no driver state (operators/labels.py
+    annotator_reliability)."""
+    from cnics_to_fhir_spark.operators.labels import annotator_reliability
+
+    e = table(spark, sf_dir, "events").select(
+        (F.col("event_id") % 199).alias("item_id"),
+        F.col("user_id").alias("annotator_id"),
+        F.col("event_type").alias("label"),
+        "ts",
+        "event_id",
+    )
+    return annotator_reliability(
+        e, item_col="item_id", annotator_col="annotator_id", label_col="label",
+        ts_col="ts", vote_id_col="event_id",
+    )

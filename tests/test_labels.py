@@ -222,6 +222,35 @@ def test_fleiss_kappa_pe_decimal_path_fires_past_bigint(spark):
     assert row["kappa_q"] is None
 
 
+def test_annotator_reliability_leave_one_out(spark):
+    """Hand-computed LOO agreement: the own vote never props up the
+    majority it's graded against, single-voter items are excluded (not
+    counted as trivial wins), and ties in the LOO panel break to the
+    lexicographically smallest label."""
+    from cnics_to_fhir_spark.operators.labels import annotator_reliability
+
+    rows = [
+        # item 1: A:x, B:x, C:y — LOO(A) = {x:1, y:1} -> tie -> 'x' (agree);
+        # LOO(B) same (agree); LOO(C) = {x:2} -> 'x' (C voted y: disagree)
+        (1, "A", "x"), (1, "B", "x"), (1, "C", "y"),
+        # item 2: single voter D -> excluded entirely
+        (2, "D", "z"),
+        # item 3: A:y, C:y — both LOO panels are {y:1} -> agree
+        (3, "A", "y"), (3, "C", "y"),
+    ]
+    df = spark.createDataFrame(rows, "item_id long, annotator_id string, label string")
+    out = {
+        r["annotator_id"]: (r["n_items"], r["n_agree"], r["agree_share_q"])
+        for r in annotator_reliability(df).collect()
+    }
+    assert out == {
+        "A": (2, 2, 1_000_000),
+        "B": (1, 1, 1_000_000),
+        "C": (2, 1, 500_000),
+    }
+    assert "D" not in out
+
+
 def test_fleiss_kappa_matches_hand_computation(spark):
     """Classic check: two items, 3 raters each.  Item 1: a/a/a (perfect),
     item 2: a/a/b.  Po = mean(1, 1/3) = 2/3; label totals over rated
