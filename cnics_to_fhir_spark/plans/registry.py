@@ -105,6 +105,8 @@ _PRIORITY: tuple[str, ...] = (
     # (3) round-9 newcomers (driver-verified same round they ship)
     "e2e11_incremental_corpus_update",
     "ds14_temperature_mixture_join",
+    "lb04_annotator_reliability",
+    "u05_partition_evolution_scan",
     # (4) re-verification fillers, oldest driver check first (r1/r2,
     # then the round-3 block)
     "q19_disjunctive_revenue",

@@ -6243,6 +6243,106 @@ def u04_rename_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# u05 — partition-SPEC evolution scan (layout changes between generations)
+# ---------------------------------------------------------------------------
+@query(
+    "u05_partition_evolution_scan",
+    tags="SET S1 P3 A5 O5",
+    oracle="""
+        SELECT o_orderstatus AS status,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT))/100.0 AS revenue
+        FROM orders
+        WHERE o_orderstatus = 'F' AND o_orderpriority = '1-URGENT'
+        GROUP BY 1
+    """,
+)
+def u05_partition_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third evolution axis after u03 (added columns) and u04
+    (renames): the PARTITION SPEC itself changed between generations —
+    gen 1 is laid out by ``o_orderstatus``, gen 2 by ``(o_orderstatus,
+    o_orderpriority)`` — and a predicate on both columns must prune each
+    generation as deeply as ITS directory tree allows: two levels in
+    gen 2, one level + row filtering in gen 1.  Iceberg's partition
+    evolution without the format: history keeps its layout forever (no
+    100-TB rewrite to change a scheme), new data adopts the new spec, the
+    sidecar declares each generation's layout and a declared/physical
+    mismatch raises loudly — wrong pruning is silent data loss at read
+    time.  The entry asserts the PHYSICAL pruning per generation (every
+    surviving input file sits under the expected directory chain) and
+    hash-checks the unioned aggregate against the raw table
+    (sources/evolution.py read_with_partition_specs)."""
+    import os
+    import shutil
+    import tempfile
+
+    from cnics_to_fhir_spark.session import scratch_name
+    from cnics_to_fhir_spark.sources.evolution import (
+        read_with_partition_specs,
+        write_partition_specs,
+    )
+
+    path = os.path.join(tempfile.gettempdir(), scratch_name(spark, "u05_files"))
+    try:
+        orders = table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+        )
+        (
+            orders.filter(F.col("o_orderkey") % 2 == 0)
+            .repartition(F.col("o_orderstatus"))
+            .write.mode("overwrite")
+            .partitionBy("o_orderstatus")
+            .parquet(os.path.join(path, "gen=1"))
+        )
+        (
+            orders.filter(F.col("o_orderkey") % 2 == 1)
+            .repartition(F.col("o_orderstatus"), F.col("o_orderpriority"))
+            .write.mode("overwrite")
+            .partitionBy("o_orderstatus", "o_orderpriority")
+            .parquet(os.path.join(path, "gen=2"))
+        )
+        write_partition_specs(
+            path,
+            {
+                "gen=1": ["o_orderstatus"],
+                "gen=2": ["o_orderstatus", "o_orderpriority"],
+            },
+        )
+        merged = read_with_partition_specs(spark, path)
+        hot = merged.filter(
+            (F.col("o_orderstatus") == "F") & (F.col("o_orderpriority") == "1-URGENT")
+        )
+        # Physical pruning proof, per generation: every file the filtered
+        # scan actually touches sits under the deepest directory chain its
+        # generation's spec allows. O(kept files) — the pruned residue.
+        touched = [
+            r["f"]
+            for r in hot.select(F.input_file_name().alias("f")).distinct().collect()
+        ]
+        for f in touched:
+            if "/gen=1/" in f and "/o_orderstatus=F/" not in f:
+                raise AssertionError(f"gen-1 scan escaped its status dir: {f}")
+            if "/gen=2/" in f and (
+                "/o_orderstatus=F/" not in f or "/o_orderpriority=1-URGENT/" not in f
+            ):
+                raise AssertionError(f"gen-2 scan escaped its pruned dirs: {f}")
+        if not any("/gen=1/" in f for f in touched) or not any(
+            "/gen=2/" in f for f in touched
+        ):
+            raise AssertionError("one generation vanished from the filtered scan")
+        rows = hot.groupBy(F.col("o_orderstatus").alias("status")).agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            (
+                F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
+                / F.lit(100.0)
+            ).alias("revenue"),
+        ).collect()
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(rows, "status string, n_orders bigint, revenue double")
+
+
+# ---------------------------------------------------------------------------
 # ds13 — leakage-safe train/val/test split (near-dups never straddle)
 # ---------------------------------------------------------------------------
 @query(

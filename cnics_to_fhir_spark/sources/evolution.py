@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 MAPPING_FILE = "_name_mapping.json"
+PARTITION_SPEC_FILE = "_partition_specs.json"
 
 
 def write_name_mapping(root: str, mapping: dict[str, dict[str, str]]) -> str:
@@ -45,6 +46,91 @@ def read_name_mapping(root: str) -> dict[str, dict[str, str]]:
     if doc.get("version") != 1:
         raise ValueError(f"unsupported name-mapping version in {path}: {doc.get('version')}")
     return doc["generations"]
+
+
+def write_partition_specs(root: str, specs: dict[str, list[str]]) -> str:
+    """Persist the per-generation partition spec sidecar:
+    ``{generation_subdir: [partition_col, ...]}`` (``[]`` = unpartitioned).
+    The Iceberg partition-evolution idea without the table format: old
+    data keeps its old directory layout forever; only NEW generations
+    adopt the new spec — repartitioning 100 TB of history to change a
+    partition scheme is exactly the rewrite this avoids."""
+    path = os.path.join(root, PARTITION_SPEC_FILE)
+    with open(path, "w") as f:
+        json.dump({"version": 1, "specs": specs}, f, indent=2, sort_keys=True)
+    return path
+
+
+def read_partition_specs(root: str) -> dict[str, list[str]]:
+    path = os.path.join(root, PARTITION_SPEC_FILE)
+    with open(path) as f:
+        doc = json.load(f)
+    if doc.get("version") != 1:
+        raise ValueError(
+            f"unsupported partition-spec version in {path}: {doc.get('version')}"
+        )
+    return doc["specs"]
+
+
+def _discover_partition_cols(gen_dir: str) -> list[str]:
+    """Walk one directory chain down from ``gen_dir`` and read the Hive
+    ``col=value`` segments in order — the layout the writer PHYSICALLY
+    produced, used to validate the declared spec against reality."""
+    cols: list[str] = []
+    cur = gen_dir
+    while True:
+        subdirs = [
+            d
+            for d in sorted(os.listdir(cur))
+            if os.path.isdir(os.path.join(cur, d)) and "=" in d
+        ]
+        if not subdirs:
+            return cols
+        cols.append(subdirs[0].split("=", 1)[0])
+        cur = os.path.join(cur, subdirs[0])
+
+
+def read_with_partition_specs(spark: SparkSession, root: str) -> DataFrame:
+    """Scan a table whose PARTITION SPEC evolved between generations —
+    e.g. gen 1 laid out by ``day``, gen 2 by ``(day, site)`` — as ONE
+    logical DataFrame.  Each generation is read against its own layout,
+    so a pushed-down predicate partition-prunes each generation as deeply
+    as ITS directories allow (a ``site`` filter prunes gen-2 directories
+    and falls back to row filtering inside gen 1's day dirs); the spec
+    sidecar is validated against the physical layout and a mismatch
+    raises loudly — a generation whose directories disagree with its
+    declared spec would otherwise prune WRONGLY, which is silent data
+    loss at read time.
+
+    Scale shape: the sidecar is O(generations) driver metadata; each
+    generation is an ordinary pruned parquet scan, unioned by name with
+    NULL-fill for columns a generation predates."""
+    specs = read_partition_specs(root)
+    subdirs = sorted(
+        d
+        for d in os.listdir(root)
+        if os.path.isdir(os.path.join(root, d)) and not d.startswith("_")
+    )
+    if not subdirs:
+        raise ValueError(f"no generation subdirectories under {root}")
+    missing = [d for d in subdirs if d not in specs]
+    if missing:
+        raise ValueError(
+            f"generations {missing!r} under {root} have no declared partition"
+            f" spec — refusing to guess a layout"
+        )
+    out: DataFrame | None = None
+    for gen in subdirs:
+        gen_dir = os.path.join(root, gen)
+        physical = _discover_partition_cols(gen_dir)
+        if physical != list(specs[gen]):
+            raise ValueError(
+                f"partition spec mismatch for {gen}: declared {specs[gen]!r},"
+                f" physical layout is {physical!r}"
+            )
+        df = spark.read.option("basePath", gen_dir).parquet(gen_dir)
+        out = df if out is None else out.unionByName(df, allowMissingColumns=True)
+    return out
 
 
 def read_with_name_mapping(spark: SparkSession, root: str) -> DataFrame:

@@ -55,3 +55,72 @@ def test_unmapped_generation_reads_identity(spark, tmp_path):
     out = read_with_name_mapping(spark, root)
     assert set(out.columns) == {"id", "old_name", "new_name", "extra"}
     assert read_name_mapping(root) == {}
+
+
+# --- partition-spec evolution (u05) -----------------------------------------
+
+def _write_spec_gens(spark, root):
+    df = spark.createDataFrame(
+        [(1, "F", "a"), (2, "O", "a"), (3, "F", "b"), (4, "F", "a")],
+        "id long, status string, site string",
+    )
+    df.filter("id <= 2").coalesce(1).write.partitionBy("status").parquet(
+        os.path.join(root, "gen=1")
+    )
+    df.filter("id > 2").coalesce(1).write.partitionBy("status", "site").parquet(
+        os.path.join(root, "gen=2")
+    )
+
+
+def test_partition_spec_scan_unions_and_prunes(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from cnics_to_fhir_spark.sources.evolution import (
+        read_with_partition_specs,
+        write_partition_specs,
+    )
+
+    root = str(tmp_path / "t")
+    os.makedirs(root)
+    _write_spec_gens(spark, root)
+    write_partition_specs(
+        root, {"gen=1": ["status"], "gen=2": ["status", "site"]}
+    )
+    out = read_with_partition_specs(spark, root)
+    assert {r["id"] for r in out.collect()} == {1, 2, 3, 4}
+    hot = out.filter((F.col("status") == "F") & (F.col("site") == "a"))
+    assert {r["id"] for r in hot.collect()} == {1, 4}
+    # physical pruning: gen-2 files outside status=F/site=a never touched;
+    # gen-1 prunes its status level and row-filters site
+    touched = [r[0] for r in hot.select(F.input_file_name()).distinct().collect()]
+    assert all("/status=F" in f for f in touched)
+    assert all("/site=a" in f for f in touched if "/gen=2/" in f)
+
+
+def test_partition_spec_mismatch_raises(spark, tmp_path):
+    from cnics_to_fhir_spark.sources.evolution import (
+        read_with_partition_specs,
+        write_partition_specs,
+    )
+
+    root = str(tmp_path / "t")
+    os.makedirs(root)
+    _write_spec_gens(spark, root)
+    # declared spec disagrees with the physical layout of gen=2
+    write_partition_specs(root, {"gen=1": ["status"], "gen=2": ["status"]})
+    with pytest.raises(ValueError, match="partition spec mismatch"):
+        read_with_partition_specs(spark, root)
+
+
+def test_partition_spec_missing_generation_raises(spark, tmp_path):
+    from cnics_to_fhir_spark.sources.evolution import (
+        read_with_partition_specs,
+        write_partition_specs,
+    )
+
+    root = str(tmp_path / "t")
+    os.makedirs(root)
+    _write_spec_gens(spark, root)
+    write_partition_specs(root, {"gen=1": ["status"]})
+    with pytest.raises(ValueError, match="no declared partition spec"):
+        read_with_partition_specs(spark, root)
