@@ -169,6 +169,10 @@ HEADLINE = [
     # round-9 additions
     "ds14_temperature_mixture_join",
     "e2e11_incremental_corpus_update",
+    "lb04_annotator_reliability",
+    "u05_partition_evolution_scan",
+    "dc06_l_diversity",
+    "e2e12_reliability_weighted_labels",
     # lb02_bradley_terry is excluded with the other iterative ops below.
     # Iterative ops (dd06, cl01, ann04, dd09, and the round-5 additions
     # gr02/dd10/ann06 — k-means or fixpoint loops) and

@@ -307,6 +307,65 @@ def k_anonymize(
     return left.join(right, on=cond, how="inner").select(*sel)
 
 
+def l_diversify(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    l: int,  # noqa: E741 — the literature's name
+    id_col: str = "doc_id",
+    token: str = "*",
+    broadcast_counts: bool = True,
+) -> DataFrame:
+    """l-diversity — the homogeneity-attack gate k-anonymity misses: a
+    quasi-identifier group can be large (perfectly k-anonymous) while
+    every member shares the same SENSITIVE value, so membership alone
+    discloses it.  Groups whose sensitive column carries fewer than ``l``
+    distinct non-NULL values get that column suppressed to ``token`` for
+    ALL their rows (the leak channel is the sensitive value — the quasi
+    columns stay, dc04 already governs them); diverse groups pass
+    through.  Output: (id, quasi cols, <sensitive>_l as string, n_group,
+    n_sensitive, is_diverse) — group size and diversity count keep the
+    audit honest, like dc04's accounting.
+
+    NULL sensitive values carry no disclosure and count for nothing: a
+    group of all-NULL sensitives has n_sensitive = 0 and suppresses
+    (to one consistent token, not a NULL that reads as "value absent in
+    the release" while the quasi tuple still isolates the group).
+
+    Scale shape: dc04's exactly — one map-side-combinable groupBy builds
+    (quasi tuple → n_group, n_distinct sensitive), each row then takes a
+    lookup join on ITS tuple (broadcast at dimension cardinality;
+    ``broadcast_counts=False`` shuffles both sides once on the tuple for
+    high-cardinality quasi keys).  Null-safe join equality so NULL quasi
+    groups match their count row (dc04's invariant: no rows vanish)."""
+    if l < 1:
+        raise ValueError(f"l must be >= 1, got {l}")
+    counts = df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_group"),
+        F.countDistinct(sensitive_col).cast("long").alias("n_sensitive"),
+    )
+    if broadcast_counts:
+        counts = F.broadcast(counts)
+    left = df.alias("__l")
+    right = counts.alias("__r")
+    cond = None
+    for c in quasi_cols:
+        eq = F.col(f"__l.{c}").eqNullSafe(F.col(f"__r.{c}"))
+        cond = eq if cond is None else (cond & eq)
+    keep = F.col("__r.n_sensitive") >= l
+    sel = [F.col(f"__l.{id_col}").alias(id_col)]
+    sel += [F.col(f"__l.{c}").alias(c) for c in quasi_cols]
+    sel += [
+        F.when(keep, F.col(f"__l.{sensitive_col}").cast("string"))
+        .otherwise(F.lit(token))
+        .alias(f"{sensitive_col}_l"),
+        F.col("__r.n_group").alias("n_group"),
+        F.col("__r.n_sensitive").alias("n_sensitive"),
+        keep.alias("is_diverse"),
+    ]
+    return left.join(right, on=cond, how="inner").select(*sel)
+
+
 def pseudonymize_entities(
     df: DataFrame,
     pattern: str,

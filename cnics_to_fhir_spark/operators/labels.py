@@ -301,6 +301,84 @@ def annotator_reliability(
     )
 
 
+def reliability_weighted_labels(
+    df: DataFrame,
+    item_col: str = "item_id",
+    annotator_col: str = "annotator_id",
+    label_col: str = "label",
+    ts_col: str | None = None,
+    vote_id_col: str | None = None,
+) -> DataFrame:
+    """Second-pass label aggregation: votes weighted by each annotator's
+    measured reliability instead of one-annotator-one-vote — the standard
+    escalation when lb01's plain majority and lb04's reliability scores
+    disagree about who to trust.  Everything stays exact integer
+    arithmetic so the relabeling replays bit-identically:
+
+    - weight w_a = (n_agree_a + 1)·10⁶ DIV (n_items_a + 2) — the
+      Beta(1,1)-smoothed LOO agreement rate, so an annotator with NO
+      reliability evidence (all their items were single-voter) gets the
+      prior 500000, not a discard and not full trust;
+    - per item, each label scores Σ w_a over its voters; the winner is
+      the max score with lb01's lexicographic tiebreak;
+    - ``changed`` flags items the weighting FLIPPED vs the plain
+      majority — the re-adjudication queue is the deliverable.
+
+    Scale shape: lb04's aggregations + one broadcast join of the
+    O(annotators) weight table onto the collapsed votes + two keyed
+    aggregations — no windows, no driver state.
+
+    Output: (item, weighted_label, weighted_score, n_votes, plain_label,
+    changed)."""
+    votes = df
+    if ts_col is not None:
+        order = [F.col(ts_col)]
+        if vote_id_col is not None:
+            order.append(F.col(vote_id_col))
+        latest = votes.groupBy(item_col, annotator_col).agg(
+            F.max(F.struct(*order, F.col(label_col).alias("label"))).alias("_v")
+        )
+        votes = latest.select(
+            item_col, annotator_col, F.col("_v.label").alias(label_col)
+        )
+    else:
+        votes = votes.select(item_col, annotator_col, label_col)
+
+    rel = annotator_reliability(
+        votes, item_col=item_col, annotator_col=annotator_col, label_col=label_col
+    )
+    weights = rel.select(
+        annotator_col,
+        F.expr("CAST((n_agree + 1) * 1000000 DIV (n_items + 2) AS BIGINT)").alias(
+            "__wt"
+        ),
+    )
+    wv = votes.join(F.broadcast(weights), annotator_col, "left").withColumn(
+        "__wt", F.coalesce(F.col("__wt"), F.lit(500_000).cast("long"))
+    )
+    score = wv.groupBy(item_col, label_col).agg(
+        F.sum("__wt").cast("long").alias("__s"),
+        F.count(F.lit(1)).cast("long").alias("__c"),
+    )
+    per_item = score.groupBy(item_col).agg(
+        F.min(
+            F.struct((-F.col("__s")).alias("neg"), F.col(label_col).alias("label"))
+        ).alias("_ww"),
+        F.min(
+            F.struct((-F.col("__c")).alias("neg"), F.col(label_col).alias("label"))
+        ).alias("_pw"),
+        F.sum("__c").cast("long").alias("n_votes"),
+    )
+    return per_item.select(
+        item_col,
+        F.col("_ww.label").alias("weighted_label"),
+        (-F.col("_ww.neg")).cast("long").alias("weighted_score"),
+        "n_votes",
+        F.col("_pw.label").alias("plain_label"),
+        (F.col("_ww.label") != F.col("_pw.label")).alias("changed"),
+    )
+
+
 def fleiss_kappa(
     df: DataFrame,
     item_col: str = "item_id",

@@ -1393,3 +1393,113 @@ def e2e11_incremental_corpus_update(spark: SparkSession, sf_dir: str) -> DataFra
         F.lit(False).alias("conflict"),
     )
     return corpus_out.unionByName(new_out)
+
+
+# ---------------------------------------------------------------------------
+# e2e12 — reliability-weighted relabeling: lb04's scores re-adjudicate lb01
+# ---------------------------------------------------------------------------
+@query(
+    "e2e12_reliability_weighted_labels",
+    tags="E2E LB A3 A5 J8",
+    oracle="""
+        WITH votes AS (
+            SELECT event_id % 199 AS item_id, user_id, event_type, ts, event_id
+            FROM events
+        ),
+        latest AS (
+            SELECT item_id, user_id, event_type FROM (
+                SELECT item_id, user_id, event_type,
+                       ROW_NUMBER() OVER (PARTITION BY item_id, user_id
+                                          ORDER BY ts DESC, event_id DESC) AS rn
+                FROM votes
+            ) WHERE rn = 1
+        ),
+        hist AS (
+            SELECT item_id, event_type AS label, CAST(COUNT(*) AS BIGINT) AS c
+            FROM latest GROUP BY 1, 2
+        ),
+        n_item AS (SELECT item_id, SUM(c) AS n FROM hist GROUP BY 1),
+        elig AS (
+            SELECT l.item_id, l.user_id, l.event_type AS my_label
+            FROM latest l JOIN n_item ni USING (item_id) WHERE ni.n >= 2
+        ),
+        fan AS (
+            SELECT e.item_id, e.user_id, e.my_label, h.label AS hl,
+                   h.c - CASE WHEN h.label = e.my_label THEN 1 ELSE 0 END AS adj
+            FROM elig e JOIN hist h USING (item_id)
+        ),
+        loo AS (
+            SELECT item_id, user_id, my_label, hl AS loo_winner FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY item_id, user_id
+                                             ORDER BY adj DESC, hl ASC) AS rn
+                FROM fan
+            ) WHERE rn = 1
+        ),
+        rel AS (
+            SELECT user_id, COUNT(*) AS n_items,
+                   SUM(CASE WHEN my_label = loo_winner THEN 1 ELSE 0 END) AS n_agree
+            FROM loo GROUP BY 1
+        ),
+        w AS (
+            SELECT user_id,
+                   CAST((n_agree + 1) * 1000000 // (n_items + 2) AS BIGINT) AS wt
+            FROM rel
+        ),
+        wv AS (
+            SELECT l.item_id, l.event_type AS label,
+                   COALESCE(w.wt, 500000) AS wt
+            FROM latest l LEFT JOIN w USING (user_id)
+        ),
+        score AS (
+            SELECT item_id, label, CAST(SUM(wt) AS BIGINT) AS s,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM wv GROUP BY 1, 2
+        ),
+        wwin AS (
+            SELECT item_id, label AS weighted_label, s AS weighted_score FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY item_id
+                                             ORDER BY s DESC, label ASC) AS rn
+                FROM score
+            ) WHERE rn = 1
+        ),
+        pwin AS (
+            SELECT item_id, label AS plain_label FROM (
+                SELECT item_id, label,
+                       ROW_NUMBER() OVER (PARTITION BY item_id
+                                          ORDER BY c DESC, label ASC) AS rn
+                FROM score
+            ) WHERE rn = 1
+        )
+        SELECT ww.item_id, ww.weighted_label, ww.weighted_score,
+               CAST(ni.n AS BIGINT) AS n_votes, pw.plain_label,
+               (ww.weighted_label <> pw.plain_label) AS changed
+        FROM wwin ww
+        JOIN pwin pw USING (item_id)
+        JOIN n_item ni USING (item_id)
+    """,
+)
+def e2e12_reliability_weighted_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The label-quality loop CLOSED: lb04's leave-one-out reliability
+    scores feed back into the vote aggregation as per-annotator weights —
+    w_a = Beta(1,1)-smoothed LOO agreement in exact micro-units, with
+    annotators lacking any reliability evidence (only single-voter items)
+    at the 500000 prior rather than discarded or fully trusted — and the
+    weighted winner is compared against lb01's plain majority; ``changed``
+    items are the re-adjudication queue a labeling platform actually
+    ships.  One oracle statement replays collapse → LOO reliability →
+    smoothing → weighted score → both winners, so a bug anywhere in the
+    chain breaks the hash (operators/labels.py
+    reliability_weighted_labels)."""
+    from cnics_to_fhir_spark.operators.labels import reliability_weighted_labels
+
+    e = table(spark, sf_dir, "events").select(
+        (F.col("event_id") % 199).alias("item_id"),
+        F.col("user_id").alias("annotator_id"),
+        F.col("event_type").alias("label"),
+        "ts",
+        "event_id",
+    )
+    return reliability_weighted_labels(
+        e, item_col="item_id", annotator_col="annotator_id", label_col="label",
+        ts_col="ts", vote_id_col="event_id",
+    )

@@ -107,6 +107,8 @@ _PRIORITY: tuple[str, ...] = (
     "ds14_temperature_mixture_join",
     "lb04_annotator_reliability",
     "u05_partition_evolution_scan",
+    "dc06_l_diversity",
+    "e2e12_reliability_weighted_labels",
     # (4) re-verification fillers, oldest driver check first (r1/r2,
     # then the round-3 block)
     "q19_disjunctive_revenue",

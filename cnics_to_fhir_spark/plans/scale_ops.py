@@ -5108,6 +5108,57 @@ def dc04_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# dc06 — l-diversity (homogeneity-attack gate on a sensitive attribute)
+# ---------------------------------------------------------------------------
+@query(
+    "dc06_l_diversity",
+    tags="DC A5 J8",
+    oracle="""
+        WITH s AS (
+            SELECT doc_id, lang, source,
+                   CAST(n_chars % 5 AS VARCHAR) AS length_class
+            FROM documents
+        ),
+        g AS (
+            SELECT lang, source,
+                   CAST(COUNT(*) AS BIGINT) AS n_group,
+                   CAST(COUNT(DISTINCT length_class) AS BIGINT) AS n_sensitive
+            FROM s GROUP BY 1, 2
+        )
+        SELECT s.doc_id, s.lang, s.source,
+               CASE WHEN g.n_sensitive >= 4 THEN s.length_class
+                    ELSE '*' END AS length_class_l,
+               g.n_group, g.n_sensitive,
+               g.n_sensitive >= 4 AS is_diverse
+        FROM s JOIN g ON s.lang IS NOT DISTINCT FROM g.lang
+                     AND s.source IS NOT DISTINCT FROM g.source
+    """,
+)
+def dc06_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dc04's blind spot closed: a (lang, source) group can be k-anonymous
+    and still disclose a sensitive attribute when (almost) every member
+    shares it — membership alone reveals the value (the homogeneity
+    attack).  l-diversity (l=4) requires ≥ 4 distinct sensitive values
+    per quasi group; failing groups have the SENSITIVE column suppressed
+    for all members (the quasi columns stay — dc04 governs those), and
+    the output carries n_group/n_sensitive so the audit states exactly
+    what the gate saw.  Same scale shape as dc04: one map-side tuple
+    aggregation + one broadcast lookup join, the corpus never shuffles
+    (operators/curation.l_diversify)."""
+    from cnics_to_fhir_spark.operators import curation
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        (F.col("n_chars") % 5).cast("string").alias("length_class"),
+    )
+    return curation.l_diversify(
+        docs, quasi_cols=["lang", "source"], sensitive_col="length_class", l=4
+    )
+
+
+# ---------------------------------------------------------------------------
 # tx11 — Zipf rank-frequency fit per language (integer-exact regression)
 # ---------------------------------------------------------------------------
 @query(

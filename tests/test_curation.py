@@ -378,3 +378,36 @@ def test_pseudonymize_replaces_longest_entity_first(spark):
     # ranks: a@x.com -> 1, na@x.com -> 2 (lexicographic dictionary)
     assert row["redacted"] == "<EMAIL_2> and <EMAIL_1> wrote"
     assert row["n_entities"] == 2
+
+
+def test_l_diversify_homogeneity_gate(spark):
+    """A k-large group with a homogeneous sensitive value suppresses the
+    SENSITIVE column only; diverse groups pass through; all-NULL
+    sensitives count as zero diversity (membership would still disclose
+    'no value recorded' while the tuple isolates the group)."""
+    import pytest
+
+    from cnics_to_fhir_spark.operators.curation import l_diversify
+
+    rows = [
+        # group A: 3 rows, all sensitive 'x' -> homogeneous, suppress
+        (1, "A", "x"), (2, "A", "x"), (3, "A", "x"),
+        # group B: 2 distinct sensitive values -> diverse at l=2
+        (4, "B", "x"), (5, "B", "y"),
+        # group C: all NULL sensitive -> n_sensitive = 0, suppress
+        (6, "C", None), (7, "C", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, sens string")
+    out = {
+        r["doc_id"]: r
+        for r in l_diversify(
+            df, quasi_cols=["grp"], sensitive_col="sens", l=2
+        ).collect()
+    }
+    assert len(out) == 7  # no rows vanish
+    assert all(out[i]["sens_l"] == "*" and not out[i]["is_diverse"] for i in (1, 2, 3))
+    assert out[4]["sens_l"] == "x" and out[5]["sens_l"] == "y"
+    assert out[4]["is_diverse"] and out[4]["n_sensitive"] == 2
+    assert all(out[i]["sens_l"] == "*" and out[i]["n_sensitive"] == 0 for i in (6, 7))
+    with pytest.raises(ValueError, match="l must be"):
+        l_diversify(df, quasi_cols=["grp"], sensitive_col="sens", l=0)

@@ -251,6 +251,33 @@ def test_annotator_reliability_leave_one_out(spark):
     assert "D" not in out
 
 
+def test_reliability_weighting_flips_a_bad_majority(spark):
+    """Three unreliable annotators outvote two reliable ones 3-2; the
+    Beta-smoothed LOO weights flip the winner. Hand-computed: after 8
+    history items the good annotators carry w = (8+1)e6/(9+2) = 818181
+    (they 'disagree' on the target itself — the LOO majority there is the
+    bad label), the bad ones w = (1+1)e6/(4+2) = 333333 (their target
+    vote AGREES with the LOO tie broken to 'bad'), so weighted scores are
+    good 1636362 > bad 999999 while the raw count is 2 < 3."""
+    from cnics_to_fhir_spark.operators.labels import reliability_weighted_labels
+
+    rows = []
+    for h in range(8):  # history: G1-G3 vote x, one B dissents with y
+        for g in ("G1", "G2", "G3"):
+            rows.append((h, g, "x"))
+        rows.append((h, f"B{h % 3 + 1}", "y"))
+    for b in ("B1", "B2", "B3"):
+        rows.append((100, b, "bad"))
+    for g in ("G1", "G2"):
+        rows.append((100, g, "good"))
+    df = spark.createDataFrame(rows, "item_id long, annotator_id string, label string")
+    out = {r["item_id"]: r for r in reliability_weighted_labels(df).collect()}
+    t = out[100]
+    assert t["plain_label"] == "bad" and t["weighted_label"] == "good"
+    assert t["changed"] and t["weighted_score"] == 1_636_362
+    assert out[0]["weighted_label"] == "x" and not out[0]["changed"]
+
+
 def test_fleiss_kappa_matches_hand_computation(spark):
     """Classic check: two items, 3 raters each.  Item 1: a/a/a (perfect),
     item 2: a/a/b.  Po = mean(1, 1/3) = 2/3; label totals over rated
