@@ -173,6 +173,7 @@ HEADLINE = [
     "u05_partition_evolution_scan",
     "dc06_l_diversity",
     "e2e12_reliability_weighted_labels",
+    "ev13_cohort_retention",
     # lb02_bradley_terry is excluded with the other iterative ops below.
     # Iterative ops (dd06, cl01, ann04, dd09, and the round-5 additions
     # gr02/dd10/ann06 — k-means or fixpoint loops) and

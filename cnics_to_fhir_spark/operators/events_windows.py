@@ -197,3 +197,57 @@ def ewma_daily_counts(
         F.col("n").alias("n_events"),
         stable_round(num.cast("double") / den.cast("double"), 6).alias("ewma"),
     )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    epoch: str = "2024-01-01",
+    period_days: int = 7,
+) -> DataFrame:
+    """Cohort retention matrix — the activation/churn table every product
+    and engagement pipeline reports: users grouped by their FIRST-active
+    period (the cohort), each later period measuring how many came back.
+
+    Period indexing is pure integer arithmetic off a fixed ``epoch`` date
+    (days-since-epoch DIV period_days), not calendar truncation — ISO-week
+    vs locale-week and timezone-truncation differences between engines
+    can't touch it, and the retention rate quantizes to micro-units via
+    exact DIV.  The offset-0 row IS the cohort (rate = 10⁶ exactly).
+
+    Scale shape: one (user, period) DISTINCT (map-side combinable), one
+    user-keyed min for the cohort, one user-keyed join back (the only
+    corpus-sized shuffle), one (cohort, offset) count-distinct, and an
+    O(cohorts) size table broadcast onto the O(cohorts × offsets) matrix.
+    No windows, no driver state.
+
+    Output: (cohort_period, offset_periods, n_active, cohort_size,
+    retention_rate_q)."""
+    if period_days < 1:
+        raise ValueError(f"period_days must be >= 1, got {period_days}")
+    period = F.expr(
+        f"CAST(datediff(CAST({ts_col} AS DATE), DATE'{epoch}') DIV {period_days}"
+        " AS BIGINT)"
+    )
+    act = events.select(
+        F.col(user_col).alias("u"), period.alias("w")
+    ).distinct()
+    first = act.groupBy("u").agg(F.min("w").alias("cw"))
+    ret = (
+        act.join(first, "u")
+        .groupBy(F.col("cw").alias("cohort_period"), (F.col("w") - F.col("cw")).alias("offset_periods"))
+        .agg(F.countDistinct("u").cast("long").alias("n_active"))
+    )
+    sizes = first.groupBy(F.col("cw").alias("cohort_period")).agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_size")
+    )
+    return ret.join(F.broadcast(sizes), "cohort_period").select(
+        "cohort_period",
+        "offset_periods",
+        "n_active",
+        "cohort_size",
+        F.expr("CAST(n_active * 1000000 DIV cohort_size AS BIGINT)").alias(
+            "retention_rate_q"
+        ),
+    )

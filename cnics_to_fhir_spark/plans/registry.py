@@ -109,6 +109,7 @@ _PRIORITY: tuple[str, ...] = (
     "u05_partition_evolution_scan",
     "dc06_l_diversity",
     "e2e12_reliability_weighted_labels",
+    "ev13_cohort_retention",
     # (4) re-verification fillers, oldest driver check first (r1/r2,
     # then the round-3 block)
     "q19_disjunctive_revenue",

@@ -6622,3 +6622,47 @@ def lb04_annotator_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, item_col="item_id", annotator_col="annotator_id", label_col="label",
         ts_col="ts", vote_id_col="event_id",
     )
+
+
+# ---------------------------------------------------------------------------
+# ev13 — cohort retention matrix (integer period indexing, no calendar traps)
+# ---------------------------------------------------------------------------
+@query(
+    "ev13_cohort_retention",
+    tags="EV A1 A5 J8 F18",
+    oracle="""
+        WITH act AS (
+            SELECT DISTINCT user_id,
+                   date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7 AS w
+            FROM events
+        ),
+        first AS (SELECT user_id, MIN(w) AS cw FROM act GROUP BY 1),
+        ret AS (
+            SELECT f.cw AS cohort_period, a.w - f.cw AS offset_periods,
+                   CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active
+            FROM act a JOIN first f USING (user_id) GROUP BY 1, 2
+        ),
+        sizes AS (
+            SELECT cw AS cohort_period, CAST(COUNT(*) AS BIGINT) AS cohort_size
+            FROM first GROUP BY 1
+        )
+        SELECT r.cohort_period, r.offset_periods, r.n_active, s.cohort_size,
+               CAST(r.n_active * 1000000 // s.cohort_size AS BIGINT)
+                   AS retention_rate_q
+        FROM ret r JOIN sizes s USING (cohort_period)
+    """,
+)
+def ev13_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events family's missing classic: weekly cohort retention —
+    users bucketed by first-active week, every later week counting who
+    returned.  Period index = days-since-epoch DIV 7, pure integer
+    arithmetic: ISO-week-start and timezone-truncation conventions differ
+    between engines and calendar-truncating implementations silently
+    shear cohorts at those boundaries, so none are used.  Retention rate
+    is exact micro-units; the offset-0 diagonal IS the cohort (rate 10⁶
+    by construction).  One corpus-sized user-keyed join, everything else
+    map-side aggregation; the size table broadcasts at O(cohorts)
+    (operators/events_windows.py cohort_retention)."""
+    from cnics_to_fhir_spark.operators.events_windows import cohort_retention
+
+    return cohort_retention(table(spark, sf_dir, "events"))

@@ -435,3 +435,34 @@ def test_leakage_safe_split_clusters_share_split_and_singletons_covered(spark):
     assert out[5]["split"] == out[6]["split"] and out[5]["rep"] == 5
     assert out[4]["rep"] == 4 and out[7]["rep"] == 7
     assert {r["split"] for r in out.values()} <= {"train", "val", "test"}
+
+
+def test_cohort_retention_hand_computed(spark):
+    """u1,u2 form the week-0 cohort; only u1 returns in week 1 (50%).
+    u3's cohort is week 1 and returns in its week +2. Offset-0 rows are
+    the cohorts themselves at exactly 1e6."""
+    import datetime as dt
+
+    import pytest
+
+    from cnics_to_fhir_spark.operators.events_windows import cohort_retention
+
+    def t(day):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(days=day)
+
+    rows = [(1, t(0)), (1, t(8)), (2, t(1)), (3, t(7)), (3, t(22))]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {
+        (r["cohort_period"], r["offset_periods"]): (
+            r["n_active"], r["cohort_size"], r["retention_rate_q"]
+        )
+        for r in cohort_retention(df).collect()
+    }
+    assert out == {
+        (0, 0): (2, 2, 1_000_000),
+        (0, 1): (1, 2, 500_000),
+        (1, 0): (1, 1, 1_000_000),
+        (1, 2): (1, 1, 1_000_000),
+    }
+    with pytest.raises(ValueError, match="period_days"):
+        cohort_retention(df, period_days=0)
