@@ -256,6 +256,87 @@ def unigram_surprise(
     )
 
 
+def bigram_surprise(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """tx07's quality score upgraded to a corpus-trained BIGRAM LM — the
+    step toward CCNet's KenLM perplexity filter that a unigram model
+    can't take: "the the the the" is full of common tokens (low unigram
+    surprise) but its TRANSITIONS are rare, and repetitive boilerplate
+    lights up only under a conditional model.
+
+    Per-bigram surprise = −ln P(w | prev) with add-one smoothing,
+    P = (c(prev,w)+1)/(c(prev)+V), quantized ONCE to integer micro-nats
+    (floor(·1e6)) so per-doc totals and averages are order-independent
+    exact integer arithmetic on both engines (tx07's determinism design;
+    the single float op per distinct bigram is one ln).  Empty tokens are
+    filtered from the sequence BEFORE pairing (double spaces must not
+    break adjacency); docs with fewer than 2 surviving tokens have no
+    transitions and no output row — a conditional model has nothing to
+    say about them, and a fake score would be noise dressed as signal.
+
+    Scale shape: counts are bounded by DISTINCT BIGRAMS (vocabulary
+    squared worst-case, Zipf-tiny in practice), never corpus size: one
+    (prev,w) count, one (prev) rollup of it, one scalar vocab size
+    broadcast, one (prev,w)-keyed join back, one (doc) aggregation.
+    → (doc_id, n_bigrams, sum_nll2_q, avg_nll2_q)."""
+    f = df.select(
+        F.col(id_col).alias("id"),
+        F.expr(f"filter(split({text_col}, ' '), t -> t <> '')").alias("ts"),
+    )
+    big = (
+        f.filter(F.size("ts") >= 2)
+        .select(
+            "id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ts) - 1),"
+                    " i -> struct(element_at(ts, CAST(i AS INT)) AS prev,"
+                    "             element_at(ts, CAST(i + 1 AS INT)) AS w))"
+                )
+            ).alias("b"),
+        )
+        .select("id", F.col("b.prev").alias("prev"), F.col("b.w").alias("w"))
+    )
+    vocab_n = (
+        f.select(F.explode("ts").alias("tok"))
+        .agg(F.countDistinct("tok").cast("double").alias("v"))
+    )
+    bg = big.groupBy("prev", "w").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    ctx = bg.groupBy("prev").agg(F.sum("c").cast("long").alias("cp"))
+    scored = (
+        bg.join(ctx, "prev")
+        .crossJoin(F.broadcast(vocab_n))
+        .select(
+            "prev",
+            "w",
+            F.floor(
+                (
+                    F.log(F.col("cp").cast("double") + F.col("v"))
+                    - F.log(F.col("c").cast("double") + F.lit(1.0))
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("llq"),
+        )
+    )
+    return (
+        big.join(scored, on=["prev", "w"])
+        .groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("llq").cast("long").alias("sum_nll2_q"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            "sum_nll2_q",
+            F.expr("sum_nll2_q div n_bigrams").alias("avg_nll2_q"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # BPE merge training (tokenizer-learning over the corpus)
 # ---------------------------------------------------------------------------

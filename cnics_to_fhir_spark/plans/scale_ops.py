@@ -2605,6 +2605,61 @@ def tx07_unigram_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# tx13 — bigram-LM surprise (conditional quality score; catches repetition)
+# ---------------------------------------------------------------------------
+@query(
+    "tx13_bigram_surprise",
+    tags="TX A5 J1 F18",
+    oracle="""
+        WITH f AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), t -> t <> '') AS ts
+            FROM documents
+        ),
+        big AS (
+            SELECT doc_id, ts[i] AS prev, ts[i+1] AS w
+            FROM f, UNNEST(range(1, len(ts))) AS u(i)
+            WHERE len(ts) >= 2
+        ),
+        vocab AS (
+            SELECT CAST(COUNT(DISTINCT tok) AS DOUBLE) AS v
+            FROM (SELECT UNNEST(ts) AS tok FROM f)
+        ),
+        bg AS (
+            SELECT prev, w, CAST(COUNT(*) AS BIGINT) AS c
+            FROM big GROUP BY 1, 2
+        ),
+        ctx AS (SELECT prev, CAST(SUM(c) AS BIGINT) AS cp FROM bg GROUP BY 1),
+        scored AS (
+            SELECT bg.prev, bg.w,
+                   CAST(FLOOR((ln(CAST(cp AS DOUBLE) + v)
+                               - ln(CAST(c AS DOUBLE) + 1.0)) * 1e6) AS BIGINT)
+                       AS llq
+            FROM bg JOIN ctx USING (prev), vocab
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(SUM(llq) AS BIGINT) AS sum_nll2_q,
+               CAST(SUM(llq) // COUNT(*) AS BIGINT) AS avg_nll2_q
+        FROM big JOIN scored USING (prev, w)
+        GROUP BY doc_id
+    """,
+)
+def tx13_bigram_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tx07 upgraded to a CONDITIONAL model: per-doc average −ln P(w|prev)
+    under the corpus's own add-one-smoothed bigram LM, in integer
+    micro-nats — the step toward CCNet's KenLM perplexity filter a
+    unigram model can't take ("the the the the" is all common TOKENS but
+    rare TRANSITIONS; repetitive boilerplate only lights up
+    conditionally).  Empty tokens filtered before pairing so double
+    spaces don't break adjacency; sub-2-token docs have no transitions
+    and honestly no row.  Counts bounded by distinct bigrams (Zipf-tiny
+    vs corpus), single quantization point, everything downstream exact
+    integer arithmetic (operators/textanalysis.py bigram_surprise)."""
+    return textanalysis.bigram_surprise(table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
 # j13 — dynamic partition pruning (runtime scan pruning from the dim filter)
 # ---------------------------------------------------------------------------
 @query(

@@ -91,6 +91,36 @@ def test_unigram_surprise_orders_rarity(spark):
     assert out[4]["n_tokens"] == 4 and out[4]["sum_nll_q"] == 4 * out[4]["avg_nll_q"]
 
 
+def test_bigram_surprise_hand_computed_and_repetition(spark):
+    """Hand-computed micro-nats for a tiny corpus, plus the property the
+    bigram model exists for: a doc repeating a COMMON token scores high
+    conditional surprise when its transitions are rare corpus-wide, and
+    sub-2-token docs get no row (no fake scores)."""
+    import math
+
+    from cnics_to_fhir_spark.operators.textanalysis import bigram_surprise
+
+    rows = [(1, "a b a b a b"), (2, "a c"), (3, "solo")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in bigram_surprise(df).collect()}
+    # V=4 (a,b,c,solo); c(a,b)=3, c(b,a)=2, c(a,c)=1; cp(a)=4, cp(b)=2
+    ab = math.floor((math.log(4 + 4) - math.log(3 + 1)) * 1e6)
+    ba = math.floor((math.log(2 + 4) - math.log(2 + 1)) * 1e6)
+    ac = math.floor((math.log(4 + 4) - math.log(1 + 1)) * 1e6)
+    assert out[1]["n_bigrams"] == 5
+    assert out[1]["sum_nll2_q"] == 3 * ab + 2 * ba
+    assert out[1]["avg_nll2_q"] == (3 * ab + 2 * ba) // 5
+    assert out[2]["sum_nll2_q"] == ac
+    assert 3 not in out  # one token -> no transitions -> no row
+
+    # repetition: 'the the the the' among docs where 'the' is common but
+    # the the->the transition occurs only there
+    corpus = [(i, "the quick fox") for i in range(10)] + [(99, "the the the the")]
+    df2 = spark.createDataFrame(corpus, ["doc_id", "text"])
+    out2 = {r["doc_id"]: r for r in bigram_surprise(df2).collect()}
+    assert out2[99]["avg_nll2_q"] > out2[0]["avg_nll2_q"]
+
+
 def test_bpe_learn_merges_hand_computed(spark):
     """'low low lower aaaa': round-1 pairs tie at 3 ((a,a),(l,o),(o,w)) →
     lexicographic tiebreak picks (a,a); greedy application then leaves
