@@ -1267,16 +1267,33 @@ def e2e11_incremental_corpus_update(spark: SparkSession, sf_dir: str) -> DataFra
     batch = docs.filter(F.col("doc_id") % 10 == 0)
     corpus = docs.filter(F.col("doc_id") % 10 != 0)
 
-    # Phase 1 — the pre-existing state a real system has on disk: the
-    # corpus's leakage-safe split (e2e10's machinery, checkpointed because
-    # the ingest consults it three times: rep collapse, inherit, output).
-    corpus_pairs = ngram_jaccard_pairs(corpus, k=3, block_words=4, threshold=0.5)
-    existing = leakage_safe_split(corpus, corpus_pairs).localCheckpoint(eager=True)
+    # Phase 1 (the pre-existing state a real system has on disk: the
+    # corpus's leakage-safe split, checkpointed because the ingest
+    # consults it three times) and the ingest's candidate pairs are
+    # INDEPENDENT DAGs — materialize both on concurrent job threads so
+    # the scheduler overlaps them instead of serializing two multi-stage
+    # chains (the driver-side analogue of what a workflow engine does;
+    # Spark's scheduler interleaves jobs from separate threads freely).
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _phase1():
+        corpus_pairs = ngram_jaccard_pairs(
+            corpus, k=3, block_words=4, threshold=0.5
+        )
+        return leakage_safe_split(corpus, corpus_pairs).localCheckpoint(eager=True)
+
+    def _ingest_pairs():
+        return incremental_jaccard_pairs(
+            corpus, batch, k=3, block_words=4, threshold=0.5
+        ).localCheckpoint(eager=True)
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        f_existing, f_inc = ex.submit(_phase1), ex.submit(_ingest_pairs)
+        existing, inc = f_existing.result(), f_inc.result()
 
     # Phase 2 — the ingest. Cross pairs collapse their corpus endpoint to
     # its phase-1 cluster rep (batch ids are %10==0, reps are corpus ids —
     # disjoint node spaces), so components run on O(batch + touched reps).
-    inc = incremental_jaccard_pairs(corpus, batch, k=3, block_words=4, threshold=0.5)
     cross_edges = (
         inc.filter(F.col("cross"))
         .select(
