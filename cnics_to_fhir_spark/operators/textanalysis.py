@@ -275,16 +275,21 @@ def bigram_surprise(
     transitions and no output row — a conditional model has nothing to
     say about them, and a fake score would be noise dressed as signal.
 
-    Scale shape: counts are bounded by DISTINCT BIGRAMS (vocabulary
-    squared worst-case, Zipf-tiny in practice), never corpus size: one
-    (prev,w) count, one (prev) rollup of it, one scalar vocab size
-    broadcast, one (prev,w)-keyed join back, one (doc) aggregation.
+    Scale shape: the raw bigram stream (O(corpus tokens)) is aggregated
+    to per-(doc, bigram) COUNTS in its very first shuffle — map-side
+    combinable, and natural text repeats bigrams within a document, so
+    everything downstream (global counts, context rollup, the score
+    join, the per-doc total via Σ k·llq) runs on the reduced table,
+    materialized once.  Distinct-bigram tables are vocabulary-bounded
+    (Zipf-tiny vs corpus); the probe that motivated this shape: joining
+    the UNREDUCED stream measured super-linear at the sf1→sf10 decade
+    (plan flip + double explode), the reduced form is sub-linear.
     → (doc_id, n_bigrams, sum_nll2_q, avg_nll2_q)."""
     f = df.select(
         F.col(id_col).alias("id"),
         F.expr(f"filter(split({text_col}, ' '), t -> t <> '')").alias("ts"),
     )
-    big = (
+    bigc = (
         f.filter(F.size("ts") >= 2)
         .select(
             "id",
@@ -296,20 +301,36 @@ def bigram_surprise(
                 )
             ).alias("b"),
         )
-        .select("id", F.col("b.prev").alias("prev"), F.col("b.w").alias("w"))
+        .groupBy("id", F.col("b.prev").alias("prev"), F.col("b.w").alias("w"))
+        .agg(F.count(F.lit(1)).cast("long").alias("k"))
     )
     vocab_n = (
         f.select(F.explode("ts").alias("tok"))
         .agg(F.countDistinct("tok").cast("double").alias("v"))
     )
-    bg = big.groupBy("prev", "w").agg(F.count(F.lit(1)).cast("long").alias("c"))
-    ctx = bg.groupBy("prev").agg(F.sum("c").cast("long").alias("cp"))
+    # Global bigram count c(prev,w) and context count c(prev) attach as
+    # WINDOW sums over the reduced table instead of a join back to its
+    # own aggregation — bigc is consumed exactly ONCE, nothing O(corpus)
+    # is ever cached or hash-built.  The alternatives all failed at the
+    # sf1→sf10 decade, measured: un-materialized double consumption
+    # (column pruning defeats ReusedExchange — 0 reuses, whole explode
+    # pipeline ran twice, exp 1.08), and every materialized variant
+    # (localCheckpoint / persist) either poisoned join planning with its
+    # compressed-size estimate (a "small" 2.6M-row checkpoint grew a
+    # 3.6 GiB broadcast build) or OOM'd the shared single-JVM heap.
+    # These unordered whole-partition windows are plain hash-partition
+    # aggregates-with-passthrough: no sort frame, partition keys are the
+    # bigram/context vocabulary (Zipf-bounded), memory per task is one
+    # running sum.
+    w_pw = Window.partitionBy("prev", "w")
+    w_p = Window.partitionBy("prev")
     scored = (
-        bg.join(ctx, "prev")
+        bigc.withColumn("c", F.sum("k").over(w_pw).cast("long"))
+        .withColumn("cp", F.sum("k").over(w_p).cast("long"))
         .crossJoin(F.broadcast(vocab_n))
         .select(
-            "prev",
-            "w",
+            "id",
+            "k",
             F.floor(
                 (
                     F.log(F.col("cp").cast("double") + F.col("v"))
@@ -322,11 +343,10 @@ def bigram_surprise(
         )
     )
     return (
-        big.join(scored, on=["prev", "w"])
-        .groupBy(F.col("id").alias(id_col))
+        scored.groupBy(F.col("id").alias(id_col))
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
-            F.sum("llq").cast("long").alias("sum_nll2_q"),
+            F.sum("k").cast("long").alias("n_bigrams"),
+            F.sum(F.col("k") * F.col("llq")).cast("long").alias("sum_nll2_q"),
         )
         .select(
             id_col,
@@ -335,6 +355,9 @@ def bigram_surprise(
             F.expr("sum_nll2_q div n_bigrams").alias("avg_nll2_q"),
         )
     )
+
+
+
 
 
 # ---------------------------------------------------------------------------
