@@ -1307,15 +1307,23 @@ def e2e11_incremental_corpus_update(spark: SparkSession, sf_dir: str) -> DataFra
         .join(
             existing.select(F.col("doc_id").alias("corpus_id"), "rep"), "corpus_id"
         )
-        .select(
+        .select("new_id", "rep")
+    )
+    within = inc.filter(~F.col("cross")).select("id_a", "id_b")
+    # Roles stay explicit on cross_edges — the neighbor-disagreement
+    # assertion joins each side to a different table, and canonicalizing
+    # to (least, greatest) there would silently drop every pair whose rep
+    # id sorts below the batch id from that check (round-9 self-review
+    # catch). Only the CC input canonicalizes.
+    cc_input = (
+        cross_edges.select(
             F.least("new_id", "rep").alias("id_a"),
             F.greatest("new_id", "rep").alias("id_b"),
         )
+        .unionByName(within)
+        .distinct()
     )
-    within = inc.filter(~F.col("cross")).select("id_a", "id_b")
-    comps = connected_components_star(
-        cross_edges.unionByName(within).distinct()
-    ).localCheckpoint(eager=True)
+    comps = connected_components_star(cc_input).localCheckpoint(eager=True)
 
     # Per ingest component: the corpus clusters it touches (members that
     # are reps), their min rep (deterministic inheritance source) and how
@@ -1380,12 +1388,12 @@ def e2e11_incremental_corpus_update(spark: SparkSession, sf_dir: str) -> DataFra
     )
     disagree = (
         cross_edges.join(
-            nsplit.select(F.col("doc_id").alias("id_a"), "split", "conflict"), "id_a"
+            nsplit.select(F.col("doc_id").alias("new_id"), "split", "conflict"), "new_id"
         )
         .join(
-            existing.select(F.col("doc_id").alias("id_b"),
+            existing.select(F.col("doc_id").alias("rep"),
                             F.col("split").alias("corpus_split")),
-            "id_b",
+            "rep",
         )
         .filter(~F.col("conflict") & (F.col("split") != F.col("corpus_split")))
         .select(F.lit("neighbor_disagree").alias("kind"))
