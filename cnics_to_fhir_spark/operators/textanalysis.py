@@ -321,7 +321,12 @@ def bigram_surprise(
     # These unordered whole-partition windows are plain hash-partition
     # aggregates-with-passthrough: no sort frame, partition keys are the
     # bigram/context vocabulary (Zipf-bounded), memory per task is one
-    # running sum.
+    # running sum.  Known tradeoff at web scale: a HEAVY context ('the')
+    # colocates its whole window partition on one task — if a corpus's
+    # hottest context outgrows a task, switch the cp attachment to the
+    # two-level form (aggregate (prev, salt) partials, roll up, broadcast
+    # the vocabulary-bounded ctx table back) — the c window is keyed on
+    # full bigrams and skews far less.
     w_pw = Window.partitionBy("prev", "w")
     w_p = Window.partitionBy("prev")
     scored = (
