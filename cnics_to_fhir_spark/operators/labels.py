@@ -475,3 +475,146 @@ def fleiss_kappa(
             F.expr("CAST((po_q - pe_q) * 1000000 DIV (1000000 - pe_q) AS BIGINT)"),
         ).alias("kappa_q"),
     )
+
+
+def dawid_skene_relabel(
+    df: DataFrame,
+    item_col: str = "item_id",
+    annotator_col: str = "annotator_id",
+    label_col: str = "label",
+    ts_col: str | None = None,
+    vote_id_col: str | None = None,
+) -> DataFrame:
+    """One Dawid-Skene EM step — the classic annotator model above lb04's
+    flat reliability score: each annotator gets a CONFUSION MATRIX
+    (which labels they emit per true label), so a voter who reliably
+    mistakes 'error' for 'click' stops dragging items toward 'click'
+    while still counting everywhere else.  M-step conditions on lb01's
+    majority as the current truth estimate; E-step re-labels every item
+    by posterior argmax.  Iterating to convergence is gr02's
+    join-agg-per-iteration pattern; ONE step is already the useful
+    product (the re-adjudication diff vs the majority) and keeps the
+    whole computation under a single oracle statement.
+
+    Determinism design (tx09's integer micro-nat scheme): probabilities
+    become quantized NEGATIVE-LOG costs, products become exact BIGINT
+    sums, argmax becomes min over the (cost, label) struct with
+    lexicographic ties.  Laplace smoothing keeps every cost finite —
+    P(a emits l | true t) = (n[a,t,l]+1)/(n[a,t]+L) and
+    P(t) = (items_t+1)/(n_items+L), L = label-vocabulary size — and the
+    LEFT joins below coalesce absent confusion cells to exactly those
+    smoothed values, so unseen (annotator, truth, label) combinations
+    cost floor(ln(n[a,t]+L)·10⁶), never NULL.
+
+    Scale shape: vote collapse + two keyed confusion aggregations
+    (bounded by annotators × L²), a votes × L candidate fan-out
+    (vocabulary-bounded multiplier, the lb04 shape), two LEFT lookup
+    joins against the confusion tables, one (item, candidate) sum and
+    one (item) argmin.  No windows wider than a key, no driver state
+    beyond two broadcast scalars.
+
+    Output: (item, ds_label, ds_cost_q, majority_label, n_votes,
+    changed)."""
+    votes = df
+    if ts_col is not None:
+        order = [F.col(ts_col)]
+        if vote_id_col is not None:
+            order.append(F.col(vote_id_col))
+        latest = votes.groupBy(item_col, annotator_col).agg(
+            F.max(F.struct(*order, F.col(label_col).alias("label"))).alias("_v")
+        )
+        votes = latest.select(
+            item_col, annotator_col, F.col("_v.label").alias(label_col)
+        )
+    else:
+        votes = votes.select(item_col, annotator_col, label_col)
+
+    hist = votes.groupBy(item_col, label_col).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    maj = hist.groupBy(item_col).agg(
+        F.min(
+            F.struct((-F.col("c")).alias("neg"), F.col(label_col).alias("label"))
+        ).alias("_w"),
+        F.sum("c").cast("long").alias("n_votes"),
+    )
+    t0 = maj.select(item_col, F.col("_w.label").alias("t0"))
+
+    labels = votes.select(F.col(label_col).alias("t")).distinct()
+    nl = labels.agg(F.count(F.lit(1)).cast("double").alias("L"))
+
+    tagged = votes.join(t0, item_col)
+    conf = tagged.groupBy(
+        annotator_col, F.col("t0").alias("t"), F.col(label_col).alias("l")
+    ).agg(F.count(F.lit(1)).cast("long").alias("natl"))
+    ctx = conf.groupBy(annotator_col, "t").agg(
+        F.sum("natl").cast("long").alias("nat")
+    )
+    prior = t0.groupBy(F.col("t0").alias("t")).agg(
+        F.count(F.lit(1)).cast("long").alias("items_t")
+    )
+    n_items = t0.agg(F.count(F.lit(1)).cast("double").alias("n_items"))
+
+    cand = votes.select(
+        item_col, annotator_col, F.col(label_col).alias("l")
+    ).crossJoin(F.broadcast(labels))
+    scored = (
+        cand.join(conf, on=[annotator_col, "t", "l"], how="left")
+        .join(ctx, on=[annotator_col, "t"], how="left")
+        .crossJoin(F.broadcast(nl.select(F.col("L").alias("__L1"))))
+        .select(
+            item_col,
+            "t",
+            F.floor(
+                (
+                    F.log(
+                        F.coalesce(F.col("nat"), F.lit(0)).cast("double")
+                        + F.col("__L1")
+                    )
+                    - F.log(
+                        F.coalesce(F.col("natl"), F.lit(0)).cast("double") + F.lit(1.0)
+                    )
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("vcost"),
+        )
+    )
+    per_item_t = scored.groupBy(item_col, "t").agg(
+        F.sum("vcost").cast("long").alias("vsum")
+    )
+    pcost = (
+        labels.join(prior, "t", "left")
+        .crossJoin(F.broadcast(nl.select(F.col("L").alias("__L2"))))
+        .crossJoin(F.broadcast(n_items))
+        .select(
+            "t",
+            F.floor(
+                (
+                    F.log(F.col("n_items") + F.col("__L2"))
+                    - F.log(
+                        F.coalesce(F.col("items_t"), F.lit(0)).cast("double")
+                        + F.lit(1.0)
+                    )
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("pc"),
+        )
+    )
+    total = per_item_t.join(F.broadcast(pcost), "t").select(
+        item_col, "t", (F.col("vsum") + F.col("pc")).alias("cost")
+    )
+    win = total.groupBy(item_col).agg(
+        F.min(F.struct(F.col("cost"), F.col("t").alias("label"))).alias("_d")
+    )
+    return win.join(maj, item_col).select(
+        item_col,
+        F.col("_d.label").alias("ds_label"),
+        F.col("_d.cost").cast("long").alias("ds_cost_q"),
+        F.col("_w.label").alias("majority_label"),
+        "n_votes",
+        (F.col("_d.label") != F.col("_w.label")).alias("changed"),
+    )

@@ -111,6 +111,7 @@ _PRIORITY: tuple[str, ...] = (
     "e2e12_reliability_weighted_labels",
     "ev13_cohort_retention",
     "tx13_bigram_surprise",
+    "lb05_dawid_skene_relabel",
     # (4) re-verification fillers, oldest driver check first (r1/r2,
     # then the round-3 block)
     "q19_disjunctive_revenue",

@@ -6721,3 +6721,123 @@ def ev13_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cnics_to_fhir_spark.operators.events_windows import cohort_retention
 
     return cohort_retention(table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# lb05 — Dawid-Skene relabeling step (confusion-matrix annotator model)
+# ---------------------------------------------------------------------------
+@query(
+    "lb05_dawid_skene_relabel",
+    tags="LB A3 A5 J1 J8 F18",
+    oracle="""
+        WITH votes AS (
+            SELECT event_id % 199 AS item_id, user_id, event_type, ts, event_id
+            FROM events
+        ),
+        latest AS (
+            SELECT item_id, user_id, event_type FROM (
+                SELECT item_id, user_id, event_type,
+                       ROW_NUMBER() OVER (PARTITION BY item_id, user_id
+                                          ORDER BY ts DESC, event_id DESC) AS rn
+                FROM votes
+            ) WHERE rn = 1
+        ),
+        hist AS (
+            SELECT item_id, event_type AS label, CAST(COUNT(*) AS BIGINT) AS c
+            FROM latest GROUP BY 1, 2
+        ),
+        maj AS (
+            SELECT item_id, label AS t0, n_votes FROM (
+                SELECT h.item_id, h.label, h.c,
+                       SUM(h.c) OVER (PARTITION BY h.item_id) AS n_votes,
+                       ROW_NUMBER() OVER (PARTITION BY h.item_id
+                                          ORDER BY h.c DESC, h.label ASC) AS rn
+                FROM hist h
+            ) WHERE rn = 1
+        ),
+        labs AS (SELECT DISTINCT event_type AS t FROM latest),
+        nl AS (SELECT CAST(COUNT(*) AS DOUBLE) AS L FROM labs),
+        tagged AS (
+            SELECT l.item_id, l.user_id, l.event_type AS lab, m.t0
+            FROM latest l JOIN maj m USING (item_id)
+        ),
+        conf AS (
+            SELECT user_id, t0 AS t, lab AS l, CAST(COUNT(*) AS BIGINT) AS natl
+            FROM tagged GROUP BY 1, 2, 3
+        ),
+        ctx AS (
+            SELECT user_id, t, CAST(SUM(natl) AS BIGINT) AS nat
+            FROM conf GROUP BY 1, 2
+        ),
+        prior AS (
+            SELECT t0 AS t, CAST(COUNT(*) AS BIGINT) AS items_t
+            FROM maj GROUP BY 1
+        ),
+        ni AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_items FROM maj),
+        cand AS (
+            SELECT v.item_id, v.user_id, v.event_type AS l, labs.t
+            FROM latest v, labs
+        ),
+        scored AS (
+            SELECT c.item_id, c.t,
+                   CAST(FLOOR((ln(CAST(COALESCE(x.nat, 0) AS DOUBLE) + nl.L)
+                               - ln(CAST(COALESCE(f.natl, 0) AS DOUBLE) + 1.0))
+                              * 1e6) AS BIGINT) AS vcost
+            FROM cand c
+            LEFT JOIN conf f ON f.user_id = c.user_id AND f.t = c.t AND f.l = c.l
+            LEFT JOIN ctx x ON x.user_id = c.user_id AND x.t = c.t, nl
+        ),
+        per_item AS (
+            SELECT item_id, t, CAST(SUM(vcost) AS BIGINT) AS vsum
+            FROM scored GROUP BY 1, 2
+        ),
+        pcost AS (
+            SELECT labs.t,
+                   CAST(FLOOR((ln(ni.n_items + nl.L)
+                               - ln(CAST(COALESCE(p.items_t, 0) AS DOUBLE) + 1.0))
+                              * 1e6) AS BIGINT) AS pc
+            FROM labs LEFT JOIN prior p ON p.t = labs.t, nl, ni
+        ),
+        total AS (
+            SELECT per_item.item_id, per_item.t, per_item.vsum + pcost.pc AS cost
+            FROM per_item JOIN pcost USING (t)
+        ),
+        win AS (
+            SELECT item_id, t AS ds_label, cost AS ds_cost_q FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY item_id
+                                             ORDER BY cost ASC, t ASC) AS rn
+                FROM total
+            ) WHERE rn = 1
+        )
+        SELECT w.item_id, w.ds_label, CAST(w.ds_cost_q AS BIGINT) AS ds_cost_q,
+               m.t0 AS majority_label, CAST(m.n_votes AS BIGINT) AS n_votes,
+               (w.ds_label <> m.t0) AS changed
+        FROM win w JOIN maj m USING (item_id)
+    """,
+)
+def lb05_dawid_skene_relabel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Dawid-Skene EM step over the lb01 campaign: per-annotator
+    CONFUSION MATRICES conditioned on the majority estimate, then every
+    item re-labeled by posterior argmax — the classic annotator model a
+    step above lb04's flat reliability (a voter who systematically
+    mistakes one label for another stops dragging items that way while
+    still counting elsewhere).  tx09's integer micro-nat scheme makes the
+    whole posterior exact BIGINT sums (Laplace-smoothed costs; absent
+    confusion cells coalesce to the exact smoothed value, never NULL);
+    ties break lexicographically.  Confusion tables are bounded by
+    annotators × label-vocab²; the candidate fan-out is votes × L — the
+    lb04 shape with one more keyed join
+    (operators/labels.py dawid_skene_relabel)."""
+    from cnics_to_fhir_spark.operators.labels import dawid_skene_relabel
+
+    e = table(spark, sf_dir, "events").select(
+        (F.col("event_id") % 199).alias("item_id"),
+        F.col("user_id").alias("annotator_id"),
+        F.col("event_type").alias("label"),
+        "ts",
+        "event_id",
+    )
+    return dawid_skene_relabel(
+        e, item_col="item_id", annotator_col="annotator_id", label_col="label",
+        ts_col="ts", vote_id_col="event_id",
+    )
