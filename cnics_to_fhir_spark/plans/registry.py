@@ -112,6 +112,7 @@ _PRIORITY: tuple[str, ...] = (
     "ev13_cohort_retention",
     "tx13_bigram_surprise",
     "lb05_dawid_skene_relabel",
+    "st10_stream_label_campaign",
     # (4) re-verification fillers, oldest driver check first (r1/r2,
     # then the round-3 block)
     "q19_disjunctive_revenue",

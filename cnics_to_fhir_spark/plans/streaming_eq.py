@@ -927,3 +927,158 @@ def st09_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_violations").cast("long").alias("n_violations"),
         (F.sum("n_violations") == 0).alias("passed"),
     )
+
+
+@query(
+    "st10_stream_label_campaign",
+    tags="2.10 LB A4 STREAM S-sink",
+    oracle="""
+        WITH votes AS (
+            SELECT event_id % 199 AS item_id, user_id, event_type, ts, event_id
+            FROM events
+        ),
+        latest AS (
+            SELECT item_id, user_id, event_type FROM (
+                SELECT item_id, user_id, event_type,
+                       ROW_NUMBER() OVER (PARTITION BY item_id, user_id
+                                          ORDER BY ts DESC, event_id DESC) AS rn
+                FROM votes
+            ) WHERE rn = 1
+        ),
+        hist AS (
+            SELECT item_id, event_type AS label, CAST(COUNT(*) AS BIGINT) AS c
+            FROM latest GROUP BY 1, 2
+        ),
+        agg AS (
+            SELECT item_id,
+                   CAST(SUM(c) AS BIGINT) AS n_votes,
+                   CAST(COUNT(*) AS BIGINT) AS n_labels,
+                   CAST(SUM(c*(c-1)) AS BIGINT) AS ap
+            FROM hist GROUP BY 1
+        ),
+        win AS (
+            SELECT item_id, label, c FROM (
+                SELECT item_id, label, c,
+                       ROW_NUMBER() OVER (PARTITION BY item_id
+                                          ORDER BY c DESC, label ASC) AS rn
+                FROM hist
+            ) WHERE rn = 1
+        )
+        SELECT a.item_id, w.label AS winner_label,
+               CAST(w.c AS BIGINT) AS winner_votes,
+               a.n_votes, a.n_labels,
+               CAST(w.c * 1000000 // a.n_votes AS BIGINT) AS winner_share_q,
+               CASE WHEN a.n_votes > 1
+                    THEN CAST(a.ap * 1000000 // (a.n_votes*(a.n_votes-1)) AS BIGINT)
+               END AS pairwise_agree_q
+        FROM agg a JOIN win w USING (item_id)
+    """,
+)
+def st10_stream_label_campaign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The label campaign run as a STREAM: votes arrive in three
+    micro-batches sliced by ``event_id % 3`` — deliberately NOT in time
+    order, so a later batch routinely carries an OLDER vote for a pair a
+    previous batch already voted on (878 such cross-batch re-vote pairs
+    at sf0.01; the entry asserts the interleave really happened) —
+    and ``foreachBatch`` folds each batch into a keyed last-write-wins
+    state table: collapse the batch per (item, annotator) by the
+    max-(ts, vote_id, label) struct, outer-merge with the prior state by
+    the SAME struct max, write state version k (COW: each version is a
+    fresh directory, the batch never edits history).  Because struct-max
+    is associative and commutative, the folded state is
+    arrival-order-agnostic — which is exactly what the oracle pins: it
+    computes lb01's one-shot majority over ALL raw votes and must
+    hash-match the majorities derived from the streamed state.  An
+    arrival-order bug (batch k blindly overwriting) would keep the
+    wrong vote wherever the newer one arrived first and break the hash.
+
+    Scale shape: per batch, one keyed collapse of the BATCH (small) + one
+    keyed outer-merge against the O(items × annotators) state — the
+    compacted vote state, not the raw log; majorities are lb01's two
+    map-side aggregations over that state."""
+    from cnics_to_fhir_spark.operators.labels import majority_label
+
+    e = table(spark, sf_dir, "events").select(
+        (F.col("event_id") % 199).alias("item_id"),
+        F.col("user_id").alias("annotator_id"),
+        F.col("event_type").alias("label"),
+        "ts",
+        F.col("event_id").alias("vote_id"),
+    )
+
+    tmp = tempfile.mkdtemp(prefix="st10-")
+    try:
+        src = os.path.join(tmp, "votes")
+        chk = os.path.join(tmp, "chk")
+        os.makedirs(src)
+        base_t = 1_700_000_000
+        n_cross = (
+            e.groupBy("item_id", "annotator_id")
+            .agg(F.countDistinct(F.col("vote_id") % 3).alias("ns"))
+            .filter(F.col("ns") > 1)
+            .count()
+        )
+        for k in range(3):
+            sl = e.filter(F.col("vote_id") % 3 == k)
+            part = os.path.join(tmp, f"slice{k}")
+            sl.coalesce(1).write.parquet(part)
+            f = next(p for p in os.listdir(part) if p.endswith(".parquet"))
+            dst = os.path.join(src, f"{k:02d}.parquet")
+            os.rename(os.path.join(part, f), dst)
+            os.utime(dst, (base_t + k, base_t + k))
+
+        versions: list[str] = []
+
+        def sink(batch_df: DataFrame, epoch_id: int) -> None:
+            b = (
+                batch_df.groupBy("item_id", "annotator_id")
+                .agg(
+                    F.max(
+                        F.struct("ts", "vote_id", F.col("label").alias("label"))
+                    ).alias("_v")
+                )
+            )
+            if versions:
+                prior = spark.read.parquet(versions[-1])
+                b = prior.unionByName(b).groupBy("item_id", "annotator_id").agg(
+                    F.max("_v").alias("_v")
+                )
+            out = os.path.join(tmp, f"state_v{len(versions)}")
+            b.write.parquet(out)
+            versions.append(out)
+
+        stream = (
+            spark.readStream.schema(
+                "item_id long, annotator_id long, label string,"
+                " ts timestamp, vote_id long"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", chk)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        if len(versions) != 3:
+            raise AssertionError(f"expected 3 micro-batches, saw {len(versions)}")
+        if n_cross == 0:
+            raise AssertionError(
+                "fixture degenerate: no (item, annotator) pair spans batches —"
+                " the cross-batch LWW path was never exercised"
+            )
+        state = spark.read.parquet(versions[-1])
+        votes = state.select("item_id", F.col("_v.label").alias("label"))
+        rows = majority_label(votes, ts_col=None).collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "item_id long, winner_label string, winner_votes bigint, n_votes bigint,"
+        " n_labels bigint, winner_share_q bigint, pairwise_agree_q bigint",
+    )
