@@ -176,6 +176,7 @@ HEADLINE = [
     "ev13_cohort_retention",
     "tx13_bigram_surprise",
     "lb05_dawid_skene_relabel",
+    "o07_time_travel_merge",
     # lb02_bradley_terry is excluded with the other iterative ops below.
     # Iterative ops (dd06, cl01, ann04, dd09, and the round-5 additions
     # gr02/dd10/ann06 — k-means or fixpoint loops) and

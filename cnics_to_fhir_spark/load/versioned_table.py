@@ -1,0 +1,377 @@
+"""Versioned parquet table with snapshot isolation and time travel —
+the Iceberg/Delta core (immutable data files + per-version manifests)
+without the table format, completing the storage family: table_merge
+gives copy-on-write IN PLACE (history destroyed at swap time); this
+module keeps every version readable until vacuum.
+
+Model:
+
+- Data files are IMMUTABLE.  Each commit writes its new files under a
+  fresh ``data/commit-<version>/`` directory (hive-partitioned inside the
+  commit dir) and never touches prior files.
+- A version is a JSON MANIFEST under ``_versions/`` listing exactly the
+  files that compose it: untouched partitions carry their entries forward
+  from the parent version (pointing into OLDER commit dirs), rewritten
+  partitions point at the new commit's files.  The manifest is the unit
+  of atomicity — written to a temp name and renamed, so a reader sees a
+  version entirely or not at all, and a crash mid-commit leaves only
+  unreferenced files (invisible garbage vacuum removes), never a torn
+  table.
+- ``read_version`` reads one manifest: entries group by commit dir, each
+  group is ONE pruned parquet scan with that commit dir as basePath (so
+  hive partition columns resolve), groups union by name.  The union
+  width is bounded by the number of RETAINED versions, which vacuum
+  controls — the same discipline every log-structured table format has.
+- ``vacuum`` drops manifests older than the retention and deletes data
+  files no surviving manifest references.
+
+Scale shape: manifests are O(files) driver metadata, exactly what an
+Iceberg manifest list holds; the merge classifies against ONLY the
+touched partitions' files (read via the manifest — partition-scoped like
+table_merge) and writes ONE partitioned job.  Nothing here scans the
+table to commit.
+
+Same honesty rules as load/table_merge: unknown action labels fail
+loudly; counts report exactly what was applied; NULL partition values
+are supported (the writer's __HIVE_DEFAULT_PARTITION__ plus null-safe
+joins); empty-string partition values are refused (they collapse into
+the NULL partition on write).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cnics_to_fhir_spark.operators.merge import (
+    ACTION_DELETE,
+    ACTION_INSERT,
+    ACTION_UPDATE,
+)
+
+_KNOWN = {ACTION_INSERT, ACTION_UPDATE, ACTION_DELETE}
+VERSIONS_DIR = "_versions"
+DATA_DIR = "data"
+NULL_PARTITION = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _versions_root(table: str) -> str:
+    return os.path.join(table, VERSIONS_DIR)
+
+
+def list_versions(table: str) -> list[int]:
+    root = _versions_root(table)
+    if not os.path.isdir(root):
+        return []
+    out = []
+    for f in os.listdir(root):
+        if f.startswith("v") and f.endswith(".json"):
+            out.append(int(f[1:-5]))
+    return sorted(out)
+
+
+def current_version(table: str) -> int | None:
+    vs = list_versions(table)
+    return vs[-1] if vs else None
+
+
+def _manifest_path(table: str, version: int) -> str:
+    return os.path.join(_versions_root(table), f"v{version:08d}.json")
+
+
+def read_manifest(table: str, version: int) -> dict:
+    with open(_manifest_path(table, version)) as f:
+        return json.load(f)
+
+
+def _write_manifest(table: str, version: int, doc: dict) -> None:
+    root = _versions_root(table)
+    os.makedirs(root, exist_ok=True)
+    tmp = os.path.join(root, f".v{version:08d}.json.{uuid.uuid4().hex}.tmp")
+    with open(tmp, "w") as f:
+        json.dump(doc, f, indent=2, sort_keys=True)
+    # The atomic commit point: the version exists entirely or not at all.
+    os.rename(tmp, _manifest_path(table, version))
+
+
+def _pdir_value(dirname: str) -> str:
+    # hive dir 'col=escaped' -> the escaped value as written (kept opaque:
+    # equality against other manifest entries is all we ever need)
+    return dirname.split("=", 1)[1]
+
+
+def _collect_commit_files(
+    commit_dir: str, partition_col: str
+) -> list[dict]:
+    entries = []
+    for d in sorted(os.listdir(commit_dir)):
+        pd = os.path.join(commit_dir, d)
+        if not (os.path.isdir(pd) and d.startswith(f"{partition_col}=")):
+            continue
+        for f in sorted(os.listdir(pd)):
+            if f.endswith(".parquet"):
+                entries.append(
+                    {
+                        "path": os.path.join(
+                            DATA_DIR, os.path.basename(commit_dir), d, f
+                        ),
+                        "partition": _pdir_value(d),
+                    }
+                )
+    return entries
+
+
+def _write_commit(
+    df: DataFrame,
+    table: str,
+    version: int,
+    partition_col: str,
+    files_per_partition: int | None,
+    salt_col: str | None = None,
+) -> list[dict]:
+    commit_dir = os.path.join(table, DATA_DIR, f"commit-{version:08d}")
+    if files_per_partition is not None and salt_col is not None:
+        # bounded key-hash salt: whole partitions per task, capped files
+        df = df.repartition(
+            F.col(partition_col),
+            F.pmod(F.xxhash64(F.col(salt_col)), F.lit(files_per_partition)),
+        )
+    else:
+        df = df.repartition(F.col(partition_col))
+    df.write.mode("overwrite").partitionBy(partition_col).parquet(commit_dir)
+    # drop writer bookkeeping so vacuum's referenced-file sweep stays exact
+    for junk in ("_SUCCESS",):
+        p = os.path.join(commit_dir, junk)
+        if os.path.exists(p):
+            os.remove(p)
+    return _collect_commit_files(commit_dir, partition_col)
+
+
+def create_table(
+    spark: SparkSession,
+    table: str,
+    df: DataFrame,
+    partition_col: str,
+    files_per_partition: int | None = None,
+) -> int:
+    """Version 0: the seed snapshot."""
+    if current_version(table) is not None:
+        raise ValueError(f"versioned table already exists at {table}")
+    entries = _write_commit(df, table, 0, partition_col, None)
+    _write_manifest(
+        table,
+        0,
+        {"version": 0, "parent": None, "partition_col": partition_col,
+         "entries": entries},
+    )
+    return 0
+
+
+def read_version(
+    spark: SparkSession, table: str, version: int | None = None
+) -> DataFrame:
+    """Time-travel read: the table exactly as of ``version`` (default:
+    latest).  One pruned scan per contributing commit dir (hive partition
+    columns resolve against that commit's basePath), unioned by name —
+    union width bounded by retained versions."""
+    v = current_version(table) if version is None else version
+    if v is None:
+        raise ValueError(f"no versions at {table}")
+    man = read_manifest(table, v)
+    by_commit: dict[str, list[str]] = {}
+    for e in man["entries"]:
+        full = os.path.join(table, e["path"])
+        commit_dir = os.path.dirname(os.path.dirname(full))
+        by_commit.setdefault(commit_dir, []).append(full)
+    out: DataFrame | None = None
+    for commit_dir, paths in sorted(by_commit.items()):
+        df = spark.read.option("basePath", commit_dir).parquet(*sorted(paths))
+        out = df if out is None else out.unionByName(df)
+    if out is None:
+        raise ValueError(f"version {v} of {table} lists no files")
+    return out
+
+
+def merge_versioned(
+    spark: SparkSession,
+    table: str,
+    plan: DataFrame,
+    key_col: str,
+    partition_col: str,
+    files_per_partition: int | None = None,
+) -> dict[str, int]:
+    """Apply a merge action plan as a NEW VERSION: rewritten partitions
+    get fresh files in this commit's directory, untouched partitions
+    carry their manifest entries forward verbatim, prior versions stay
+    readable.  Returns table_merge's honest counts plus ``version``."""
+    bad = [
+        r["action"]
+        for r in plan.select("action").distinct().collect()
+        if r["action"] not in _KNOWN
+    ]
+    if bad:
+        raise ValueError(f"merge_versioned: unknown action labels {bad!r}")
+    parent = current_version(table)
+    if parent is None:
+        raise ValueError(f"no versioned table at {table}; create_table first")
+    man = read_manifest(table, parent)
+    if man["partition_col"] != partition_col:
+        raise ValueError(
+            f"partition_col mismatch: table uses {man['partition_col']!r}"
+        )
+
+    parts = [
+        r["p"]
+        for r in plan.select(F.col(partition_col).alias("p")).distinct().collect()
+    ]
+    if any(p == "" for p in parts):
+        raise ValueError(
+            "merge_versioned: empty-string partition values collapse into "
+            "the NULL partition on write; map them to NULL or a sentinel"
+        )
+    # manifest partition values are the writer's ESCAPED dir values; build
+    # the same encoding for the touched set so carry-forward is exact
+    jvm = spark.sparkContext._jvm
+    _esc = jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName
+
+    def penc(val) -> str:
+        return NULL_PARTITION if val is None else str(_esc(str(val)))
+
+    touched = {penc(p) for p in parts}
+    carried = [e for e in man["entries"] if e["partition"] not in touched]
+    touched_entries = [e for e in man["entries"] if e["partition"] in touched]
+
+    if touched_entries:
+        by_commit: dict[str, list[str]] = {}
+        for e in touched_entries:
+            full = os.path.join(table, e["path"])
+            commit_dir = os.path.dirname(os.path.dirname(full))
+            by_commit.setdefault(commit_dir, []).append(full)
+        existing: DataFrame | None = None
+        for commit_dir, paths in sorted(by_commit.items()):
+            df = spark.read.option("basePath", commit_dir).parquet(*sorted(paths))
+            existing = df if existing is None else existing.unionByName(df)
+    else:
+        existing = None
+    payload_cols = [
+        c for c in plan.columns if c not in (key_col, "action", "id", partition_col)
+    ]
+    if existing is None:
+        existing = spark.createDataFrame(
+            [], plan.select(partition_col, key_col, *payload_cols).schema
+        )
+    else:
+        existing = existing.select(partition_col, key_col, *payload_cols)
+
+    # classification: identical to table_merge — ONE null-safe presence
+    # join, ONE tally aggregation
+    present = (
+        existing.select(
+            F.col(partition_col).alias("__pp"), F.col(key_col).alias("__pk")
+        )
+        .distinct()
+        .withColumn("__present", F.lit(True))
+    )
+    flagged = (
+        plan.join(
+            present,
+            on=(
+                F.col(partition_col).eqNullSafe(F.col("__pp"))
+                & F.col(key_col).eqNullSafe(F.col("__pk"))
+            ),
+            how="left",
+        )
+        .drop("__pp", "__pk")
+        .withColumn("__present", F.coalesce(F.col("__present"), F.lit(False)))
+        .localCheckpoint()
+    )
+    tally = {
+        (r["action"], r["__present"]): r["n"]
+        for r in flagged.groupBy("action", "__present")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    version = parent + 1
+    counts = {
+        "inserted": tally.get((ACTION_INSERT, True), 0)
+        + tally.get((ACTION_INSERT, False), 0),
+        "updated": tally.get((ACTION_UPDATE, True), 0),
+        "deleted": tally.get((ACTION_DELETE, True), 0),
+        "noop_missing_key": tally.get((ACTION_UPDATE, False), 0)
+        + tally.get((ACTION_DELETE, False), 0),
+        "partitions_rewritten": len(parts),
+        "version": version,
+    }
+
+    touched_keys = flagged.filter(
+        F.col("action").isin(ACTION_UPDATE, ACTION_DELETE)
+    ).select(F.col(partition_col).alias("__tp"), F.col(key_col).alias("__tk"))
+    survivors = existing.join(
+        touched_keys,
+        on=(
+            F.col(partition_col).eqNullSafe(F.col("__tp"))
+            & F.col(key_col).eqNullSafe(F.col("__tk"))
+        ),
+        how="left_anti",
+    )
+    incoming = flagged.filter(
+        (F.col("action") == ACTION_INSERT)
+        | ((F.col("action") == ACTION_UPDATE) & F.col("__present"))
+    ).select(partition_col, key_col, *payload_cols)
+    merged = survivors.unionByName(incoming)
+
+    new_entries = _write_commit(
+        merged, table, version, partition_col, files_per_partition, salt_col=key_col
+    )
+    _write_manifest(
+        table,
+        version,
+        {
+            "version": version,
+            "parent": parent,
+            "partition_col": partition_col,
+            "entries": carried + new_entries,
+        },
+    )
+    return counts
+
+
+def vacuum(table: str, retain_versions: int = 1) -> dict[str, int]:
+    """Drop manifests older than the newest ``retain_versions`` and delete
+    every data file no surviving manifest references (including crash
+    debris that never made it into a manifest).  Returns counts.  Like
+    every table format's vacuum: time travel reaches only retained
+    versions afterwards."""
+    if retain_versions < 1:
+        raise ValueError("retain_versions must be >= 1")
+    versions = list_versions(table)
+    keep, drop = versions[-retain_versions:], versions[:-retain_versions]
+    referenced: set[str] = set()
+    for v in keep:
+        for e in read_manifest(table, v)["entries"]:
+            referenced.add(os.path.normpath(os.path.join(table, e["path"])))
+    removed_files = 0
+    data_root = os.path.join(table, DATA_DIR)
+    if os.path.isdir(data_root):
+        for dirpath, _dirnames, filenames in os.walk(data_root):
+            for f in filenames:
+                full = os.path.normpath(os.path.join(dirpath, f))
+                if full not in referenced:
+                    os.remove(full)
+                    removed_files += 1
+        # prune now-empty dirs bottom-up
+        for dirpath, dirnames, filenames in list(os.walk(data_root, topdown=False)):
+            if dirpath != data_root and not os.listdir(dirpath):
+                shutil.rmtree(dirpath, ignore_errors=True)
+    for v in drop:
+        os.remove(_manifest_path(table, v))
+    return {
+        "manifests_removed": len(drop),
+        "files_removed": removed_files,
+        "versions_retained": len(keep),
+    }

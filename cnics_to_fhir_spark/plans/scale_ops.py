@@ -6841,3 +6841,116 @@ def lb05_dawid_skene_relabel(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, item_col="item_id", annotator_col="annotator_id", label_col="label",
         ts_col="ts", vote_id_col="event_id",
     )
+
+
+# ---------------------------------------------------------------------------
+# o07 — time travel: versioned COW merge, every snapshot stays readable
+# ---------------------------------------------------------------------------
+@query(
+    "o07_time_travel_merge",
+    tags="O-layout J6 S-sink SET A5",
+    oracle="""
+        WITH base AS (
+            SELECT o_orderkey AS key, o_totalprice AS val,
+                   CAST(o_orderkey % 2 AS INTEGER) AS b
+            FROM orders WHERE year(o_orderdate) = 1996
+        ),
+        v1 AS (
+            SELECT key, CASE WHEN key % 2 = 1 THEN val + 2.0 ELSE val END AS val, b
+            FROM base
+        ),
+        v2 AS (SELECT * FROM v1 WHERE key % 5 <> 0),
+        allv AS (
+            SELECT CAST(0 AS BIGINT) AS version, * FROM base
+            UNION ALL SELECT CAST(1 AS BIGINT), * FROM v1
+            UNION ALL SELECT CAST(2 AS BIGINT), * FROM v2
+        )
+        SELECT version, b,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(FLOOR(val*100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+        FROM allv GROUP BY 1, 2
+    """,
+)
+def o07_time_travel_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot isolation + time travel on plain parquet — the
+    Iceberg/Delta core the in-place COW sink (j15) destroys at swap time:
+    immutable data files per commit, a JSON manifest per version
+    (rename = the atomic commit point), untouched partitions carried
+    forward by reference.  Two merge waves over the seeded 1996 orders
+    (odd-key repricing, then %5 deletes); ALL THREE versions are then
+    read back and aggregated under one oracle hash — so a merge that
+    edited history in place, dropped a carried-forward file, or tore a
+    commit breaks the hash, not just an assertion.  In-entry asserts:
+    the seed commit's files are byte-identical after both merges
+    (mtime pin), the odd-keys wave rewrote exactly ONE of the two bucket
+    partitions, and zero noop_missing_key
+    (load/versioned_table.py)."""
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+
+    from cnics_to_fhir_spark.load import versioned_table as vt
+    from cnics_to_fhir_spark.session import scratch_name
+
+    path = os.path.join(tempfile.gettempdir(), scratch_name(spark, "o07_table"))
+    try:
+        base = (
+            table(spark, sf_dir, "orders")
+            .filter(F.year("o_orderdate") == 1996)
+            .select(
+                F.col("o_orderkey").alias("key"),
+                F.col("o_totalprice").alias("val"),
+                (F.col("o_orderkey") % 2).cast("int").alias("b"),
+            )
+        )
+        vt.create_table(spark, path, base, partition_col="b")
+        seed_commit = os.path.join(path, "data", "commit-00000000")
+        seed_files = {
+            f: os.stat(f).st_mtime_ns
+            for f in _glob.glob(os.path.join(seed_commit, "**", "*.parquet"),
+                                recursive=True)
+        }
+
+        wave1 = base.filter(F.col("key") % 2 == 1).select(
+            "key", F.lit("update").alias("action"),
+            F.col("key").cast("string").alias("id"),
+            (F.col("val") + 2.0).alias("val"), "b",
+        )
+        c1 = vt.merge_versioned(spark, path, wave1, key_col="key", partition_col="b")
+        wave2 = base.filter(F.col("key") % 5 == 0).select(
+            "key", F.lit("delete").alias("action"),
+            F.col("key").cast("string").alias("id"),
+            F.lit(None).cast("double").alias("val"), "b",
+        )
+        c2 = vt.merge_versioned(spark, path, wave2, key_col="key", partition_col="b")
+        if c1["partitions_rewritten"] != 1 or c1["noop_missing_key"]:
+            raise AssertionError(f"odd-keys wave broke COW scope: {c1}")
+        if c2["noop_missing_key"]:
+            raise AssertionError(f"delete wave missed keys: {c2}")
+        now = {
+            f: os.stat(f).st_mtime_ns
+            for f in _glob.glob(os.path.join(seed_commit, "**", "*.parquet"),
+                                recursive=True)
+        }
+        if now != seed_files:
+            raise AssertionError("history edited in place: seed files changed")
+
+        out = None
+        for v in (0, 1, 2):
+            agg = (
+                vt.read_version(spark, path, v)
+                .groupBy(F.lit(v).cast("long").alias("version"),
+                         F.col("b").cast("int").alias("b"))
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n"),
+                    F.sum(
+                        F.floor(F.col("val") * 100 + F.lit(0.5)).cast("long")
+                    ).alias("cents"),
+                )
+            )
+            out = agg if out is None else out.unionByName(agg)
+        rows = out.collect()
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(rows, "version bigint, b int, n bigint, cents bigint")

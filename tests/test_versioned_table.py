@@ -1,0 +1,131 @@
+"""Snapshot isolation + time travel on plain parquet
+(load/versioned_table.py): immutable commits, manifest atomicity,
+carry-forward of untouched partitions, vacuum's referenced-file sweep."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cnics_to_fhir_spark.load import versioned_table as vt
+
+
+def _seed(spark, table):
+    df = spark.createDataFrame(
+        [(k, f"v{k}", k % 2) for k in range(8)], "key long, val string, day int"
+    )
+    assert vt.create_table(spark, table, df, partition_col="day") == 0
+    return df
+
+
+def _snap(path):
+    return {
+        f: os.stat(f).st_mtime_ns
+        for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    }
+
+
+def test_time_travel_reads_every_version(spark, tmp_path):
+    table = str(tmp_path / "t")
+    _seed(spark, table)
+    v0_files = _snap(os.path.join(table, "data", "commit-00000000"))
+
+    plan1 = spark.createDataFrame(
+        [(1, "update", None, "v1-new", 1), (100, "insert", None, "new100", 1)],
+        "key long, action string, id string, val string, day int",
+    )
+    c1 = vt.merge_versioned(spark, table, plan1, key_col="key", partition_col="day")
+    assert c1 == {
+        "inserted": 1, "updated": 1, "deleted": 0, "noop_missing_key": 0,
+        "partitions_rewritten": 1, "version": 1,
+    }
+    plan2 = spark.createDataFrame(
+        [(3, "delete", "id3", None, 1)],
+        "key long, action string, id string, val string, day int",
+    )
+    c2 = vt.merge_versioned(spark, table, plan2, key_col="key", partition_col="day")
+    assert c2["deleted"] == 1 and c2["version"] == 2
+
+    # every version still readable, each with ITS state
+    v0 = {r["key"]: r["val"] for r in vt.read_version(spark, table, 0).collect()}
+    v1 = {r["key"]: r["val"] for r in vt.read_version(spark, table, 1).collect()}
+    v2 = {r["key"]: r["val"] for r in vt.read_version(spark, table).collect()}
+    assert v0 == {k: f"v{k}" for k in range(8)}
+    assert v1[1] == "v1-new" and v1[100] == "new100" and 3 in v1
+    assert 3 not in v2 and v2[1] == "v1-new" and len(v2) == 8
+    # day=0 was never touched: ALL versions serve it from the SAME files
+    assert all(
+        r["val"] == f"v{r['key']}"
+        for r in vt.read_version(spark, table).filter(F.col("day") == 0).collect()
+    )
+    # immutability: the seed commit's files are byte-identical after 2 merges
+    assert _snap(os.path.join(table, "data", "commit-00000000")) == v0_files
+
+
+def test_unknown_action_and_missing_table_fail_loudly(spark, tmp_path):
+    table = str(tmp_path / "t")
+    plan = spark.createDataFrame(
+        [(1, "upsert", None, "x", 1)],
+        "key long, action string, id string, val string, day int",
+    )
+    with pytest.raises(ValueError, match="no versioned table"):
+        vt.merge_versioned(
+            spark, table,
+            plan.withColumn("action", F.lit("insert")),
+            key_col="key", partition_col="day",
+        )
+    _seed(spark, table)
+    with pytest.raises(ValueError, match="unknown action"):
+        vt.merge_versioned(spark, table, plan, key_col="key", partition_col="day")
+
+
+def test_null_partition_rows_survive_versioned_merge(spark, tmp_path):
+    table = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "old-1", None), (2, "old-2", "siteB")], "key long, val string, day string"
+    )
+    vt.create_table(spark, table, base, partition_col="day")
+    plan = spark.createDataFrame(
+        [(1, "update", None, "new-1", None), (9, "insert", None, "new-9", None)],
+        "key long, action string, id string, val string, day string",
+    )
+    c = vt.merge_versioned(spark, table, plan, key_col="key", partition_col="day")
+    assert c["updated"] == 1 and c["noop_missing_key"] == 0
+    got = {
+        (r["day"], r["key"]): r["val"]
+        for r in vt.read_version(spark, table).collect()
+    }
+    assert got[(None, 1)] == "new-1" and got[(None, 9)] == "new-9"
+    assert got[("siteB", 2)] == "old-2"
+    # v0 unchanged: NULL-partition history still shows the old value
+    v0 = {r["key"]: r["val"] for r in vt.read_version(spark, table, 0).collect()}
+    assert v0[1] == "old-1"
+
+
+def test_vacuum_removes_unreferenced_and_keeps_latest_whole(spark, tmp_path):
+    table = str(tmp_path / "t")
+    _seed(spark, table)
+    for k in (1, 3):
+        plan = spark.createDataFrame(
+            [(k, "update", None, f"v{k}-new", k % 2)],
+            "key long, action string, id string, val string, day int",
+        )
+        vt.merge_versioned(spark, table, plan, key_col="key", partition_col="day")
+    # crash debris: a data file no manifest references
+    debris = os.path.join(table, "data", "commit-00000001", "stray.parquet")
+    open(debris, "wb").write(b"junk")
+
+    report = vt.vacuum(table, retain_versions=1)
+    assert report["manifests_removed"] == 2 and report["versions_retained"] == 1
+    assert not os.path.exists(debris)
+    assert vt.list_versions(table) == [2]
+    # the retained version still reads COMPLETELY (carried-forward files
+    # from older commits survive the sweep)
+    got = {r["key"]: r["val"] for r in vt.read_version(spark, table).collect()}
+    assert got == {0: "v0", 1: "v1-new", 2: "v2", 3: "v3-new",
+                   4: "v4", 5: "v5", 6: "v6", 7: "v7"}
+    with pytest.raises(FileNotFoundError):
+        vt.read_version(spark, table, 0)
