@@ -177,6 +177,7 @@ HEADLINE = [
     "tx13_bigram_surprise",
     "lb05_dawid_skene_relabel",
     "o07_time_travel_merge",
+    "o08_change_data_feed",
     # lb02_bradley_terry is excluded with the other iterative ops below.
     # Iterative ops (dd06, cl01, ann04, dd09, and the round-5 additions
     # gr02/dd10/ann06 — k-means or fixpoint loops) and

@@ -375,3 +375,112 @@ def vacuum(table: str, retain_versions: int = 1) -> dict[str, int]:
         "files_removed": removed_files,
         "versions_retained": len(keep),
     }
+
+
+def _read_entry_paths(
+    spark: SparkSession, table: str, paths: list[str]
+) -> DataFrame | None:
+    if not paths:
+        return None
+    by_commit: dict[str, list[str]] = {}
+    for p in paths:
+        full = os.path.join(table, p)
+        commit_dir = os.path.dirname(os.path.dirname(full))
+        by_commit.setdefault(commit_dir, []).append(full)
+    out: DataFrame | None = None
+    for commit_dir, fs in sorted(by_commit.items()):
+        df = spark.read.option("basePath", commit_dir).parquet(*sorted(fs))
+        out = df if out is None else out.unionByName(df)
+    return out
+
+
+def read_changes(
+    spark: SparkSession,
+    table: str,
+    from_version: int,
+    to_version: int,
+    key_col: str,
+) -> DataFrame:
+    """Change data feed between two snapshots — Delta CDF's read side,
+    derived from the manifests alone: files SHARED by both versions are
+    immutable and cannot contribute a change, so only the symmetric
+    difference of the two file lists is read (pre-image files that
+    version ``to`` dropped, post-image files it added — the rewritten
+    partitions, nothing else).  The two sides full-outer join on
+    (partition, key) null-safe; identical payloads (most rows of a
+    rewritten partition) drop out as unchanged.
+
+    Output: (partition_col, key_col, change ∈ insert/update/delete,
+    <payload>_pre, <payload>_post) — pre-image NULL for inserts,
+    post-image NULL for deletes.
+
+    Scale shape: reads O(files of rewritten partitions), one keyed
+    full-outer join over those rows; the manifest diff is driver
+    metadata.  A steady trickle of changes reads a trickle, never the
+    table."""
+    m_from = read_manifest(table, from_version)
+    m_to = read_manifest(table, to_version)
+    if m_from["partition_col"] != m_to["partition_col"]:
+        raise ValueError("partition_col changed between versions")
+    partition_col = m_from["partition_col"]
+    paths_from = {e["path"] for e in m_from["entries"]}
+    paths_to = {e["path"] for e in m_to["entries"]}
+    pre = _read_entry_paths(spark, table, sorted(paths_from - paths_to))
+    post = _read_entry_paths(spark, table, sorted(paths_to - paths_from))
+
+    schema_src = pre if pre is not None else post
+    if schema_src is None:
+        # no differing files: empty change feed with the right shape
+        base = read_version(spark, table, to_version)
+        pre = base.limit(0)
+        post = base.limit(0)
+    else:
+        empty = schema_src.limit(0)
+        pre = pre if pre is not None else empty
+        post = post if post is not None else empty
+
+    payload = [c for c in pre.columns if c not in (key_col, partition_col)]
+    p = pre.select(
+        F.col(partition_col).alias("__part"),
+        F.col(key_col).alias("__key"),
+        F.lit(True).alias("__in_pre"),
+        *[F.col(c).alias(f"{c}_pre") for c in payload],
+    )
+    q = post.select(
+        F.col(partition_col).alias("__part2"),
+        F.col(key_col).alias("__key2"),
+        F.lit(True).alias("__in_post"),
+        *[F.col(c).alias(f"{c}_post") for c in payload],
+    )
+    j = p.join(
+        q,
+        on=(
+            F.col("__part").eqNullSafe(F.col("__part2"))
+            & F.col("__key").eqNullSafe(F.col("__key2"))
+        ),
+        how="full_outer",
+    )
+    # struct fields aliased to the PLAIN payload names on both sides —
+    # to_json embeds field names, so _pre/_post suffixes would make every
+    # identical payload look changed
+    pre_sig = F.md5(
+        F.to_json(F.struct(*[F.col(f"{c}_pre").alias(c) for c in payload]))
+    )
+    post_sig = F.md5(
+        F.to_json(F.struct(*[F.col(f"{c}_post").alias(c) for c in payload]))
+    )
+    change = (
+        F.when(F.col("__in_pre").isNull(), F.lit("insert"))
+        .when(F.col("__in_post").isNull(), F.lit("delete"))
+        .when(~pre_sig.eqNullSafe(post_sig), F.lit("update"))
+    )
+    return (
+        j.select(
+            F.coalesce(F.col("__part"), F.col("__part2")).alias(partition_col),
+            F.coalesce(F.col("__key"), F.col("__key2")).alias(key_col),
+            change.alias("change"),
+            *[F.col(f"{c}_pre") for c in payload],
+            *[F.col(f"{c}_post") for c in payload],
+        )
+        .filter(F.col("change").isNotNull())
+    )

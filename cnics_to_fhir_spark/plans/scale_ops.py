@@ -6954,3 +6954,98 @@ def o07_time_travel_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(path, ignore_errors=True)
     return spark.createDataFrame(rows, "version bigint, b int, n bigint, cents bigint")
+
+
+# ---------------------------------------------------------------------------
+# o08 — change data feed between snapshots (manifest-diff CDF)
+# ---------------------------------------------------------------------------
+@query(
+    "o08_change_data_feed",
+    tags="O-layout J6 SET F18",
+    oracle="""
+        WITH base AS (
+            SELECT o_orderkey AS key, o_totalprice AS val,
+                   CAST(o_orderkey % 2 AS INTEGER) AS b
+            FROM orders WHERE year(o_orderdate) = 1996
+        ),
+        span01 AS (
+            SELECT CAST('0->1' AS VARCHAR) AS span, key, b,
+                   CAST('update' AS VARCHAR) AS change,
+                   CAST(FLOOR(val*100 + 0.5) AS BIGINT) AS cents_pre,
+                   CAST(FLOOR((val + 2.0)*100 + 0.5) AS BIGINT) AS cents_post
+            FROM base WHERE key % 2 = 1
+        ),
+        span12 AS (
+            SELECT CAST('1->2' AS VARCHAR) AS span, key, b,
+                   CAST('delete' AS VARCHAR) AS change,
+                   CAST(FLOOR((CASE WHEN key % 2 = 1 THEN val + 2.0 ELSE val END)
+                              *100 + 0.5) AS BIGINT) AS cents_pre,
+                   CAST(NULL AS BIGINT) AS cents_post
+            FROM base WHERE key % 5 = 0
+        )
+        SELECT * FROM span01 UNION ALL SELECT * FROM span12
+    """,
+)
+def o08_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-CDF's read side over the versioned table (o07's fixture):
+    the feed derives from the MANIFEST file diff alone — files shared by
+    both snapshots are immutable and never read, so a trickle of changes
+    reads a trickle; rewritten partitions diff row-level and their
+    unchanged rows drop out.  Row-level pre/post images for both spans
+    under one oracle hash: a carried-forward file wrongly treated as
+    changed, a lost pre-image, or a same-payload row surfacing as an
+    update all break it (load/versioned_table.py read_changes)."""
+    import os
+    import shutil
+    import tempfile
+
+    from cnics_to_fhir_spark.load import versioned_table as vt
+    from cnics_to_fhir_spark.session import scratch_name
+
+    path = os.path.join(tempfile.gettempdir(), scratch_name(spark, "o08_table"))
+    try:
+        base = (
+            table(spark, sf_dir, "orders")
+            .filter(F.year("o_orderdate") == 1996)
+            .select(
+                F.col("o_orderkey").alias("key"),
+                F.col("o_totalprice").alias("val"),
+                (F.col("o_orderkey") % 2).cast("int").alias("b"),
+            )
+        )
+        vt.create_table(spark, path, base, partition_col="b")
+        wave1 = base.filter(F.col("key") % 2 == 1).select(
+            "key", F.lit("update").alias("action"),
+            F.col("key").cast("string").alias("id"),
+            (F.col("val") + 2.0).alias("val"), "b",
+        )
+        vt.merge_versioned(spark, path, wave1, key_col="key", partition_col="b")
+        wave2 = base.filter(F.col("key") % 5 == 0).select(
+            "key", F.lit("delete").alias("action"),
+            F.col("key").cast("string").alias("id"),
+            F.lit(None).cast("double").alias("val"), "b",
+        )
+        vt.merge_versioned(spark, path, wave2, key_col="key", partition_col="b")
+
+        def cents(col: str):
+            return F.floor(F.col(col) * 100 + F.lit(0.5)).cast("long")
+
+        out = None
+        for frm, to, span in ((0, 1, "0->1"), (1, 2, "1->2")):
+            c = vt.read_changes(spark, path, frm, to, key_col="key").select(
+                F.lit(span).alias("span"),
+                "key",
+                F.col("b").cast("int").alias("b"),
+                "change",
+                cents("val_pre").alias("cents_pre"),
+                cents("val_post").alias("cents_post"),
+            )
+            out = c if out is None else out.unionByName(c)
+        rows = out.collect()
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "span string, key long, b int, change string,"
+        " cents_pre bigint, cents_post bigint",
+    )

@@ -129,3 +129,46 @@ def test_vacuum_removes_unreferenced_and_keeps_latest_whole(spark, tmp_path):
                    4: "v4", 5: "v5", 6: "v6", 7: "v7"}
     with pytest.raises(FileNotFoundError):
         vt.read_version(spark, table, 0)
+
+
+def test_change_data_feed_between_versions(spark, tmp_path):
+    """CDF derives from the manifest file diff alone: shared (immutable)
+    files can't contribute, rewritten partitions diff row-level, and
+    unchanged rows inside a rewritten partition drop out."""
+    table = str(tmp_path / "t")
+    _seed(spark, table)
+    plan1 = spark.createDataFrame(
+        [(1, "update", None, "v1-new", 1), (100, "insert", None, "new100", 0)],
+        "key long, action string, id string, val string, day int",
+    )
+    vt.merge_versioned(spark, table, plan1, key_col="key", partition_col="day")
+    plan2 = spark.createDataFrame(
+        [(3, "delete", "id3", None, 1)],
+        "key long, action string, id string, val string, day int",
+    )
+    vt.merge_versioned(spark, table, plan2, key_col="key", partition_col="day")
+
+    c01 = {
+        (r["key"], r["change"]): (r["val_pre"], r["val_post"])
+        for r in vt.read_changes(spark, table, 0, 1, key_col="key").collect()
+    }
+    # both partitions were rewritten in v1 (update in day=1, insert day=0)
+    # but only the ACTUALLY changed rows surface
+    assert c01 == {
+        (1, "update"): ("v1", "v1-new"),
+        (100, "insert"): (None, "new100"),
+    }
+    c12 = {
+        (r["key"], r["change"]): (r["val_pre"], r["val_post"])
+        for r in vt.read_changes(spark, table, 1, 2, key_col="key").collect()
+    }
+    assert c12 == {(3, "delete"): ("v3", None)}
+    # span 0 -> 2 composes both waves
+    c02 = {
+        (r["key"], r["change"])
+        for r in vt.read_changes(spark, table, 0, 2, key_col="key").collect()
+    }
+    assert c02 == {(1, "update"), (100, "insert"), (3, "delete")}
+    # identical versions: empty feed, schema intact
+    same = vt.read_changes(spark, table, 2, 2, key_col="key")
+    assert same.count() == 0 and "change" in same.columns
