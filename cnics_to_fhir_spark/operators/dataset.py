@@ -642,3 +642,200 @@ def leakage_safe_split(
         .otherwise(F.lit("test"))
         .alias("split"),
     )
+
+
+def incremental_split_update(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    block_words: int = 4,
+    threshold: float = 0.5,
+    bounds: tuple[str, str] = ("c0", "e0"),
+) -> DataFrame:
+    """Split-stable incremental corpus update — the operator under
+    e2e11: ``corpus`` already carries a leakage-safe split (recomputed
+    here as phase-1 state); ``batch`` near-dup-checks against it through
+    the incremental pattern (corpus×corpus pairs never re-verified),
+    inherits the split of the cluster it joins transitively through
+    within-batch chains, and genuinely-new docs get the md5 bucket of
+    their all-new component representative.  Batch docs bridging two
+    differently-split clusters are flagged ``conflict=true`` (split =
+    the min-rep cluster's); existing docs' splits are passed through
+    untouched.  Raises if a within-batch near-dup pair straddles splits
+    or a non-conflict inherited doc disagrees with any corpus neighbor.
+
+    The ingest's component step runs on the REP-COLLAPSED graph (each
+    corpus cluster enters as its single phase-1 representative), so it is
+    O(batch + touched reps) regardless of corpus-internal similarity;
+    collapsing is equivalent to the full union closure because a corpus
+    cluster is internally connected — any path through its interior
+    exists through its rep.  ``corpus`` and ``batch`` must be disjoint
+    on ``id_col``.
+
+    → (id, is_new, split, inherited, conflict) for every doc."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from cnics_to_fhir_spark.operators.dedup import (
+        incremental_jaccard_pairs,
+        ngram_jaccard_pairs,
+    )
+    from cnics_to_fhir_spark.operators.graph import connected_components_star
+
+    # Phase-1 state and the ingest's candidate pairs are independent DAGs:
+    # materialize both on concurrent job threads (the scheduler interleaves
+    # jobs from separate threads freely).
+    def _phase1():
+        corpus_pairs = ngram_jaccard_pairs(
+            corpus, text_col=text_col, id_col=id_col,
+            k=k, block_words=block_words, threshold=threshold,
+        )
+        return leakage_safe_split(
+            corpus, corpus_pairs, id_col=id_col, bounds=bounds
+        ).localCheckpoint(eager=True)
+
+    def _ingest_pairs():
+        return incremental_jaccard_pairs(
+            corpus, batch, text_col=text_col, id_col=id_col,
+            k=k, block_words=block_words, threshold=threshold,
+        ).localCheckpoint(eager=True)
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        f_existing, f_inc = ex.submit(_phase1), ex.submit(_ingest_pairs)
+        existing, inc = f_existing.result(), f_inc.result()
+
+    batch_ids = batch.select(F.col(id_col).alias("__bid")).distinct()
+
+    # Cross pairs: identify the batch endpoint by membership (id spaces
+    # are caller-defined, never assumed), then collapse the corpus
+    # endpoint to its phase-1 cluster rep.
+    cross_edges = (
+        inc.filter(F.col("cross"))
+        .join(
+            batch_ids.select(
+                F.col("__bid").alias("id_a"), F.lit(True).alias("__a_new")
+            ),
+            "id_a",
+            "left",
+        )
+        .select(
+            F.when(F.col("__a_new"), F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .alias("new_id"),
+            F.when(F.col("__a_new"), F.col("id_b"))
+            .otherwise(F.col("id_a"))
+            .alias("corpus_id"),
+        )
+        .join(
+            existing.select(F.col(id_col).alias("corpus_id"), "rep"), "corpus_id"
+        )
+        .select("new_id", "rep")
+    )
+    within = inc.filter(~F.col("cross")).select("id_a", "id_b")
+    # Roles stay explicit on cross_edges (the disagreement probe joins each
+    # side to a different table); only the CC input canonicalizes.
+    cc_input = (
+        cross_edges.select(
+            F.least("new_id", "rep").alias("id_a"),
+            F.greatest("new_id", "rep").alias("id_b"),
+        )
+        .unionByName(within)
+        .distinct()
+    )
+    comps = connected_components_star(cc_input).localCheckpoint(eager=True)
+
+    rep_splits = (
+        comps.join(
+            batch_ids.select(F.col("__bid").alias("doc_id")), "doc_id", "left_anti"
+        )
+        .join(existing.select(F.col(id_col).alias("doc_id"), "split"), "doc_id")
+    )
+    comp_sum = (
+        rep_splits.groupBy("cluster_rep")
+        .agg(
+            F.min("doc_id").alias("min_rep"),
+            F.countDistinct("split").alias("n_splits"),
+        )
+        .join(
+            existing.select(
+                F.col(id_col).alias("min_rep"), F.col("split").alias("inherit_split")
+            ),
+            "min_rep",
+        )
+    )
+    bucket = F.substring(F.md5(F.col("urep").cast("string")), 1, 2)
+    lo, hi = bounds
+    fresh_split = (
+        F.when(bucket < F.lit(lo), F.lit("train"))
+        .when(bucket < F.lit(hi), F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    nassign = (
+        batch.select(F.col(id_col).alias("doc_id"))
+        .join(
+            comps.select("doc_id", "cluster_rep"), "doc_id", "left"
+        )
+        .select("doc_id", F.coalesce("cluster_rep", "doc_id").alias("urep"))
+    )
+    new_out = (
+        nassign.join(
+            comp_sum.withColumnRenamed("cluster_rep", "urep"), "urep", "left"
+        )
+        .select(
+            "doc_id",
+            F.lit(True).alias("is_new"),
+            F.when(F.col("min_rep").isNotNull(), F.col("inherit_split"))
+            .otherwise(fresh_split)
+            .alias("split"),
+            F.col("min_rep").isNotNull().alias("inherited"),
+            F.coalesce(F.col("n_splits") > 1, F.lit(False)).alias("conflict"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    nsplit = new_out.select("doc_id", "split", "conflict")
+    straddle = (
+        within.join(
+            nsplit.select(F.col("doc_id").alias("id_a"), F.col("split").alias("split_a")),
+            "id_a",
+        )
+        .join(
+            nsplit.select(F.col("doc_id").alias("id_b"), F.col("split").alias("split_b")),
+            "id_b",
+        )
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select(F.lit("within_batch_straddle").alias("kind"))
+    )
+    disagree = (
+        cross_edges.join(
+            nsplit.select(F.col("doc_id").alias("new_id"), "split", "conflict"),
+            "new_id",
+        )
+        .join(
+            existing.select(
+                F.col(id_col).alias("rep"), F.col("split").alias("corpus_split")
+            ),
+            "rep",
+        )
+        .filter(~F.col("conflict") & (F.col("split") != F.col("corpus_split")))
+        .select(F.lit("neighbor_disagree").alias("kind"))
+    )
+    violations = {
+        r["kind"]: r["n"]
+        for r in straddle.unionByName(disagree)
+        .groupBy("kind")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    if violations:
+        raise AssertionError(f"split-stability guarantees violated: {violations}")
+
+    corpus_out = existing.select(
+        F.col(id_col).alias("doc_id"),
+        F.lit(False).alias("is_new"),
+        "split",
+        F.lit(False).alias("inherited"),
+        F.lit(False).alias("conflict"),
+    )
+    return corpus_out.unionByName(new_out).withColumnRenamed("doc_id", id_col)

@@ -1256,168 +1256,14 @@ def e2e11_incremental_corpus_update(spark: SparkSession, sf_dir: str) -> DataFra
     exactly the contraction argument in the docstring.
 
     Output: (doc_id, is_new, split, inherited, conflict) for every doc."""
-    from cnics_to_fhir_spark.operators.dataset import leakage_safe_split
-    from cnics_to_fhir_spark.operators.dedup import (
-        incremental_jaccard_pairs,
-        ngram_jaccard_pairs,
-    )
-    from cnics_to_fhir_spark.operators.graph import connected_components_star
+    from cnics_to_fhir_spark.operators.dataset import incremental_split_update
 
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     batch = docs.filter(F.col("doc_id") % 10 == 0)
     corpus = docs.filter(F.col("doc_id") % 10 != 0)
-
-    # Phase 1 (the pre-existing state a real system has on disk: the
-    # corpus's leakage-safe split, checkpointed because the ingest
-    # consults it three times) and the ingest's candidate pairs are
-    # INDEPENDENT DAGs — materialize both on concurrent job threads so
-    # the scheduler overlaps them instead of serializing two multi-stage
-    # chains (the driver-side analogue of what a workflow engine does;
-    # Spark's scheduler interleaves jobs from separate threads freely).
-    from concurrent.futures import ThreadPoolExecutor
-
-    def _phase1():
-        corpus_pairs = ngram_jaccard_pairs(
-            corpus, k=3, block_words=4, threshold=0.5
-        )
-        return leakage_safe_split(corpus, corpus_pairs).localCheckpoint(eager=True)
-
-    def _ingest_pairs():
-        return incremental_jaccard_pairs(
-            corpus, batch, k=3, block_words=4, threshold=0.5
-        ).localCheckpoint(eager=True)
-
-    with ThreadPoolExecutor(max_workers=2) as ex:
-        f_existing, f_inc = ex.submit(_phase1), ex.submit(_ingest_pairs)
-        existing, inc = f_existing.result(), f_inc.result()
-
-    # Phase 2 — the ingest. Cross pairs collapse their corpus endpoint to
-    # its phase-1 cluster rep (batch ids are %10==0, reps are corpus ids —
-    # disjoint node spaces), so components run on O(batch + touched reps).
-    cross_edges = (
-        inc.filter(F.col("cross"))
-        .select(
-            F.when(F.col("id_a") % 10 == 0, F.col("id_a"))
-            .otherwise(F.col("id_b"))
-            .alias("new_id"),
-            F.when(F.col("id_a") % 10 == 0, F.col("id_b"))
-            .otherwise(F.col("id_a"))
-            .alias("corpus_id"),
-        )
-        .join(
-            existing.select(F.col("doc_id").alias("corpus_id"), "rep"), "corpus_id"
-        )
-        .select("new_id", "rep")
+    return incremental_split_update(
+        corpus, batch, k=3, block_words=4, threshold=0.5
     )
-    within = inc.filter(~F.col("cross")).select("id_a", "id_b")
-    # Roles stay explicit on cross_edges — the neighbor-disagreement
-    # assertion joins each side to a different table, and canonicalizing
-    # to (least, greatest) there would silently drop every pair whose rep
-    # id sorts below the batch id from that check (round-9 self-review
-    # catch). Only the CC input canonicalizes.
-    cc_input = (
-        cross_edges.select(
-            F.least("new_id", "rep").alias("id_a"),
-            F.greatest("new_id", "rep").alias("id_b"),
-        )
-        .unionByName(within)
-        .distinct()
-    )
-    comps = connected_components_star(cc_input).localCheckpoint(eager=True)
-
-    # Per ingest component: the corpus clusters it touches (members that
-    # are reps), their min rep (deterministic inheritance source) and how
-    # many DISTINCT splits they carry (>1 = a bridge conflict).
-    rep_splits = comps.filter(F.col("doc_id") % 10 != 0).join(
-        existing.select("doc_id", "split"), "doc_id"
-    )
-    comp_sum = (
-        rep_splits.groupBy("cluster_rep")
-        .agg(
-            F.min("doc_id").alias("min_rep"),
-            F.countDistinct("split").alias("n_splits"),
-        )
-        .join(
-            existing.select(
-                F.col("doc_id").alias("min_rep"), F.col("split").alias("inherit_split")
-            ),
-            "min_rep",
-        )
-    )
-    bucket = F.substring(F.md5(F.col("urep").cast("string")), 1, 2)
-    fresh_split = (
-        F.when(bucket < F.lit("c0"), F.lit("train"))
-        .when(bucket < F.lit("e0"), F.lit("val"))
-        .otherwise(F.lit("test"))
-    )
-    nassign = (
-        batch.select("doc_id")
-        .join(comps.withColumnRenamed("doc_id", "doc_id_c").select(
-            F.col("doc_id_c").alias("doc_id"), "cluster_rep"), "doc_id", "left")
-        .select("doc_id", F.coalesce("cluster_rep", "doc_id").alias("urep"))
-    )
-    new_out = (
-        nassign.join(
-            comp_sum.withColumnRenamed("cluster_rep", "urep"), "urep", "left"
-        )
-        .select(
-            "doc_id",
-            F.lit(True).alias("is_new"),
-            F.when(F.col("min_rep").isNotNull(), F.col("inherit_split"))
-            .otherwise(fresh_split)
-            .alias("split"),
-            F.col("min_rep").isNotNull().alias("inherited"),
-            F.coalesce(F.col("n_splits") > 1, F.lit(False)).alias("conflict"),
-        )
-        .localCheckpoint(eager=True)
-    )
-
-    # In-entry guarantees (bounded actions on the O(batch) ingest tables):
-    # (1) within-batch near-dup pairs never straddle; (2) a non-conflict
-    # inherited doc always agrees with every corpus cluster it touches.
-    # Existing docs' splits are passed through from phase-1 state by
-    # construction — the ingest never recomputes them.
-    nsplit = new_out.select("doc_id", "split", "conflict")
-    straddle = (
-        within.join(nsplit.select(F.col("doc_id").alias("id_a"),
-                                  F.col("split").alias("split_a")), "id_a")
-        .join(nsplit.select(F.col("doc_id").alias("id_b"),
-                            F.col("split").alias("split_b")), "id_b")
-        .filter(F.col("split_a") != F.col("split_b"))
-        .select(F.lit("within_batch_straddle").alias("kind"))
-    )
-    disagree = (
-        cross_edges.join(
-            nsplit.select(F.col("doc_id").alias("new_id"), "split", "conflict"), "new_id"
-        )
-        .join(
-            existing.select(F.col("doc_id").alias("rep"),
-                            F.col("split").alias("corpus_split")),
-            "rep",
-        )
-        .filter(~F.col("conflict") & (F.col("split") != F.col("corpus_split")))
-        .select(F.lit("neighbor_disagree").alias("kind"))
-    )
-    # ONE bounded action for both guarantees (job-count overhead, not data,
-    # dominates these O(ingest) probes).
-    violations = {
-        r["kind"]: r["n"]
-        for r in straddle.unionByName(disagree)
-        .groupBy("kind")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
-    if violations:
-        raise AssertionError(f"split-stability guarantees violated: {violations}")
-
-    corpus_out = existing.select(
-        "doc_id",
-        F.lit(False).alias("is_new"),
-        "split",
-        F.lit(False).alias("inherited"),
-        F.lit(False).alias("conflict"),
-    )
-    return corpus_out.unionByName(new_out)
 
 
 # ---------------------------------------------------------------------------
