@@ -7049,3 +7049,75 @@ def o08_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "span string, key long, b int, change string,"
         " cents_pre bigint, cents_post bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# u06 — type-WIDENING evolution scan (int → bigint across generations)
+# ---------------------------------------------------------------------------
+@query(
+    "u06_type_widening_scan",
+    tags="SET S1 F18 A5",
+    oracle="""
+        SELECT o_orderpriority AS priority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(o_custkey) AS BIGINT) AS custkey_sum
+        FROM orders GROUP BY 1
+    """,
+)
+def u06_type_widening_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fourth evolution axis (after u03 adds, u04 renames, u05
+    partition specs): a column's TYPE widened between generations —
+    gen 1 wrote o_custkey as INT, gen 2 as BIGINT — and ``mergeSchema``
+    REFUSES mixed int/long footers outright, so without scan-time
+    promotion the old generation needs a physical rewrite.  The sidecar
+    declares the per-generation widening; only value-preserving
+    promotions (Iceberg's int→bigint, float→double set) are applied, and
+    a non-widening mapping raises — a silent scan-time narrowing is data
+    corruption at read time.  Both generations aggregate under one
+    logical BIGINT column in exact integer arithmetic
+    (sources/evolution.py read_with_type_widening)."""
+    import os
+    import shutil
+    import tempfile
+
+    from cnics_to_fhir_spark.session import scratch_name
+    from cnics_to_fhir_spark.sources.evolution import (
+        read_with_type_widening,
+        write_type_widening,
+    )
+
+    path = os.path.join(tempfile.gettempdir(), scratch_name(spark, "u06_files"))
+    try:
+        orders = table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderpriority"
+        )
+        (
+            orders.filter(F.col("o_orderkey") % 2 == 0)
+            .withColumn("o_custkey", F.col("o_custkey").cast("int"))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(path, "gen=1"))
+        )
+        (
+            orders.filter(F.col("o_orderkey") % 2 == 1)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(path, "gen=2"))
+        )
+        write_type_widening(path, {"gen=1": {"o_custkey": "bigint"}})
+        merged = read_with_type_widening(spark, path)
+        if dict(merged.dtypes)["o_custkey"] != "bigint":
+            raise AssertionError("widening did not produce the logical type")
+        rows = (
+            merged.groupBy(F.col("o_orderpriority").alias("priority"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_orders"),
+                F.sum("o_custkey").cast("long").alias("custkey_sum"),
+            )
+            .collect()
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "priority string, n_orders bigint, custkey_sum bigint"
+    )

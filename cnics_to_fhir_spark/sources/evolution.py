@@ -159,3 +159,79 @@ def read_with_name_mapping(spark: SparkSession, root: str) -> DataFrame:
             df = df.withColumnRenamed(physical, logical)
         out = df if out is None else out.unionByName(df, allowMissingColumns=True)
     return out
+
+
+WIDENING_FILE = "_type_widening.json"
+
+# Iceberg's safe promotions: value-preserving, order-preserving widenings
+# only. Anything else (narrowing, string<->numeric, ...) must be a real
+# backfill, not a scan-time cast that silently corrupts or truncates.
+_SAFE_WIDENINGS = {
+    ("int", "bigint"),
+    ("smallint", "int"),
+    ("smallint", "bigint"),
+    ("float", "double"),
+}
+
+
+def write_type_widening(root: str, widening: dict[str, dict[str, str]]) -> str:
+    """Persist ``{generation_subdir: {column: target_type}}`` — the columns
+    whose physical type in that generation is NARROWER than the table's
+    current logical type."""
+    path = os.path.join(root, WIDENING_FILE)
+    with open(path, "w") as f:
+        json.dump({"version": 1, "generations": widening}, f, indent=2, sort_keys=True)
+    return path
+
+
+def read_type_widening(root: str) -> dict[str, dict[str, str]]:
+    path = os.path.join(root, WIDENING_FILE)
+    with open(path) as f:
+        doc = json.load(f)
+    if doc.get("version") != 1:
+        raise ValueError(
+            f"unsupported type-widening version in {path}: {doc.get('version')}"
+        )
+    return doc["generations"]
+
+
+def read_with_type_widening(spark: SparkSession, root: str) -> DataFrame:
+    """Scan generations whose column TYPES widened over time (int → bigint,
+    float → double) as ONE logical DataFrame — the fourth evolution axis
+    after adds (u03), renames (u04) and partition specs (u05).
+    ``mergeSchema`` REFUSES mixed int/long footers outright, so without
+    this the old generation needs a physical rewrite; with it the cast is
+    scan-time metadata.  Only value-preserving promotions are applied —
+    a mapping that names a non-widening cast (or a column whose physical
+    type isn't the expected narrow side) raises loudly: a silent
+    scan-time narrowing is data corruption at read time."""
+    gens = read_type_widening(root)
+    subdirs = sorted(
+        d
+        for d in os.listdir(root)
+        if os.path.isdir(os.path.join(root, d)) and not d.startswith("_")
+    )
+    if not subdirs:
+        raise ValueError(f"no generation subdirectories under {root}")
+    out: DataFrame | None = None
+    for gen in subdirs:
+        df = spark.read.parquet(os.path.join(root, gen))
+        types = dict(df.dtypes)
+        for col, target in gens.get(gen, {}).items():
+            if col not in types:
+                raise ValueError(
+                    f"type widening for {gen} names {col!r} but the"
+                    f" generation's schema has no such column"
+                )
+            src = types[col]
+            if src == target:
+                continue  # already wide — mapping kept for documentation
+            if (src, target) not in _SAFE_WIDENINGS:
+                raise ValueError(
+                    f"refusing non-widening cast {src} -> {target} for"
+                    f" {gen}.{col}: only value-preserving promotions are"
+                    f" scan-time metadata; anything else is a backfill"
+                )
+            df = df.withColumn(col, F.col(col).cast(target))
+        out = df if out is None else out.unionByName(df, allowMissingColumns=True)
+    return out

@@ -124,3 +124,44 @@ def test_partition_spec_missing_generation_raises(spark, tmp_path):
     write_partition_specs(root, {"gen=1": ["status"]})
     with pytest.raises(ValueError, match="no declared partition spec"):
         read_with_partition_specs(spark, root)
+
+
+# --- type-widening evolution (u06) ------------------------------------------
+
+def test_type_widening_scan_and_refusals(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from cnics_to_fhir_spark.sources.evolution import (
+        read_with_type_widening,
+        write_type_widening,
+    )
+
+    root = str(tmp_path / "t")
+    os.makedirs(root)
+    spark.createDataFrame([(1, 10), (2, 20)], "id long, v long").withColumn(
+        "v", F.col("v").cast("int")
+    ).coalesce(1).write.parquet(os.path.join(root, "gen=1"))
+    spark.createDataFrame(
+        [(3, 2**40)], "id long, v long"
+    ).coalesce(1).write.parquet(os.path.join(root, "gen=2"))
+
+    # mergeSchema refuses mixed int/long outright — the gap this closes
+    with pytest.raises(Exception, match="[Mm]erge|INCOMPATIBLE|Failed"):
+        spark.read.option("mergeSchema", "true").parquet(
+            os.path.join(root, "gen=1"), os.path.join(root, "gen=2")
+        ).collect()
+
+    write_type_widening(root, {"gen=1": {"v": "bigint"}})
+    out = read_with_type_widening(spark, root)
+    assert dict(out.dtypes)["v"] == "bigint"
+    got = {r["id"]: r["v"] for r in out.collect()}
+    assert got == {1: 10, 2: 20, 3: 2**40}  # values preserved exactly
+
+    # narrowing refused loudly
+    write_type_widening(root, {"gen=2": {"id": "int"}})
+    with pytest.raises(ValueError, match="non-widening"):
+        read_with_type_widening(spark, root)
+    # absent column refused loudly
+    write_type_widening(root, {"gen=1": {"ghost": "bigint"}})
+    with pytest.raises(ValueError, match="no such column"):
+        read_with_type_widening(spark, root)
