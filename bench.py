@@ -179,6 +179,7 @@ HEADLINE = [
     "o07_time_travel_merge",
     "o08_change_data_feed",
     "u06_type_widening_scan",
+    "ds15_export_manifest",
     # lb02_bradley_terry is excluded with the other iterative ops below.
     # Iterative ops (dd06, cl01, ann04, dd09, and the round-5 additions
     # gr02/dd10/ann06 — k-means or fixpoint loops) and

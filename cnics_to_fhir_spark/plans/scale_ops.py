@@ -7121,3 +7121,59 @@ def u06_type_widening_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "priority string, n_orders bigint, custkey_sum bigint"
     )
+
+
+# ---------------------------------------------------------------------------
+# ds15 — sharded corpus export with a verified manifest (the deliverable)
+# ---------------------------------------------------------------------------
+@query(
+    "ds15_export_manifest",
+    tags="DS S-sink A5 F18",
+    oracle="""
+        WITH h AS (
+            SELECT CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                        AS UBIGINT) % 16 AS shard,
+                   CAST(('0x' || substring(md5(
+                            CAST(doc_id AS VARCHAR) || chr(31)
+                            || COALESCE(text, chr(0)) || chr(31)
+                            || COALESCE(source, chr(0))), 1, 15))
+                        AS UBIGINT) AS rh
+            FROM documents
+        )
+        SELECT CAST(shard AS INTEGER) AS shard,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(rh AS DECIMAL(38,0))) AS VARCHAR) AS checksum
+        FROM h GROUP BY 1
+    """,
+)
+def ds15_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pipeline's DELIVERABLE: the corpus exported as 16 deterministic
+    shards plus a verification manifest (per-shard row counts +
+    order-independent DECIMAL(38,0) content checksums over the portable
+    row hash), then RE-VERIFIED from disk before the manifest is
+    returned — so the oracle is checking the artifact a training job
+    would actually load, not an in-memory aggregate.  Shard membership
+    and checksums are engine-portable md5 arithmetic: a re-export of
+    unchanged data is bit-identical, and the consumer can recompute the
+    manifest declaratively on any stack (load/corpus_export.py;
+    verification groups by the PHYSICAL shard dirs, so a misfiled row
+    surfaces as two mismatched shards)."""
+    import os
+    import shutil
+    import tempfile
+
+    from cnics_to_fhir_spark.load.corpus_export import export_shards, verify_export
+    from cnics_to_fhir_spark.session import scratch_name
+
+    path = os.path.join(tempfile.gettempdir(), scratch_name(spark, "ds15_export"))
+    try:
+        docs = table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+        export_shards(docs, path, n_shards=16, key_col="doc_id")
+        manifest = verify_export(spark, path)
+        rows = [
+            (int(k), v["n_rows"], v["checksum"])
+            for k, v in manifest["shards"].items()
+        ]
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(rows, "shard int, n_rows bigint, checksum string")
