@@ -180,6 +180,7 @@ HEADLINE = [
     "o08_change_data_feed",
     "u06_type_widening_scan",
     "ds15_export_manifest",
+    "e2e13_pretraining_export",
     # lb02_bradley_terry is excluded with the other iterative ops below.
     # Iterative ops (dd06, cl01, ann04, dd09, and the round-5 additions
     # gr02/dd10/ann06 — k-means or fixpoint loops) and

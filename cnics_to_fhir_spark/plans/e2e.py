@@ -1374,3 +1374,89 @@ def e2e12_reliability_weighted_labels(spark: SparkSession, sf_dir: str) -> DataF
         e, item_col="item_id", annotator_col="annotator_id", label_col="label",
         ts_col="ts", vote_id_col="event_id",
     )
+
+
+# ---------------------------------------------------------------------------
+# e2e13 — the whole build SHIPPED: e2e10's pipeline exported as the
+#          sharded, consumer-verifiable artifact, under one oracle hash
+# ---------------------------------------------------------------------------
+from cnics_to_fhir_spark.plans.registry import _REGISTRY as _REG  # noqa: E402
+
+_B = _REG["e2e10_pretraining_data_build"].oracle
+_SPLIT_AT = "SELECT doc_id, source, split, n_epochs, CAST(e AS BIGINT) AS epoch"
+_E2E13_ORACLE = (
+    _B[: _B.index(_SPLIT_AT)]
+    + ", build AS (\n"
+    + _B[_B.index(_SPLIT_AT):]
+    + """
+        ),
+        h AS (
+            SELECT CAST(('0x' || substring(md5(
+                       CAST(doc_id AS VARCHAR) || ':' || CAST(epoch AS VARCHAR)
+                   ), 1, 15)) AS UBIGINT) % 8 AS shard,
+                   CAST(('0x' || substring(md5(
+                       CAST(doc_id AS VARCHAR) || ':' || CAST(epoch AS VARCHAR)
+                       || chr(31) || CAST(doc_id AS VARCHAR)
+                       || chr(31) || source
+                       || chr(31) || split
+                       || chr(31) || CAST(n_epochs AS VARCHAR)
+                       || chr(31) || CAST(epoch AS VARCHAR)
+                   ), 1, 15)) AS UBIGINT) AS rh
+            FROM build
+        )
+        SELECT CAST(shard AS INTEGER) AS shard,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(rh AS DECIMAL(38,0))) AS VARCHAR) AS checksum
+        FROM h GROUP BY 1
+    """
+)
+
+
+@query(
+    "e2e13_pretraining_export",
+    tags="E2E DD DS GR S-sink A5 F18",
+    oracle=_E2E13_ORACLE,
+)
+def e2e13_pretraining_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone: e2e10's ENTIRE pretraining build (exact dedup →
+    near-dup pair graph → cluster-keyed leakage-safe split → τ=2 train
+    mixture) piped into ds15's sharded export and RE-VERIFIED from disk —
+    the oracle composes e2e10's recursive-CTE replay with the export's
+    shard/checksum arithmetic, so ONE hash covers raw documents all the
+    way to the artifact a training job loads.  A bug anywhere — keeper
+    choice, closure, bucket rule, epoch arithmetic, shard assignment,
+    manifest checksum, or the writer itself (verification reads the
+    PHYSICAL shards back) — breaks it.  Row key = doc_id:epoch (train
+    rows are replicated per epoch; the key must be unique per exported
+    row or two replicas would silently collapse)."""
+    import os
+    import shutil
+    import tempfile
+
+    from cnics_to_fhir_spark.load.corpus_export import export_shards, verify_export
+    from cnics_to_fhir_spark.session import scratch_name
+
+    build = e2e10_pretraining_data_build(spark, sf_dir).select(
+        F.concat_ws(
+            ":", F.col("doc_id").cast("string"), F.col("epoch").cast("string")
+        ).alias("row_key"),
+        "doc_id",
+        "source",
+        "split",
+        "n_epochs",
+        "epoch",
+    )
+    path = os.path.join(tempfile.gettempdir(), scratch_name(spark, "e2e13_export"))
+    try:
+        export_shards(
+            build, path, n_shards=8, key_col="row_key",
+            content_cols=["doc_id", "source", "split", "n_epochs", "epoch"],
+        )
+        manifest = verify_export(spark, path)
+        rows = [
+            (int(k), v["n_rows"], v["checksum"])
+            for k, v in manifest["shards"].items()
+        ]
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(rows, "shard int, n_rows bigint, checksum string")

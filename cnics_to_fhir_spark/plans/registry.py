@@ -117,6 +117,7 @@ _PRIORITY: tuple[str, ...] = (
     "o08_change_data_feed",
     "u06_type_widening_scan",
     "ds15_export_manifest",
+    "e2e13_pretraining_export",
     # (4) re-verification fillers, oldest driver check first (r1/r2,
     # then the round-3 block)
     "q19_disjunctive_revenue",
