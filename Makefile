@@ -30,7 +30,7 @@ bench:
 # artifacts like BENCH_r*.json / CORRECTNESS_r*.json that appeared since
 # the last commit) and show what a final commit would contain. The commit
 # itself stays manual — the message should say what the round did.
-round-close: selfcheck-sf001 selfcheck test bench
+round-close: selfcheck-sf001 selfcheck plan-audit test bench
 	git add -A
 	git status --short
 	@git diff --cached --quiet && echo "tree clean — nothing to commit" \
