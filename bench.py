@@ -181,6 +181,10 @@ HEADLINE = [
     "u06_type_widening_scan",
     "ds15_export_manifest",
     "e2e13_pretraining_export",
+    # round-10 additions
+    "ds16_incremental_reexport",
+    # lb06_dawid_skene_converged is excluded with the other iterative ops
+    # below (driver-loop EM steps dominate at toy SF, not data path).
     # lb02_bradley_terry is excluded with the other iterative ops below.
     # Iterative ops (dd06, cl01, ann04, dd09, and the round-5 additions
     # gr02/dd10/ann06 — k-means or fixpoint loops) and
@@ -397,16 +401,30 @@ def main() -> None:
         # Sub-2s entries swing 0.8-1.5s between idle runs on this box
         # (e2e02/e2e04, round 7) — scheduler blips are the same order as
         # the measurement.  Median-of-5 instead of 3 below 2s makes
-        # consecutive idle runs agree within ~1.2x; above 2s the blips
-        # amortize and 3 runs suffice.
+        # consecutive idle runs agree within ~1.2x.  Above 2s the blips
+        # amortize, but run 1 carries the query's one-time codegen/JIT
+        # warmup, which at e2e scale is SECONDS (e2e01 round 9: runs
+        # [4.63, 2.20, 1.77] — the 4.63 rode into the median and tripped
+        # the driver's regression diff as a ghost 1.4x): discard run 1
+        # and take the median of three warm runs instead.
         if sorted(runs)[1] < 2.0:
             for _ in range(2):
                 spark.catalog.clearCache()
                 t0 = time.perf_counter()
                 n = e.spark(spark, sf_dir).count()
                 runs.append(time.perf_counter() - t0)
+        else:
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            n = e.spark(spark, sf_dir).count()
+            runs.append(time.perf_counter() - t0)
+        raw = list(runs)
+        if sorted(raw[:3])[1] >= 2.0:
+            runs = runs[1:]
         timings[name] = round(sorted(runs)[len(runs) // 2], 3)
-        all_runs[name] = [round(r, 3) for r in runs]
+        # the sidecar records ALL raw runs (including a discarded warmup)
+        # so the discard rule is auditable per query
+        all_runs[name] = [round(r, 3) for r in raw]
         print(f"# {name}: {timings[name]}s ({n} rows)", flush=True)
 
     # Regression diff vs the prior committed detail (same SF only): flag
@@ -445,7 +463,7 @@ def main() -> None:
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
-        "timing": "median_of_3_or_5_sub2s",
+        "timing": "sub2s_median_of_5; over2s_run1_warmup_discarded_median_of_3",
         "contended": contended,
         "host": host,
         "prior_host_same": same_host if prior else None,
@@ -468,7 +486,7 @@ def main() -> None:
             "unit": "sec",
             "sf": sf_val,
             "n_queries": len(timings),
-            "timing": "median_of_3_or_5_sub2s",
+            "timing": "sub2s_median_of_5; over2s_run1_warmup_discarded_median_of_3",
             "contended": contended,
             "host": {
                 "cpu": str(host.get("cpu", ""))[:48],

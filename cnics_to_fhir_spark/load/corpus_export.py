@@ -27,18 +27,29 @@ Design:
 Scale shape: one corpus shuffle on the shard id, one map-side-combinable
 keyed aggregation for the manifest; verification re-reads the export
 with the same aggregation.  The manifest is O(shards) driver metadata.
+
+Incremental updates (``update_export``) rewrite ONLY the shards a change
+feed touches: shard membership is a pure function of the key, so the
+touched-shard set is the distinct shard ids of the changed keys —
+O(changes) work and O(touched) rewrites, never a full re-export.
+Untouched shard files are byte-identical afterwards (callers can pin
+mtimes), and the manifest is patched atomically last, so an interrupted
+update is DETECTABLY inconsistent under ``verify_export``, never
+silently torn.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import uuid
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 MANIFEST_FILE = "_export_manifest.json"
+_CHANGES = ("insert", "update", "delete")
 
 
 def _row_hash(key_col: str, content_cols: list[str]) -> Column:
@@ -91,9 +102,19 @@ def export_shards(
     n_shards: int,
     key_col: str = "doc_id",
     content_cols: list[str] | None = None,
+    persisted: bool = False,
 ) -> dict:
     """Write ``df`` as ``n_shards`` deterministic parquet shards under
-    ``path`` plus the verification manifest.  Returns the manifest."""
+    ``path`` plus the verification manifest.  Returns the manifest.
+
+    The input is consumed TWICE (the partitioned write, then the manifest
+    aggregation — the manifest stays INPUT-side so a row-dropping writer
+    bug must fail ``verify_export``, and a nondeterministic upstream can't
+    make the manifest describe data the write didn't see), so it is
+    materialized once with an eager ``localCheckpoint`` up front: the
+    upstream DAG executes exactly once, both passes read frozen rows.
+    Callers that already persisted/checkpointed ``df`` pass
+    ``persisted=True`` to skip the second materialization."""
     if n_shards < 1:
         raise ValueError("n_shards must be >= 1")
     if os.path.exists(os.path.join(path, MANIFEST_FILE)):
@@ -101,6 +122,8 @@ def export_shards(
     content_cols = content_cols or [
         c for c in df.columns if c != key_col
     ]
+    if not persisted:
+        df = df.localCheckpoint(eager=True)
     from cnics_to_fhir_spark.operators.dedup import portable_hash
 
     shard = (portable_hash(F.col(key_col).cast("string")) % n_shards).cast("int")
@@ -160,3 +183,243 @@ def verify_export(spark: SparkSession, path: str) -> dict:
             f" unexpected shards {extra}, mismatched shards {wrong}"
         )
     return manifest
+
+
+def load_shard(spark: SparkSession, path: str, shard: int) -> DataFrame:
+    """Read ONE shard of an export, verifying its row count and checksum
+    against the manifest before returning — the CONSUMER half of the
+    export contract for streaming loaders: a training job that opens
+    shards one at a time verifies shard ``k`` as it loads it, paying one
+    shard-sized verification pass instead of ``verify_export``'s
+    all-or-nothing sweep over the whole artifact.  Raises on an unknown
+    shard id, a missing shard directory, a truncated shard, or drifted
+    content; returns the shard's rows (with the physical ``shard``
+    column).
+
+    Scale shape: one pruned scan of one shard directory + one keyed
+    aggregation over that shard — the verification cost rides inside the
+    read the consumer was doing anyway."""
+    with open(os.path.join(path, MANIFEST_FILE)) as f:
+        manifest = json.load(f)
+    want = manifest["shards"].get(str(int(shard)))
+    if want is None:
+        raise ValueError(
+            f"shard {shard} is not in the manifest at {path} "
+            f"(known: {sorted(int(k) for k in manifest['shards'])})"
+        )
+    shard_dir = os.path.join(path, f"shard={int(shard)}")
+    if not os.path.isdir(shard_dir) or not any(
+        not f.startswith((".", "_")) for f in os.listdir(shard_dir)
+    ):
+        # a manifest entry whose files are gone is a truncated artifact —
+        # the same failure class as a short shard, reported the same way
+        raise ValueError(
+            f"shard {shard} at {path} failed verification: expected "
+            f"{want}, but the shard directory is missing or empty"
+        )
+    df = spark.read.option("basePath", path).parquet(shard_dir)
+    got = {
+        r["shard"]: {"n_rows": r["n_rows"], "checksum": r["checksum"]}
+        for r in _shard_stats(
+            df,
+            manifest["key_col"],
+            manifest["content_cols"],
+            manifest["n_shards"],
+            use_physical_shard=True,
+        ).collect()
+    }
+    if got != {int(shard): want}:
+        raise ValueError(
+            f"shard {shard} at {path} failed verification: "
+            f"expected {want}, read {got}"
+        )
+    return df
+
+
+def update_export(
+    spark: SparkSession,
+    path: str,
+    changes: DataFrame,
+    change_col: str = "change",
+) -> dict:
+    """Apply a row-level change feed (``insert``/``update``/``delete``
+    with post-image content columns) to an existing export by rewriting
+    ONLY the shards the changed keys hash into — the production
+    incremental loop: a trickle of changes rewrites a trickle of shards,
+    never the corpus.  Composes directly with
+    ``versioned_table.read_changes`` (map its output to
+    (key, change, <post-image content>)) so a corpus table's CDF drives
+    shard-level re-export.
+
+    ``changes`` must carry exactly (key_col, ``change_col``,
+    *content_cols) per the manifest.  Semantics (table_merge's honesty
+    rules): unknown change labels fail loudly; INSERT of a present key
+    fails loudly (an export is keyed — duplicating a key would corrupt
+    the artifact); UPDATE/DELETE of an absent key counts as
+    ``noop_missing_key``; exported keys must be unique within touched
+    shards (checked) — the precondition incremental update relies on.
+
+    Crash discipline: new shard contents are staged, swapped in per
+    shard, and the manifest is patched LAST (tmp + rename) — an
+    interrupted update leaves the manifest disagreeing with the
+    rewritten shards, so ``verify_export`` fails loudly instead of a
+    consumer training on a torn artifact.  Single-writer, like the
+    export itself.
+
+    Returns {inserted, updated, deleted, noop_missing_key,
+    shards_rewritten, manifest}.
+
+    Scale shape: one O(changes) pass to find touched shards (bounded
+    driver list), one pruned scan of ONLY the touched shard dirs, one
+    keyed classify join + one anti-join + one shard-keyed write over
+    those rows, one keyed aggregation for the patched stats.  Untouched
+    shard files are never opened and stay byte-identical."""
+    with open(os.path.join(path, MANIFEST_FILE)) as f:
+        manifest = json.load(f)
+    n_shards = manifest["n_shards"]
+    key_col = manifest["key_col"]
+    content_cols = manifest["content_cols"]
+    expect = {key_col, change_col, *content_cols}
+    if set(changes.columns) != expect:
+        raise ValueError(
+            f"update_export: changes columns {sorted(changes.columns)} != "
+            f"expected {sorted(expect)} per the manifest"
+        )
+    from cnics_to_fhir_spark.operators.dedup import portable_hash
+
+    shard = (portable_hash(F.col(key_col).cast("string")) % n_shards).cast("int")
+    # changes is consumed several times (labels guard, touched set,
+    # classify, incoming) — freeze it once.
+    ch = (
+        changes.select(
+            shard.alias("shard"), key_col, change_col, *content_cols
+        ).localCheckpoint(eager=True)
+    )
+    bad = [
+        r["c"]
+        for r in ch.select(F.col(change_col).alias("c")).distinct().collect()
+        if r["c"] not in _CHANGES
+    ]
+    if bad:
+        raise ValueError(f"update_export: unknown change labels {bad!r}")
+    touched = sorted(
+        r["shard"] for r in ch.select("shard").distinct().collect()
+    )
+    if not touched:
+        return {
+            "inserted": 0, "updated": 0, "deleted": 0,
+            "noop_missing_key": 0, "shards_rewritten": 0,
+            "manifest": manifest,
+        }
+
+    existing_dirs = [
+        os.path.join(path, f"shard={k}")
+        for k in touched
+        if os.path.isdir(os.path.join(path, f"shard={k}"))
+    ]
+    if existing_dirs:
+        existing = spark.read.option("basePath", path).parquet(*existing_dirs)
+        existing = existing.select("shard", key_col, *content_cols)
+    else:
+        existing = ch.select("shard", key_col, *content_cols).limit(0)
+    # the uniqueness precondition the shard-scoped anti-join relies on —
+    # one agg over the touched rows only
+    dup = existing.groupBy(key_col).count().filter(F.col("count") > 1)
+    ndup = dup.count()
+    if ndup:
+        raise ValueError(
+            f"update_export: {ndup} duplicate key(s) in touched shards — "
+            "incremental update requires unique keys"
+        )
+
+    present = existing.select(
+        F.col(key_col).alias("__pk"), F.lit(True).alias("__present")
+    )
+    flagged = (
+        ch.join(present, on=F.col(key_col).eqNullSafe(F.col("__pk")), how="left")
+        .drop("__pk")
+        .withColumn("__present", F.coalesce(F.col("__present"), F.lit(False)))
+        .localCheckpoint(eager=True)
+    )
+    tally = {
+        (r[change_col], r["__present"]): r["n"]
+        for r in flagged.groupBy(change_col, "__present")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    if tally.get(("insert", True), 0):
+        raise ValueError(
+            f"update_export: {tally[('insert', True)]} insert(s) of keys "
+            "already present in the export — duplicating a key would "
+            "corrupt the artifact; send them as updates"
+        )
+    counts = {
+        "inserted": tally.get(("insert", False), 0),
+        "updated": tally.get(("update", True), 0),
+        "deleted": tally.get(("delete", True), 0),
+        "noop_missing_key": tally.get(("update", False), 0)
+        + tally.get(("delete", False), 0),
+    }
+
+    gone = flagged.filter(
+        F.col(change_col).isin("update", "delete") & F.col("__present")
+    ).select(F.col(key_col).alias("__gk"))
+    survivors = existing.join(
+        gone, on=F.col(key_col).eqNullSafe(F.col("__gk")), how="left_anti"
+    )
+    incoming = flagged.filter(
+        ((F.col(change_col) == "insert") & ~F.col("__present"))
+        | ((F.col(change_col) == "update") & F.col("__present"))
+    ).select("shard", key_col, *content_cols)
+    # consumed twice (write + patched stats): freeze the merged rows so
+    # both passes see identical data and the upstream runs once
+    merged = survivors.unionByName(incoming).localCheckpoint(eager=True)
+
+    staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
+    (
+        merged.repartition(F.col("shard"))
+        .write.mode("errorifexists")
+        .partitionBy("shard")
+        .parquet(staging)
+    )
+    new_stats = {
+        r["shard"]: {"n_rows": r["n_rows"], "checksum": r["checksum"]}
+        for r in _shard_stats(
+            merged, key_col, content_cols, n_shards, use_physical_shard=True
+        ).collect()
+    }
+
+    trash = os.path.join(path, f".trash-{uuid.uuid4().hex}")
+    os.makedirs(trash)
+    for k in touched:
+        old_dir = os.path.join(path, f"shard={k}")
+        new_dir = os.path.join(staging, f"shard={k}")
+        if os.path.isdir(old_dir):
+            os.rename(old_dir, os.path.join(trash, f"shard={k}"))
+        # a shard emptied by deletes has no staged dir and no manifest
+        # entry afterwards — same convention as an export whose shard
+        # received no rows
+        if os.path.isdir(new_dir):
+            os.rename(new_dir, old_dir)
+    shutil.rmtree(staging, ignore_errors=True)
+
+    shards = {
+        k: v
+        for k, v in manifest["shards"].items()
+        if int(k) not in set(touched)
+    }
+    for k, v in new_stats.items():
+        shards[str(k)] = v
+    manifest = {
+        **manifest,
+        "total_rows": sum(s["n_rows"] for s in shards.values()),
+        "shards": {str(k): shards[k] for k in sorted(shards, key=int)},
+    }
+    tmp = os.path.join(path, f".{MANIFEST_FILE}.{uuid.uuid4().hex}.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=2, sort_keys=True)
+    os.rename(tmp, os.path.join(path, MANIFEST_FILE))
+    shutil.rmtree(trash, ignore_errors=True)
+    counts["shards_rewritten"] = len(touched)
+    counts["manifest"] = manifest
+    return counts

@@ -60,6 +60,13 @@ DATA_DIR = "data"
 NULL_PARTITION = "__HIVE_DEFAULT_PARTITION__"
 
 
+class ConcurrentCommitError(ValueError):
+    """Two writers raced to commit the same version number: the manifest
+    file already existed at the put-if-absent commit point.  The loser
+    must re-read the table state and retry its merge — exactly the
+    optimistic-concurrency contract Iceberg/Delta expose."""
+
+
 def _versions_root(table: str) -> str:
     return os.path.join(table, VERSIONS_DIR)
 
@@ -95,8 +102,23 @@ def _write_manifest(table: str, version: int, doc: dict) -> None:
     tmp = os.path.join(root, f".v{version:08d}.json.{uuid.uuid4().hex}.tmp")
     with open(tmp, "w") as f:
         json.dump(doc, f, indent=2, sort_keys=True)
-    # The atomic commit point: the version exists entirely or not at all.
-    os.rename(tmp, _manifest_path(table, version))
+    # The atomic commit point — PUT-IF-ABSENT, not rename: os.rename
+    # silently overwrites, so two writers that both computed
+    # version = parent+1 would both "succeed" and the first commit would
+    # vanish (a lost update).  os.link fails with EEXIST if the version
+    # file is already there, turning the race into a loud
+    # ConcurrentCommitError; the loser's data files stay unreferenced
+    # (invisible) until vacuum sweeps them.
+    dest = _manifest_path(table, version)
+    try:
+        os.link(tmp, dest)
+    except FileExistsError:
+        raise ConcurrentCommitError(
+            f"version {version} of {table} was committed by another writer; "
+            "re-read the table state and retry"
+        ) from None
+    finally:
+        os.unlink(tmp)
 
 
 def _pdir_value(dirname: str) -> str:
@@ -152,6 +174,17 @@ def _write_commit(
     return _collect_commit_files(commit_dir, partition_col)
 
 
+def _schema_json(df: DataFrame, partition_col: str) -> str:
+    # stored in read order (payload columns, partition column last — the
+    # order a hive-partitioned parquet read produces) so an empty version
+    # reconstructs the same shape a non-empty read would have
+    from pyspark.sql.types import StructType
+
+    fields = [f for f in df.schema.fields if f.name != partition_col]
+    fields.append(df.schema[partition_col])
+    return StructType(fields).json()
+
+
 def create_table(
     spark: SparkSession,
     table: str,
@@ -167,7 +200,7 @@ def create_table(
         table,
         0,
         {"version": 0, "parent": None, "partition_col": partition_col,
-         "entries": entries},
+         "entries": entries, "schema": _schema_json(df, partition_col)},
     )
     return 0
 
@@ -193,7 +226,18 @@ def read_version(
         df = spark.read.option("basePath", commit_dir).parquet(*sorted(paths))
         out = df if out is None else out.unionByName(df)
     if out is None:
-        raise ValueError(f"version {v} of {table} lists no files")
+        # a merge that deleted every remaining row legitimately produces a
+        # zero-entry manifest — the version reads as an EMPTY table with
+        # the manifest's recorded schema, not an error
+        sj = man.get("schema")
+        if sj is None:
+            raise ValueError(
+                f"version {v} of {table} lists no files and predates "
+                "schema-bearing manifests"
+            )
+        from pyspark.sql.types import StructType
+
+        return spark.createDataFrame([], StructType.fromJson(json.loads(sj)))
     return out
 
 
@@ -296,10 +340,19 @@ def merge_versioned(
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
+    # INSERT of an already-present key would silently duplicate the key in
+    # the new version (survivors only anti-join UPDATE/DELETE keys) — fail
+    # loudly, consistent with the unknown-action policy.
+    ins_conflict = tally.get((ACTION_INSERT, True), 0)
+    if ins_conflict:
+        raise ValueError(
+            f"merge_versioned: {ins_conflict} insert(s) of keys already "
+            "present in their partition — duplicating keys would corrupt "
+            "the table; send them as updates"
+        )
     version = parent + 1
     counts = {
-        "inserted": tally.get((ACTION_INSERT, True), 0)
-        + tally.get((ACTION_INSERT, False), 0),
+        "inserted": tally.get((ACTION_INSERT, False), 0),
         "updated": tally.get((ACTION_UPDATE, True), 0),
         "deleted": tally.get((ACTION_DELETE, True), 0),
         "noop_missing_key": tally.get((ACTION_UPDATE, False), 0)
@@ -336,6 +389,7 @@ def merge_versioned(
             "parent": parent,
             "partition_col": partition_col,
             "entries": carried + new_entries,
+            "schema": _schema_json(merged, partition_col),
         },
     )
     return counts
@@ -370,9 +424,20 @@ def vacuum(table: str, retain_versions: int = 1) -> dict[str, int]:
                 shutil.rmtree(dirpath, ignore_errors=True)
     for v in drop:
         os.remove(_manifest_path(table, v))
+    # crash debris in _versions/ too: a crash between writing the temp
+    # manifest and the link-commit leaves .v*.json.*.tmp files that no
+    # reader ever sees — sweep them with the data debris
+    tmp_removed = 0
+    vroot = _versions_root(table)
+    if os.path.isdir(vroot):
+        for f in os.listdir(vroot):
+            if f.endswith(".tmp"):
+                os.remove(os.path.join(vroot, f))
+                tmp_removed += 1
     return {
         "manifests_removed": len(drop),
         "files_removed": removed_files,
+        "tmp_manifests_removed": tmp_removed,
         "versions_retained": len(keep),
     }
 

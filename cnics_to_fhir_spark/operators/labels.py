@@ -618,3 +618,181 @@ def dawid_skene_relabel(
         "n_votes",
         (F.col("_d.label") != F.col("_w.label")).alias("changed"),
     )
+
+
+def dawid_skene_converged(
+    df: DataFrame,
+    item_col: str = "item_id",
+    annotator_col: str = "annotator_id",
+    label_col: str = "label",
+    ts_col: str | None = None,
+    vote_id_col: str | None = None,
+    max_iters: int = 50,
+) -> DataFrame:
+    """Dawid-Skene EM iterated to the LABEL FIXPOINT — lb05's single step
+    completed under gr02's stop-rule pattern: step 1 conditions the
+    confusion matrices on the majority estimate (exactly
+    ``dawid_skene_relabel``), every later step re-conditions on the
+    previous step's posterior argmax, and iteration k+1 is adopted only
+    while it flips at least one item's label.  The converged ITERATION
+    COUNT is part of the result (identical on every row), so an oracle
+    replaying "emit step k+1 only while it changed something" must land
+    on the same final step AND the same labels/costs — which is how the
+    recursive-CTE oracle checks this.
+
+    Replayability rests on the same exact-integer trajectory as lb05
+    (tx09's micro-nat scheme): every per-step cost is a BIGINT sum of
+    floor(ln·10⁶) terms, argmax is min over the (cost, label) struct with
+    lexicographic ties, so step k is bit-identical on every engine and
+    partitioning and the fixpoint is engine-agreed.  (A float EM diverges
+    across engines through summation order alone and its "convergence"
+    round differs per run.)
+
+    Scale shape per iteration (the bradley_terry/gr02 loop discipline):
+    the collapsed votes, label vocabulary, and the votes × L candidate
+    fan-out are pinned ONCE with eager localCheckpoints (an unpinned
+    candidate frame would re-run the collapse every step); each step is
+    two bounded confusion aggregations (annotators × L²), two broadcast
+    lookup joins onto the pinned candidates, one (item, candidate) sum,
+    one (item) argmin, and an O(items) change-count join + 1-row driver
+    round-trip for the stop rule; the new assignment is checkpointed
+    eagerly because step k+1 consumes it three times (M-step tag, prior,
+    change test) — unpinned, the whole prior step would re-run 3× per
+    consumer (lb02's measured 3^k lesson).
+
+    Output: (item, ds_label, ds_cost_q, majority_label, n_votes, changed,
+    iters); raises RuntimeError past ``max_iters`` (a genuine
+    non-convergence bug, not a tolerance knob)."""
+    votes = df
+    if ts_col is not None:
+        order = [F.col(ts_col)]
+        if vote_id_col is not None:
+            order.append(F.col(vote_id_col))
+        latest = votes.groupBy(item_col, annotator_col).agg(
+            F.max(F.struct(*order, F.col(label_col).alias("label"))).alias("_v")
+        )
+        votes = latest.select(
+            item_col, annotator_col, F.col("_v.label").alias(label_col)
+        )
+    else:
+        votes = votes.select(item_col, annotator_col, label_col)
+    votes = votes.localCheckpoint(eager=True)
+
+    hist = votes.groupBy(item_col, label_col).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    maj = hist.groupBy(item_col).agg(
+        F.min(
+            F.struct((-F.col("c")).alias("neg"), F.col(label_col).alias("label"))
+        ).alias("_w"),
+        F.sum("c").cast("long").alias("n_votes"),
+    ).localCheckpoint(eager=True)
+
+    labels = votes.select(F.col(label_col).alias("t")).distinct().localCheckpoint(
+        eager=True
+    )
+    # iteration-invariant scalars (the oracle's nl/ni helper CTEs): the
+    # label vocabulary size and the item count never change across steps
+    L = float(labels.count())
+    n_items = float(maj.count())
+    cand = (
+        votes.select(item_col, annotator_col, F.col(label_col).alias("l"))
+        .crossJoin(F.broadcast(labels))
+        .localCheckpoint(eager=True)
+    )
+
+    def em_step(assign: DataFrame) -> DataFrame:
+        # assign: (item, cur) — the previous step's posterior argmax
+        tagged = votes.join(assign, item_col)
+        conf = tagged.groupBy(
+            annotator_col, F.col("cur").alias("t"), F.col(label_col).alias("l")
+        ).agg(F.count(F.lit(1)).cast("long").alias("natl"))
+        ctx = conf.groupBy(annotator_col, "t").agg(
+            F.sum("natl").cast("long").alias("nat")
+        )
+        prior = assign.groupBy(F.col("cur").alias("t")).agg(
+            F.count(F.lit(1)).cast("long").alias("items_t")
+        )
+        scored = (
+            cand.join(F.broadcast(conf), on=[annotator_col, "t", "l"], how="left")
+            .join(F.broadcast(ctx), on=[annotator_col, "t"], how="left")
+            .select(
+                item_col,
+                "t",
+                F.floor(
+                    (
+                        F.log(
+                            F.coalesce(F.col("nat"), F.lit(0)).cast("double")
+                            + F.lit(L)
+                        )
+                        - F.log(
+                            F.coalesce(F.col("natl"), F.lit(0)).cast("double")
+                            + F.lit(1.0)
+                        )
+                    )
+                    * 1e6
+                )
+                .cast("long")
+                .alias("vcost"),
+            )
+        )
+        per_item_t = scored.groupBy(item_col, "t").agg(
+            F.sum("vcost").cast("long").alias("vsum")
+        )
+        pcost = labels.join(F.broadcast(prior), "t", "left").select(
+            "t",
+            F.floor(
+                (
+                    F.log(F.lit(n_items + L))
+                    - F.log(
+                        F.coalesce(F.col("items_t"), F.lit(0)).cast("double")
+                        + F.lit(1.0)
+                    )
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("pc"),
+        )
+        total = per_item_t.join(F.broadcast(pcost), "t").select(
+            item_col, "t", (F.col("vsum") + F.col("pc")).alias("cost")
+        )
+        return total.groupBy(item_col).agg(
+            F.min(F.struct(F.col("cost"), F.col("t").alias("label"))).alias("_d")
+        ).select(
+            item_col,
+            F.col("_d.label").alias("cur"),
+            F.col("_d.cost").cast("long").alias("cost"),
+        )
+
+    # step 1 is unconditional (lb05's product — the relabel diff vs the
+    # majority); steps 2.. are adopted only while they change a label
+    state = em_step(
+        maj.select(item_col, F.col("_w.label").alias("cur"))
+    ).localCheckpoint(eager=True)
+    iters = 1
+    for k in range(2, max_iters + 1):
+        new = em_step(state.select(item_col, "cur")).localCheckpoint(eager=True)
+        nchanged = (
+            new.alias("n")
+            .join(state.alias("o"), on=item_col)
+            .filter(F.col("n.cur") != F.col("o.cur"))
+            .count()
+        )
+        if nchanged == 0:
+            break
+        state = new
+        iters = k
+    else:
+        raise RuntimeError(
+            f"dawid_skene_converged did not converge within {max_iters} steps"
+        )
+    return state.join(maj, item_col).select(
+        item_col,
+        F.col("cur").alias("ds_label"),
+        F.col("cost").alias("ds_cost_q"),
+        F.col("_w.label").alias("majority_label"),
+        "n_votes",
+        (F.col("cur") != F.col("_w.label")).alias("changed"),
+        F.lit(iters).cast("int").alias("iters"),
+    )

@@ -64,20 +64,16 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # plus the sf1 probe), so entries outside the
 # driver's prefix are locally verified, never silently unchecked.
 _PRIORITY: tuple[str, ...] = (
-    # --- round-9 rotation: CORRECTNESS_r08 went green on its full
-    # 50-entry prefix (all 9 pending round-7 entries + all 16 round-8
-    # newcomers + 13 fillers). This prefix now holds:
+    # --- round-10 rotation: CORRECTNESS_r09 went green on its full
+    # 50-entry prefix (43 hash-green + 7 clean no_oracle), closing the
+    # driver ledger at 222/222 entries ever shipped. This prefix holds:
     #   1. the 12-entry §2-core spine (reference-parity verticals +
     #      one representative per §2 family — kept every round),
-    #   2. the 7 rows-only entries (oracle=None, pytest error-pinned):
-    #      their ONLY driver records are r01 (dd03/dd04), r07's `no_oracle`
-    #      rows (a14) or r07's canonicalizer CRASH (a11 — since fixed to
-    #      scalar p50/p90/p99) — and a10/ann02/ann11 have NONE. This round
-    #      closes the ledger: every catalog entry ever shipped gets a
-    #      clean, non-crashing driver record,
-    #   3. round-9 NEW entries (driver-verified same round they ship),
-    #   4. re-verification fillers: oracle entries whose last driver check
-    #      is oldest (rounds 1-3), displaced from the end as newcomers land.
+    #   2. round-10 NEW entries (driver-verified same round they ship),
+    #   3. the 4 stalest driver records (j07/o02/p04/u01 — last driver
+    #      check r03; the freshness tail round 9's verdict flagged),
+    #   4. re-verification fillers: the full r4 block, then the oldest
+    #      r5 entries — keeps every driver record ≤ ~6 rounds old.
     # Every entry — prefix or not — is still oracle-checked each round
     # by `python selfcheck.py` (full catalog, sf0.001 + sf0.01).
     #
@@ -94,53 +90,16 @@ _PRIORITY: tuple[str, ...] = (
     "b01_resource_assembly",
     "w01_topn_per_group",
     "st01_stream_batch_equivalence",
-    # (2) the rows-only family — first (or first CLEAN) driver records
-    "a11_approx_percentiles",
-    "a10_approx_distinct",
-    "a14_hll_rollup",
-    "ann02_lsh_topk",
-    "ann11_mmr_diversified",
-    "dd03_minhash_lsh",
-    "dd04_simhash_near_dup",
-    # (3) round-9 newcomers (driver-verified same round they ship)
-    "e2e11_incremental_corpus_update",
-    "ds14_temperature_mixture_join",
-    "lb04_annotator_reliability",
-    "u05_partition_evolution_scan",
-    "dc06_l_diversity",
-    "e2e12_reliability_weighted_labels",
-    "ev13_cohort_retention",
-    "tx13_bigram_surprise",
-    "lb05_dawid_skene_relabel",
-    "st10_stream_label_campaign",
-    "o07_time_travel_merge",
-    "o08_change_data_feed",
-    "u06_type_widening_scan",
-    "ds15_export_manifest",
-    "e2e13_pretraining_export",
-    # (4) re-verification fillers, oldest driver check first (r1/r2,
-    # then the round-3 block)
-    "q19_disjunctive_revenue",
-    "q21_sole_return_supplier",
-    "q22_dormant_balances",
-    "q01_pricing_summary",
-    "q03_shipping_priority",
-    "q05_local_supplier_volume",
-    "a01_distinct",
-    "a02_collect_set",
-    "a05_group_counts",
-    "dd06_dup_clusters",
-    "f08_demographic_maps",
-    "f17_date_format",
-    "f20_json_roundtrip",
-    "j02_join_distinct",
-    "j05_anti_join",
-    "j06b_merge_dup_keys",
+    # (2) round-10 newcomers (driver-verified same round they ship)
+    "lb06_dawid_skene_converged",
+    "ds16_incremental_reexport",
+    # (3) the 4 stalest driver records (r03)
     "j07_semi_join",
     "o02_order_limit",
     "p04_nullsafe_inequality",
     "u01_union_by_name",
-    # r4 block (overflow past 50 is harmless — the driver truncates)
+    # (4) re-verification fillers: the r4 block, then the oldest r5
+    # entries (overflow past 50 is harmless — the driver truncates)
     "a04_last_write_wins",
     "aj01_asof_join",
     "ann03_ivf_topk",
@@ -149,6 +108,35 @@ _PRIORITY: tuple[str, ...] = (
     "dd09_semantic_dedup",
     "ds07_hash_split",
     "ds08_epoch_mixture",
+    "e2e05_corpus_curation",
+    "ev01_tumbling_window",
+    "f05_dx_category_maps",
+    "f12_unit_default_refrange",
+    "f14_string_cleanup",
+    "j03_decorrelated_page",
+    "j13_dynamic_partition_pruning",
+    "mm06_image_phash_dedup",
+    "p06_in_list_and_like",
+    "p08_guard_quirk",
+    "st02_stream_window_equivalence",
+    "tx06_repetition_signals",
+    "tx07_unigram_surprise",
+    "w02_running_spend",
+    # oldest r5 entries
+    "a03_first_row_per_group",
+    "a16_cube_subtotals",
+    "aj02_asof_nearest",
+    "ann01_cosine_topk",
+    "ann04_ivf_trained_topk",
+    "cl01_kmeans_assign",
+    "dc01_decontaminate",
+    "dd01_exact_dedup",
+    "dd02_ngram_jaccard",
+    "dd03b_minhash_lsh_portable",
+    "dd05_embedding_neardup",
+    "dd07_fuzzy_name_match",
+    "dd12_duplicated_spans",
+    "ds03_greedy_packing",
 )
 
 # Catalog entries that have never appeared in any CORRECTNESS_r0*.json
@@ -158,14 +146,13 @@ _PRIORITY: tuple[str, ...] = (
 # round-6 backlog; only the 10 round-7 additions remain, all rotated into
 # the round-8 prefix above.
 _NEVER_DRIVER_VERIFIED: tuple[str, ...] = (
-    # Recomputed after round 8 (catalog keys − union of CORRECTNESS_r01-r08
-    # keys): the r08 prefix went 50/50 green, so only ONE entry has never
-    # appeared in any CORRECTNESS file — ann11 (rows-only, registered after
-    # the r07 prefix froze and cut from r08's 50 at position 51). It heads
-    # block (2) of the round-9 prefix above; round-9 newcomers ship in the
-    # same commit as their block-(3) slot, so this tuple should be EMPTY
-    # after round 9.
-    "ann11_mmr_diversified",
+    # Recomputed after round 9 (catalog keys − union of CORRECTNESS_r01-r09
+    # keys): the r09 prefix went 50/50 clean, closing the ledger — every
+    # round-9 entry has a driver record. Only the round-10 newcomers
+    # remain, both in block (2) of the round-10 prefix above, so this
+    # tuple should be EMPTY after round 10.
+    "lb06_dawid_skene_converged",
+    "ds16_incremental_reexport",
 )
 
 

@@ -7177,3 +7177,306 @@ def ds15_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(path, ignore_errors=True)
     return spark.createDataFrame(rows, "shard int, n_rows bigint, checksum string")
+
+
+# ---------------------------------------------------------------------------
+# lb06 — Dawid-Skene EM iterated to the label fixpoint (convergence pinned)
+# ---------------------------------------------------------------------------
+@query(
+    "lb06_dawid_skene_converged",
+    tags="LB CL-iterative A3 A5 J1 J8 F18",
+    oracle="""
+        -- Helper CTEs MATERIALIZED (gr02's lesson): unmaterialized, DuckDB
+        -- re-derives the vote collapse and the votes x L candidate fan-out
+        -- inside EVERY recursion step.  The working table is O(items); the
+        -- stop rule lives in a QUALIFY over the step's own window.
+        WITH RECURSIVE
+        votes AS MATERIALIZED (
+            SELECT event_id % 199 AS item_id, user_id, event_type, ts, event_id
+            FROM events
+        ),
+        latest AS MATERIALIZED (
+            SELECT item_id, user_id, event_type FROM (
+                SELECT item_id, user_id, event_type,
+                       ROW_NUMBER() OVER (PARTITION BY item_id, user_id
+                                          ORDER BY ts DESC, event_id DESC) AS rn
+                FROM votes
+            ) WHERE rn = 1
+        ),
+        hist AS MATERIALIZED (
+            SELECT item_id, event_type AS label, CAST(COUNT(*) AS BIGINT) AS c
+            FROM latest GROUP BY 1, 2
+        ),
+        maj AS MATERIALIZED (
+            SELECT item_id, label AS t0, n_votes FROM (
+                SELECT h.item_id, h.label, h.c,
+                       SUM(h.c) OVER (PARTITION BY h.item_id) AS n_votes,
+                       ROW_NUMBER() OVER (PARTITION BY h.item_id
+                                          ORDER BY h.c DESC, h.label ASC) AS rn
+                FROM hist h
+            ) WHERE rn = 1
+        ),
+        labs AS MATERIALIZED (SELECT DISTINCT event_type AS t FROM latest),
+        nl AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS L FROM labs),
+        ni AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n_items FROM maj),
+        cand AS MATERIALIZED (
+            SELECT v.item_id, v.user_id, v.event_type AS l, labs.t
+            FROM latest v, labs
+        ),
+        ds AS (
+            -- anchor = step 1: EM conditioned on the majority estimate (lb05)
+            SELECT 1 AS iter, w.item_id, w.t, w.cost FROM (
+                SELECT item_id, t, cost,
+                       ROW_NUMBER() OVER (PARTITION BY item_id
+                                          ORDER BY cost ASC, t ASC) AS rn
+                FROM (
+                    SELECT p.item_id, p.t, p.vsum + q.pc AS cost
+                    FROM (
+                        SELECT c.item_id, c.t,
+                               CAST(SUM(CAST(FLOOR((ln(CAST(COALESCE(x.nat, 0) AS DOUBLE) + nl.L)
+                                           - ln(CAST(COALESCE(f.natl, 0) AS DOUBLE) + 1.0))
+                                          * 1e6) AS BIGINT)) AS BIGINT) AS vsum
+                        FROM cand c
+                        LEFT JOIN (
+                            SELECT v.user_id, m.t0 AS t, v.event_type AS l,
+                                   CAST(COUNT(*) AS BIGINT) AS natl
+                            FROM latest v JOIN maj m USING (item_id)
+                            GROUP BY 1, 2, 3
+                        ) f ON f.user_id = c.user_id AND f.t = c.t AND f.l = c.l
+                        LEFT JOIN (
+                            SELECT v.user_id, m.t0 AS t, CAST(COUNT(*) AS BIGINT) AS nat
+                            FROM latest v JOIN maj m USING (item_id)
+                            GROUP BY 1, 2
+                        ) x ON x.user_id = c.user_id AND x.t = c.t, nl
+                        GROUP BY 1, 2
+                    ) p
+                    JOIN (
+                        SELECT labs.t,
+                               CAST(FLOOR((ln(ni.n_items + nl.L)
+                                           - ln(CAST(COALESCE(pr.items_t, 0) AS DOUBLE) + 1.0))
+                                          * 1e6) AS BIGINT) AS pc
+                        FROM labs LEFT JOIN (
+                            SELECT t0 AS t, CAST(COUNT(*) AS BIGINT) AS items_t
+                            FROM maj GROUP BY 1
+                        ) pr ON pr.t = labs.t, nl, ni
+                    ) q USING (t)
+                )
+            ) w WHERE w.rn = 1
+          UNION ALL
+            -- step k+1 re-conditions on step k's assignment; adopted only
+            -- while at least one item's label flips (gr02's QUALIFY rule)
+            SELECT iter, item_id, t, cost FROM (
+                SELECT o.iter + 1 AS iter, n.item_id, n.t, n.cost, o.t AS old_t
+                FROM (
+                    SELECT item_id, t, cost,
+                           ROW_NUMBER() OVER (PARTITION BY item_id
+                                              ORDER BY cost ASC, t ASC) AS rn
+                    FROM (
+                        SELECT p.item_id, p.t, p.vsum + q.pc AS cost
+                        FROM (
+                            SELECT c.item_id, c.t,
+                                   CAST(SUM(CAST(FLOOR((ln(CAST(COALESCE(x.nat, 0) AS DOUBLE) + nl.L)
+                                               - ln(CAST(COALESCE(f.natl, 0) AS DOUBLE) + 1.0))
+                                              * 1e6) AS BIGINT)) AS BIGINT) AS vsum
+                            FROM cand c
+                            LEFT JOIN (
+                                SELECT v.user_id, d.t AS t, v.event_type AS l,
+                                       CAST(COUNT(*) AS BIGINT) AS natl
+                                FROM latest v JOIN ds d USING (item_id)
+                                GROUP BY 1, 2, 3
+                            ) f ON f.user_id = c.user_id AND f.t = c.t AND f.l = c.l
+                            LEFT JOIN (
+                                SELECT v.user_id, d.t AS t, CAST(COUNT(*) AS BIGINT) AS nat
+                                FROM latest v JOIN ds d USING (item_id)
+                                GROUP BY 1, 2
+                            ) x ON x.user_id = c.user_id AND x.t = c.t, nl
+                            GROUP BY 1, 2
+                        ) p
+                        JOIN (
+                            SELECT labs.t,
+                                   CAST(FLOOR((ln(ni.n_items + nl.L)
+                                               - ln(CAST(COALESCE(pr.items_t, 0) AS DOUBLE) + 1.0))
+                                              * 1e6) AS BIGINT) AS pc
+                            FROM labs LEFT JOIN (
+                                SELECT d.t, CAST(COUNT(*) AS BIGINT) AS items_t
+                                FROM ds d GROUP BY 1
+                            ) pr ON pr.t = labs.t, nl, ni
+                        ) q USING (t)
+                    )
+                ) n JOIN ds o USING (item_id)
+                WHERE n.rn = 1 AND o.iter < 50
+            ) s
+            QUALIFY SUM(CASE WHEN s.t <> s.old_t THEN 1 ELSE 0 END) OVER () > 0
+        )
+        SELECT d.item_id, d.t AS ds_label, CAST(d.cost AS BIGINT) AS ds_cost_q,
+               m.t0 AS majority_label, CAST(m.n_votes AS BIGINT) AS n_votes,
+               (d.t <> m.t0) AS changed,
+               CAST((SELECT MAX(iter) FROM ds) AS INT) AS iters
+        FROM ds d JOIN maj m USING (item_id)
+        WHERE d.iter = (SELECT MAX(iter) FROM ds)
+    """,
+)
+def lb06_dawid_skene_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lb05's EM step completed to the LABEL FIXPOINT under gr02's
+    stop-rule pattern: step 1 conditions on the majority, each later step
+    re-conditions on the previous posterior argmax, and a step is adopted
+    only while it flips at least one item — the converged iteration count
+    rides in the hash (every row), so an engine that converges on a
+    different round or to different labels breaks it.  The exact-integer
+    micro-nat trajectory is what makes until-convergence replayable; the
+    oracle's recursive CTE replays the identical stop rule with the
+    helper CTEs MATERIALIZED (lb02's lesson: inlined, DuckDB re-derives
+    the collapse and the votes x L fan-out inside every step)
+    (operators/labels.py dawid_skene_converged)."""
+    from cnics_to_fhir_spark.operators.labels import dawid_skene_converged
+
+    e = table(spark, sf_dir, "events").select(
+        (F.col("event_id") % 199).alias("item_id"),
+        F.col("user_id").alias("annotator_id"),
+        F.col("event_type").alias("label"),
+        "ts",
+        "event_id",
+    )
+    return dawid_skene_converged(
+        e, item_col="item_id", annotator_col="annotator_id", label_col="label",
+        ts_col="ts", vote_id_col="event_id", max_iters=50,
+    )
+
+
+# ---------------------------------------------------------------------------
+# ds16 — incremental shard-level re-export: CDF -> update_export (the
+#         production loop o08 + ds15 point at)
+# ---------------------------------------------------------------------------
+@query(
+    "ds16_incremental_reexport",
+    tags="DS S-sink O-layout J6 SET F18",
+    oracle="""
+        WITH post AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 211 = 5
+                        THEN COALESCE(text, '') || ' [rev2]'
+                        ELSE text END AS text,
+                   source
+            FROM documents
+            WHERE doc_id % 211 <> 7
+            UNION ALL
+            SELECT -doc_id - 1 AS doc_id,
+                   'synthetic ' || CAST(doc_id AS VARCHAR) AS text,
+                   'synth' AS source
+            FROM documents WHERE doc_id % 211 = 11
+        ),
+        h AS (
+            SELECT CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                        AS UBIGINT) % 16 AS shard,
+                   CAST(('0x' || substring(md5(
+                            CAST(doc_id AS VARCHAR) || chr(31)
+                            || COALESCE(text, chr(0)) || chr(31)
+                            || COALESCE(source, chr(0))), 1, 15))
+                        AS UBIGINT) AS rh
+            FROM post
+        )
+        SELECT CAST(shard AS INTEGER) AS shard,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(rh AS DECIMAL(38,0))) AS VARCHAR) AS checksum
+        FROM h GROUP BY 1
+    """,
+)
+def ds16_incremental_reexport(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production incremental loop CLOSED: the corpus lives in a
+    versioned table (o07's storage), one merge wave lands a sparse delta
+    (~3/211 of keys: revisions, deletes, fresh docs), the CHANGE DATA FEED
+    between the two snapshots (o08's manifest-diff read) drives
+    ``update_export`` — which rewrites ONLY the shards the changed keys
+    hash into and patches the manifest atomically.  The oracle computes
+    the full post-delta export stats from scratch, so the hash proves the
+    INCREMENTAL path lands byte-for-byte on what a full re-export would
+    produce; in-entry asserts pin that untouched shard files are
+    mtime-identical and that exactly ``shards_rewritten`` directories
+    moved.  Scale shape: the delta's shuffles are O(changes) + O(touched
+    shards' rows); the corpus is never re-read or re-shuffled
+    (load/corpus_export.py update_export, load/versioned_table.py
+    read_changes)."""
+    import os
+    import shutil
+    import tempfile
+
+    from cnics_to_fhir_spark.load import versioned_table as vt
+    from cnics_to_fhir_spark.load.corpus_export import (
+        export_shards,
+        update_export,
+        verify_export,
+    )
+    from cnics_to_fhir_spark.session import scratch_name
+
+    export_path = os.path.join(tempfile.gettempdir(), scratch_name(spark, "ds16_exp"))
+    table_path = os.path.join(tempfile.gettempdir(), scratch_name(spark, "ds16_tbl"))
+    try:
+        docs = table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+        export_shards(docs, export_path, n_shards=16, key_col="doc_id")
+
+        base = docs.withColumn("pb", F.pmod(F.col("doc_id"), F.lit(4)).cast("int"))
+        vt.create_table(spark, table_path, base, partition_col="pb")
+        upd = docs.filter(F.col("doc_id") % 211 == 5).select(
+            "doc_id", F.lit("update").alias("action"),
+            F.lit(None).cast("string").alias("id"),
+            F.concat(F.coalesce(F.col("text"), F.lit("")), F.lit(" [rev2]")).alias("text"),
+            "source",
+            F.pmod(F.col("doc_id"), F.lit(4)).cast("int").alias("pb"),
+        )
+        dele = docs.filter(F.col("doc_id") % 211 == 7).select(
+            "doc_id", F.lit("delete").alias("action"),
+            F.lit(None).cast("string").alias("id"),
+            F.lit(None).cast("string").alias("text"),
+            F.lit(None).cast("string").alias("source"),
+            F.pmod(F.col("doc_id"), F.lit(4)).cast("int").alias("pb"),
+        )
+        ins = docs.filter(F.col("doc_id") % 211 == 11).select(
+            (-F.col("doc_id") - 1).alias("doc_id"),
+            F.lit("insert").alias("action"),
+            F.lit(None).cast("string").alias("id"),
+            F.concat(F.lit("synthetic "), F.col("doc_id").cast("string")).alias("text"),
+            F.lit("synth").alias("source"),
+            F.pmod(-F.col("doc_id") - 1, F.lit(4)).cast("int").alias("pb"),
+        )
+        plan = upd.unionByName(dele).unionByName(ins)
+        vt.merge_versioned(spark, table_path, plan, key_col="doc_id", partition_col="pb")
+
+        feed = vt.read_changes(spark, table_path, 0, 1, key_col="doc_id").select(
+            "doc_id", "change",
+            F.col("text_post").alias("text"),
+            F.col("source_post").alias("source"),
+        )
+        before = {
+            d: {f: os.stat(os.path.join(export_path, d, f)).st_mtime_ns
+                for f in os.listdir(os.path.join(export_path, d))}
+            for d in os.listdir(export_path) if d.startswith("shard=")
+        }
+        res = update_export(spark, export_path, feed)
+        if res["noop_missing_key"]:
+            raise AssertionError(f"CDF fed absent keys into the export: {res}")
+        moved = set()
+        for d, files in before.items():
+            p = os.path.join(export_path, d)
+            now = (
+                {f: os.stat(os.path.join(p, f)).st_mtime_ns for f in os.listdir(p)}
+                if os.path.isdir(p) else {}
+            )
+            if now != files:
+                moved.add(d)
+        # new shards (insert-only) count as rewritten too
+        moved |= {d for d in os.listdir(export_path)
+                  if d.startswith("shard=") and d not in before}
+        if len(moved) != res["shards_rewritten"]:
+            raise AssertionError(
+                f"untouched shards moved: {sorted(moved)} vs "
+                f"{res['shards_rewritten']} rewritten"
+            )
+        manifest = verify_export(spark, export_path)
+        rows = [
+            (int(k), v["n_rows"], v["checksum"])
+            for k, v in manifest["shards"].items()
+        ]
+    finally:
+        shutil.rmtree(export_path, ignore_errors=True)
+        shutil.rmtree(table_path, ignore_errors=True)
+    return spark.createDataFrame(rows, "shard int, n_rows bigint, checksum string")

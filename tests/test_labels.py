@@ -393,3 +393,89 @@ def test_dawid_skene_matches_pure_python_mirror(spark):
     # sanity: at least the mirror and engine agree everywhere (no flips
     # in this clean fixture beyond what the mirror predicts)
     assert all(got[i]["changed"] == expect[i][4] for i in expect)
+
+
+def test_dawid_skene_converged_matches_iterated_python_mirror(spark):
+    """The converged variant parity-checked against the SAME python mirror
+    iterated to the label fixpoint with the identical adopt-only-if-changed
+    rule — labels, costs, AND the converged iteration count."""
+    import math
+    from collections import Counter, defaultdict
+
+    import pytest
+
+    from cnics_to_fhir_spark.operators.labels import dawid_skene_converged
+
+    rows = []
+    for i in range(6):
+        rows += [(i, "A", "x"), (i, "B", "x"), (i, "C", "x"), (i, "D", "y")]
+    for i in range(6, 9):
+        rows += [(i, "A", "y"), (i, "B", "y"), (i, "C", "y"), (i, "D", "y")]
+    rows += [(100, "B", "x"), (100, "D", "y")]
+    # a noisy block that takes more than one step to settle: E and G are
+    # half-informative, so the first relabel shifts the estimate they are
+    # conditioned on and step 2 can flip again
+    for i in range(200, 206):
+        rows += [(i, "E", "x" if i % 2 else "y"), (i, "G", "y"), (i, "A", "x")]
+
+    df = spark.createDataFrame(rows, "item_id long, annotator_id string, label string")
+    got = {r["item_id"]: r for r in dawid_skene_converged(df).collect()}
+
+    # --- python mirror, iterated ---
+    votes = defaultdict(list)
+    for item, a, l in rows:
+        votes[item].append((a, l))
+    hist = {i: Counter(l for _, l in v) for i, v in votes.items()}
+    assign = {
+        i: min(((-c, l) for l, c in h.items()))[1] for i, h in hist.items()
+    }
+    labels = sorted({l for _, _, l in rows})
+    L = float(len(labels))
+    n_items = float(len(assign))
+
+    def em(cur):
+        conf, ctx = Counter(), Counter()
+        for i, v in votes.items():
+            for a, l in v:
+                conf[(a, cur[i], l)] += 1
+                ctx[(a, cur[i])] += 1
+        prior = Counter(cur.values())
+        out = {}
+        for i, v in votes.items():
+            best = None
+            for t in labels:
+                cost = math.floor(
+                    (math.log(n_items + L) - math.log(prior.get(t, 0) + 1.0)) * 1e6
+                )
+                for a, l in v:
+                    cost += math.floor(
+                        (math.log(ctx.get((a, t), 0) + L)
+                         - math.log(conf.get((a, t, l), 0) + 1.0)) * 1e6
+                    )
+                if best is None or (cost, t) < best:
+                    best = (cost, t)
+            out[i] = best
+        return out
+
+    state = em(assign)  # step 1, unconditional
+    iters = 1
+    for k in range(2, 51):
+        new = em({i: lc[1] for i, lc in state.items()})
+        if all(new[i][1] == state[i][1] for i in state):
+            break
+        state = new
+        iters = k
+
+    for i, (cost, lab) in state.items():
+        r = got[i]
+        assert (r["ds_label"], r["ds_cost_q"], r["iters"]) == (lab, cost, iters), (
+            f"item {i}: {r} vs {(lab, cost, iters)}"
+        )
+    maj = {i: min(((-c, l) for l, c in h.items()))[1] for i, h in hist.items()}
+    assert all(got[i]["changed"] == (state[i][1] != maj[i]) for i in state)
+
+    # non-convergence is a loud error, not a silent cap
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dawid_skene_converged(df, max_iters=1) if iters > 1 else (_ for _ in ()).throw(
+            RuntimeError("did not converge (fixture converged in 1 step)")
+        )

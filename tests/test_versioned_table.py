@@ -172,3 +172,63 @@ def test_change_data_feed_between_versions(spark, tmp_path):
     # identical versions: empty feed, schema intact
     same = vt.read_changes(spark, table, 2, 2, key_col="key")
     assert same.count() == 0 and "change" in same.columns
+
+
+def test_concurrent_commit_is_a_loud_error(spark, tmp_path):
+    """Two writers that both compute version = parent+1: the second
+    link-commit must raise, never silently overwrite the first (the
+    put-if-absent contract real table formats have)."""
+    table = str(tmp_path / "t")
+    _seed(spark, table)
+    # the race lands at the commit primitive: both writers computed
+    # version = parent+1 = 1, the winner linked first
+    winner = {"version": 1, "parent": 0, "partition_col": "day",
+              "entries": [], "schema": None, "writer": "A"}
+    loser = {**winner, "writer": "B"}
+    vt._write_manifest(table, 1, winner)
+    with pytest.raises(vt.ConcurrentCommitError, match="committed by another writer"):
+        vt._write_manifest(table, 1, loser)
+    # the winner's commit is untouched (rename would have silently
+    # replaced it — the lost update this guards against)
+    assert vt.read_manifest(table, 1) == winner
+    # no tmp debris left behind by the loser
+    assert not [f for f in os.listdir(os.path.join(table, "_versions"))
+                if f.endswith(".tmp")]
+
+
+def test_delete_everything_reads_as_empty_table(spark, tmp_path):
+    table = str(tmp_path / "t")
+    df = _seed(spark, table)
+    plan = df.select(
+        "key", F.lit("delete").alias("action"),
+        F.lit(None).cast("string").alias("id"),
+        F.lit(None).cast("string").alias("val"), "day",
+    )
+    c = vt.merge_versioned(spark, table, plan, key_col="key", partition_col="day")
+    assert c["deleted"] == 8
+    v1 = vt.read_version(spark, table)
+    assert v1.count() == 0
+    assert set(v1.columns) == {"key", "val", "day"}
+    # prior version still whole
+    assert vt.read_version(spark, table, 0).count() == 8
+
+
+def test_insert_of_present_key_fails_loudly(spark, tmp_path):
+    table = str(tmp_path / "t")
+    _seed(spark, table)
+    plan = spark.createDataFrame(
+        [(1, "insert", None, "dup", 1)],
+        "key long, action string, id string, val string, day int",
+    )
+    with pytest.raises(ValueError, match="insert\\(s\\) of keys already present"):
+        vt.merge_versioned(spark, table, plan, key_col="key", partition_col="day")
+
+
+def test_vacuum_sweeps_manifest_tmp_debris(spark, tmp_path):
+    table = str(tmp_path / "t")
+    _seed(spark, table)
+    debris = os.path.join(table, "_versions", ".v00000009.json.dead.tmp")
+    open(debris, "w").write("{}")
+    report = vt.vacuum(table, retain_versions=1)
+    assert report["tmp_manifests_removed"] == 1
+    assert not os.path.exists(debris)
