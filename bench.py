@@ -183,6 +183,10 @@ HEADLINE = [
     "e2e13_pretraining_export",
     # round-10 additions
     "ds16_incremental_reexport",
+    "tx14_bm25_topk",
+    "o09_versioned_compaction",
+    # st11_stream_incremental_export is excluded with the other
+    # streaming-equivalence runs below (trigger overhead, not data path).
     # lb06_dawid_skene_converged is excluded with the other iterative ops
     # below (driver-loop EM steps dominate at toy SF, not data path).
     # lb02_bradley_terry is excluded with the other iterative ops below.

@@ -59,6 +59,7 @@ def merge_into_table(
     key_col: str,
     partition_col: str,
     files_per_partition: int | None = None,
+    probe_via_listing: bool = False,
 ) -> dict[str, int]:
     """Apply an action plan to the partitioned parquet table at ``table``.
 
@@ -74,6 +75,16 @@ def merge_into_table(
     partition column, so a task owns whole partitions — no 32-task-file
     fragmentation for compaction to undo).  Size it to partition_bytes /
     target_file_bytes at scale.
+
+    ``probe_via_listing`` replaces the per-touched-partition ``fs.exists``
+    probe (one filesystem RPC per touched partition — fine for the
+    documented hundreds-of-partitions regime, latency-bound when a merge
+    touches 10⁵-10⁶ partitions on an object store) with ONE directory
+    listing of the table root matched against the touched set.  Opt-in:
+    the listing reads ALL partition names, so it only wins when touched ≫
+    RPC-round-trip-budget and loses on a trickle merge into a very wide
+    table.  The O(touched) driver-side partition list itself is inherent
+    to the per-partition swap design and unaffected.
     """
     bad = [
         r["action"]
@@ -133,11 +144,22 @@ def merge_into_table(
     # Touched partitions that already exist on disk are the ONLY ones read
     # — copy-on-write stays partition-scoped even though classification and
     # rewrite are now single global jobs.
-    existing_subs = {
-        val: f"{table}/{pdir(val)}"
-        for val in parts
-        if fs.exists(hpath(f"{table}/{pdir(val)}"))
-    }
+    if probe_via_listing and fs.exists(hpath(table)):
+        on_disk = {
+            st.getPath().getName()
+            for st in fs.listStatus(hpath(table))
+            if st.isDirectory()
+            and st.getPath().getName().startswith(f"{partition_col}=")
+        }
+        existing_subs = {
+            val: f"{table}/{pdir(val)}" for val in parts if pdir(val) in on_disk
+        }
+    else:
+        existing_subs = {
+            val: f"{table}/{pdir(val)}"
+            for val in parts
+            if fs.exists(hpath(f"{table}/{pdir(val)}"))
+        }
     if existing_subs:
         existing = (
             spark.read.option("basePath", table)
@@ -222,7 +244,15 @@ def merge_into_table(
     # files_per_partition is set) to one task each — no small-file spray.
     scratch_root = f"{table}__merging"
     if files_per_partition is not None:
+        # explicit numPartitions: AQE coalesces hint-only repartitions by
+        # size, collapsing the salt spread to one task at small volumes —
+        # the ≤files_per_partition bound held but the spread the caller
+        # asked for silently didn't (versioned_table measured it); salt
+        # tuples colliding into one of N tasks mean fewer files, never
+        # more, so the bound holds for any N.
+        n = int(merged.sparkSession.conf.get("spark.sql.shuffle.partitions"))
         merged = merged.repartition(
+            n,
             F.col(partition_col),
             F.pmod(F.xxhash64(F.col(key_col)), F.lit(files_per_partition)),
         )

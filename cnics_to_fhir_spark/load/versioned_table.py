@@ -158,8 +158,18 @@ def _write_commit(
 ) -> list[dict]:
     commit_dir = os.path.join(table, DATA_DIR, f"commit-{version:08d}")
     if files_per_partition is not None and salt_col is not None:
-        # bounded key-hash salt: whole partitions per task, capped files
+        # bounded key-hash salt: whole partitions per task, capped files.
+        # numPartitions is EXPLICIT because AQE coalesces hint-only
+        # repartitions by size — at small volumes every salt bucket lands
+        # in one coalesced task and the file bound silently becomes 1
+        # (fine) but the SPREAD the caller asked for never happens
+        # (measured: 4-salt repartition → 1 file/partition under AQE).
+        # Distinct (partition, salt) tuples may collide into one of the N
+        # tasks — fewer files, never more — so the ≤files_per_partition
+        # bound holds for any N.
+        n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
         df = df.repartition(
+            n,
             F.col(partition_col),
             F.pmod(F.xxhash64(F.col(salt_col)), F.lit(files_per_partition)),
         )
@@ -191,11 +201,14 @@ def create_table(
     df: DataFrame,
     partition_col: str,
     files_per_partition: int | None = None,
+    salt_col: str | None = None,
 ) -> int:
-    """Version 0: the seed snapshot."""
+    """Version 0: the seed snapshot.  ``files_per_partition`` bounds the
+    seed commit's files per partition (requires ``salt_col`` — the column
+    whose hash spreads rows across the files)."""
     if current_version(table) is not None:
         raise ValueError(f"versioned table already exists at {table}")
-    entries = _write_commit(df, table, 0, partition_col, None)
+    entries = _write_commit(df, table, 0, partition_col, files_per_partition, salt_col)
     _write_manifest(
         table,
         0,
@@ -393,6 +406,80 @@ def merge_versioned(
         },
     )
     return counts
+
+
+def compact_versioned(
+    spark: SparkSession,
+    table: str,
+    files_per_partition: int = 1,
+    key_col: str | None = None,
+) -> dict[str, int]:
+    """Small-file compaction as a NEW VERSION — the maintenance op every
+    log-structured table needs once merges with ``files_per_partition``
+    have fragmented partitions: partitions whose manifest lists more than
+    ``files_per_partition`` files are rewritten into bounded files in a
+    fresh commit; already-compact partitions carry their entries forward
+    untouched.  Because compaction is just another version, readers keep
+    snapshot isolation through it, prior versions stay time-travelable,
+    and the change data feed between the pre- and post-compaction
+    versions is EMPTY by row content (read_changes drops identical
+    payloads) — compaction moves bytes, never data.  Old fragments
+    become unreferenced once the pre-compaction manifests age out and
+    vacuum sweeps them.
+
+    ``key_col`` is required for ``files_per_partition > 1`` (its hash
+    spreads rows across the bounded files).  Returns counts; when nothing
+    is fragmented, returns without creating a version.
+
+    Scale shape: reads ONLY fragmented partitions' files (manifest-
+    scoped), one partitioned write, O(files) driver metadata — the
+    table is never scanned to decide what to compact."""
+    if files_per_partition < 1:
+        raise ValueError("files_per_partition must be >= 1")
+    if files_per_partition > 1 and key_col is None:
+        raise ValueError("files_per_partition > 1 requires key_col for salting")
+    parent = current_version(table)
+    if parent is None:
+        raise ValueError(f"no versioned table at {table}")
+    man = read_manifest(table, parent)
+    partition_col = man["partition_col"]
+    by_part: dict[str, list[dict]] = {}
+    for e in man["entries"]:
+        by_part.setdefault(e["partition"], []).append(e)
+    frag = {p: es for p, es in by_part.items() if len(es) > files_per_partition}
+    if not frag:
+        return {
+            "version": parent, "partitions_compacted": 0,
+            "files_before": 0, "files_after": 0,
+        }
+    touched_paths = [e["path"] for es in frag.values() for e in es]
+    df = _read_entry_paths(spark, table, sorted(touched_paths))
+    version = parent + 1
+    new_entries = _write_commit(
+        df, table, version, partition_col,
+        files_per_partition if files_per_partition > 1 else None,
+        salt_col=key_col,
+    )
+    carried = [
+        e for p, es in by_part.items() if p not in frag for e in es
+    ]
+    _write_manifest(
+        table,
+        version,
+        {
+            "version": version,
+            "parent": parent,
+            "partition_col": partition_col,
+            "entries": carried + new_entries,
+            "schema": man.get("schema") or _schema_json(df, partition_col),
+        },
+    )
+    return {
+        "version": version,
+        "partitions_compacted": len(frag),
+        "files_before": sum(len(es) for es in frag.values()),
+        "files_after": len(new_entries),
+    }
 
 
 def vacuum(table: str, retain_versions: int = 1) -> dict[str, int]:

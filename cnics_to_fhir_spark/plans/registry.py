@@ -93,6 +93,9 @@ _PRIORITY: tuple[str, ...] = (
     # (2) round-10 newcomers (driver-verified same round they ship)
     "lb06_dawid_skene_converged",
     "ds16_incremental_reexport",
+    "st11_stream_incremental_export",
+    "tx14_bm25_topk",
+    "o09_versioned_compaction",
     # (3) the 4 stalest driver records (r03)
     "j07_semi_join",
     "o02_order_limit",
@@ -153,6 +156,9 @@ _NEVER_DRIVER_VERIFIED: tuple[str, ...] = (
     # tuple should be EMPTY after round 10.
     "lb06_dawid_skene_converged",
     "ds16_incremental_reexport",
+    "st11_stream_incremental_export",
+    "tx14_bm25_topk",
+    "o09_versioned_compaction",
 )
 
 

@@ -7480,3 +7480,224 @@ def ds16_incremental_reexport(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(export_path, ignore_errors=True)
         shutil.rmtree(table_path, ignore_errors=True)
     return spark.createDataFrame(rows, "shard int, n_rows bigint, checksum string")
+
+
+# ---------------------------------------------------------------------------
+# tx14 — BM25 retrieval scoring (doc-length-normalized relevance)
+# ---------------------------------------------------------------------------
+@query(
+    "tx14_bm25_topk",
+    tags="TX A5 W J8 F22",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, t.tok
+            FROM documents, UNNEST(string_split(text, ' ')) AS t(tok)
+        ),
+        tf AS (
+            SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM tok GROUP BY 1, 2
+        ),
+        dl AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+            FROM tok GROUP BY 1
+        ),
+        avgdl AS (SELECT AVG(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+        dfreq AS (
+            SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+            FROM tok GROUP BY 1
+        ),
+        n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+        qterms AS (
+            SELECT tok, df FROM (
+                SELECT tok, df,
+                       ROW_NUMBER() OVER (ORDER BY df DESC, tok ASC) AS r
+                FROM dfreq
+            ) WHERE r BETWEEN 10 AND 14
+        ),
+        scored AS (
+            SELECT tf.doc_id, tf.tok,
+                   FLOOR((ln((n.n_docs - q.df + 0.5) / (q.df + 0.5) + 1.0)
+                          * (tf.tf * 2.2)
+                          / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / avgdl.avgdl))
+                         )*1e6 + 0.5)/1e6 AS bm25
+            FROM tf
+            JOIN qterms q ON q.tok = tf.tok
+            JOIN dl ON dl.doc_id = tf.doc_id, avgdl, n
+        )
+        SELECT tok, doc_id, bm25, rank FROM (
+            SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY tok
+                           ORDER BY bm25 DESC, doc_id) AS INTEGER) AS rank
+            FROM scored
+        ) WHERE rank <= 20
+    """,
+)
+def tx14_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 documents per query term — tx05's TF-IDF completed
+    with the Robertson idf and doc-length normalization (k1=1.2, b=0.75):
+    the scoring a pipeline uses to rank corpus docs against benchmark
+    queries for decontamination or against seed queries for targeted
+    curation.  The query side is derived deterministically from the
+    corpus itself (df ranks 10-14 with a lexicographic tiebreak) so the
+    entry replays bit-for-bit.  Scale shape: the two corpus shuffles
+    every bag-of-words op pays (doc-keyed TF+length, token-keyed DF);
+    the query-term table is O(|query|) broadcast, so scoring touches
+    only matching postings — never the full tf table; avgdl and N ride
+    as one-row broadcasts keeping the whole query one job."""
+    from cnics_to_fhir_spark.functions.numeric import stable_round
+
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
+    avgdl = dl.agg(F.avg(F.col("dl").cast("double")).alias("avgdl"))
+    dfreq = tok.groupBy("tok").agg(F.count_distinct("doc_id").cast("long").alias("df"))
+    n_docs = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    # global rank over the vocabulary table: TakeOrderedAndProject collapses
+    # the corpus-wide sort to a distributed top-14, so the single-partition
+    # row_number window runs over 14 rows, never the vocabulary
+    top14 = dfreq.orderBy(F.col("df").desc(), F.col("tok").asc()).limit(14)
+    qterms = (
+        top14.withColumn(
+            "r",
+            F.row_number().over(
+                Window.orderBy(F.col("df").desc(), F.col("tok").asc())
+            ),
+        )
+        .filter(F.col("r") >= 10)
+        .select("tok", "df")
+    )
+    raw = (
+        F.log(
+            (F.col("n_docs") - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+            + F.lit(1.0)
+        )
+        * (F.col("tf") * F.lit(2.2))
+        / (
+            F.col("tf")
+            + F.lit(1.2)
+            * (F.lit(1.0) - F.lit(0.75) + F.lit(0.75) * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), on="tok")
+        .join(dl, on="doc_id")
+        .join(F.broadcast(avgdl))
+        .join(F.broadcast(n_docs))
+        .select("tok", "doc_id", stable_round(raw, 6).alias("bm25"))
+    )
+    w = Window.partitionBy("tok").orderBy(F.col("bm25").desc(), F.col("doc_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= 20
+    )
+
+
+# ---------------------------------------------------------------------------
+# o09 — compaction as a VERSION on the log-structured table
+# ---------------------------------------------------------------------------
+@query(
+    "o09_versioned_compaction",
+    tags="O-layout J6 S-sink SET A5",
+    oracle="""
+        WITH base AS (
+            SELECT o_orderkey AS key, o_totalprice AS val,
+                   CAST(o_orderkey % 2 AS INTEGER) AS b
+            FROM orders WHERE year(o_orderdate) = 1996
+        ),
+        v1 AS (
+            SELECT key, CASE WHEN key % 2 = 1 THEN val + 2.0 ELSE val END AS val, b
+            FROM base
+        ),
+        allv AS (
+            SELECT CAST(0 AS BIGINT) AS version, * FROM base
+            UNION ALL SELECT CAST(1 AS BIGINT), * FROM v1
+            UNION ALL SELECT CAST(2 AS BIGINT), * FROM v1
+        )
+        SELECT version, b,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(FLOOR(val*100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+        FROM allv GROUP BY 1, 2
+    """,
+)
+def o09_versioned_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction as just another VERSION on the versioned table — the
+    maintenance op that closes the storage family (merge / time travel /
+    CDF / vacuum / evolution / now compaction): an 8-file merge wave
+    fragments the odd-keys partition, compaction rewrites ONLY that
+    partition into one file in a fresh commit while the even partition's
+    seed entries carry forward verbatim, and all three versions aggregate
+    under one oracle hash — version 2 must equal version 1 exactly
+    (compaction moves bytes, never data).  In-entry asserts: exactly one
+    partition compacted, the pre/post-compaction change feed is EMPTY,
+    the seed commit's files are mtime-identical throughout, and the
+    fragmented wave really produced >1 file
+    (load/versioned_table.py compact_versioned)."""
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+
+    from cnics_to_fhir_spark.load import versioned_table as vt
+    from cnics_to_fhir_spark.session import scratch_name
+
+    path = os.path.join(tempfile.gettempdir(), scratch_name(spark, "o09_table"))
+    try:
+        base = (
+            table(spark, sf_dir, "orders")
+            .filter(F.year("o_orderdate") == 1996)
+            .select(
+                F.col("o_orderkey").alias("key"),
+                F.col("o_totalprice").alias("val"),
+                (F.col("o_orderkey") % 2).cast("int").alias("b"),
+            )
+        )
+        vt.create_table(spark, path, base, partition_col="b")
+        seed_commit = os.path.join(path, "data", "commit-00000000")
+        seed_files = {
+            f: os.stat(f).st_mtime_ns
+            for f in _glob.glob(os.path.join(seed_commit, "**", "*.parquet"),
+                                recursive=True)
+        }
+        wave = base.filter(F.col("key") % 2 == 1).select(
+            "key", F.lit("update").alias("action"),
+            F.col("key").cast("string").alias("id"),
+            (F.col("val") + 2.0).alias("val"), "b",
+        )
+        vt.merge_versioned(spark, path, wave, key_col="key", partition_col="b",
+                           files_per_partition=8)
+        m1 = vt.read_manifest(path, 1)
+        frag = [e for e in m1["entries"] if e["partition"] == "1"]
+        if len(frag) <= 1:
+            raise AssertionError(f"fixture failed to fragment: {len(frag)} file(s)")
+
+        rep = vt.compact_versioned(spark, path, files_per_partition=1)
+        if rep["partitions_compacted"] != 1 or rep["files_after"] != 1:
+            raise AssertionError(f"compaction scope wrong: {rep}")
+        if vt.read_changes(spark, path, 1, 2, key_col="key").count() != 0:
+            raise AssertionError("compaction changed row content")
+        now = {
+            f: os.stat(f).st_mtime_ns
+            for f in _glob.glob(os.path.join(seed_commit, "**", "*.parquet"),
+                                recursive=True)
+        }
+        if now != seed_files:
+            raise AssertionError("compaction touched the seed commit")
+
+        out = None
+        for v in (0, 1, 2):
+            agg = (
+                vt.read_version(spark, path, v)
+                .groupBy(F.lit(v).cast("long").alias("version"),
+                         F.col("b").cast("int").alias("b"))
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n"),
+                    F.sum(
+                        F.floor(F.col("val") * 100 + F.lit(0.5)).cast("long")
+                    ).alias("cents"),
+                )
+            )
+            out = agg if out is None else out.unionByName(agg)
+        rows = out.collect()
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(rows, "version bigint, b int, n bigint, cents bigint")

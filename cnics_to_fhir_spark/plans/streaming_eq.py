@@ -1082,3 +1082,157 @@ def st10_stream_label_campaign(spark: SparkSession, sf_dir: str) -> DataFrame:
         "item_id long, winner_label string, winner_votes bigint, n_votes bigint,"
         " n_labels bigint, winner_share_q bigint, pairwise_agree_q bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# st11 — streaming change trickle maintains the SHARDED EXPORT ARTIFACT
+# ---------------------------------------------------------------------------
+@query(
+    "st11_stream_incremental_export",
+    tags="2.10 STREAM DS S-sink J6 F18",
+    oracle="""
+        WITH post AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 211 = 5
+                        THEN COALESCE(text, '') || ' [rev2]'
+                        ELSE text END AS text,
+                   source
+            FROM documents
+            WHERE doc_id % 211 <> 7
+            UNION ALL
+            SELECT -doc_id - 1 AS doc_id,
+                   'synthetic ' || CAST(doc_id AS VARCHAR) AS text,
+                   'synth' AS source
+            FROM documents WHERE doc_id % 211 = 11
+        ),
+        h AS (
+            SELECT CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                        AS UBIGINT) % 16 AS shard,
+                   CAST(('0x' || substring(md5(
+                            CAST(doc_id AS VARCHAR) || chr(31)
+                            || COALESCE(text, chr(0)) || chr(31)
+                            || COALESCE(source, chr(0))), 1, 15))
+                        AS UBIGINT) AS rh
+            FROM post
+        )
+        SELECT CAST(shard AS INTEGER) AS shard,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(rh AS DECIMAL(38,0))) AS VARCHAR) AS checksum
+        FROM h GROUP BY 1
+    """,
+)
+def st11_stream_incremental_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ds16's incremental loop under the REAL streaming machinery: the
+    training artifact stays continuously fresh while a change trickle
+    arrives.  Three change waves (revisions, deletes, fresh docs — ds16's
+    delta split across time) land as separate micro-batches
+    (file source, maxFilesPerTrigger=1); ``foreachBatch`` applies each to
+    the live sharded export via ``update_export``, rewriting only the
+    shards that batch touches.  The oracle never sees batches — it
+    computes the full post-delta export stats declaratively, so the hash
+    pins that N micro-batched in-place updates converge to exactly what
+    one from-scratch export of the final corpus produces (ordering,
+    duplication, lost-batch, or manifest-patch bugs all break it).
+    In-entry asserts: three batches applied, zero noop_missing_key
+    (waves are disjoint by construction), the final artifact re-verified
+    FROM DISK, and shards no wave touched byte-identical (mtime pin)
+    across the whole run (load/corpus_export.py update_export)."""
+    from cnics_to_fhir_spark.load.corpus_export import (
+        export_shards,
+        update_export,
+        verify_export,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    waves = [
+        docs.filter(F.col("doc_id") % 211 == 5).select(
+            "doc_id", F.lit("update").alias("change"),
+            F.concat(F.coalesce(F.col("text"), F.lit("")), F.lit(" [rev2]")).alias("text"),
+            "source",
+        ),
+        docs.filter(F.col("doc_id") % 211 == 7).select(
+            "doc_id", F.lit("delete").alias("change"),
+            F.lit(None).cast("string").alias("text"),
+            F.lit(None).cast("string").alias("source"),
+        ),
+        docs.filter(F.col("doc_id") % 211 == 11).select(
+            (-F.col("doc_id") - 1).alias("doc_id"),
+            F.lit("insert").alias("change"),
+            F.concat(F.lit("synthetic "), F.col("doc_id").cast("string")).alias("text"),
+            F.lit("synth").alias("source"),
+        ),
+    ]
+
+    tmp = tempfile.mkdtemp(prefix="st11-")
+    try:
+        src = os.path.join(tmp, "changes")
+        chk = os.path.join(tmp, "chk")
+        export_path = os.path.join(tmp, "export")
+        os.makedirs(src)
+        export_shards(docs, export_path, n_shards=16, key_col="doc_id")
+        before = {
+            d: {f: os.stat(os.path.join(export_path, d, f)).st_mtime_ns
+                for f in os.listdir(os.path.join(export_path, d))}
+            for d in os.listdir(export_path) if d.startswith("shard=")
+        }
+
+        base_t = 1_700_000_000
+        for k, w in enumerate(waves):
+            part = os.path.join(tmp, f"wave{k}")
+            w.coalesce(1).write.parquet(part)
+            f = next(p for p in os.listdir(part) if p.endswith(".parquet"))
+            dst = os.path.join(src, f"{k:02d}.parquet")
+            os.rename(os.path.join(part, f), dst)
+            os.utime(dst, (base_t + k, base_t + k))
+
+        applied: list[dict] = []
+
+        def sink(batch_df: DataFrame, epoch_id: int) -> None:
+            applied.append(update_export(spark, export_path, batch_df))
+
+        stream = (
+            spark.readStream.schema(
+                "doc_id long, change string, text string, source string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", chk)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        if len(applied) != 3:
+            raise AssertionError(f"expected 3 micro-batches, saw {len(applied)}")
+        if any(c["noop_missing_key"] for c in applied):
+            raise AssertionError(f"waves fed absent keys: {applied}")
+        manifest = verify_export(spark, export_path)
+        moved = set()
+        for d, files in before.items():
+            p = os.path.join(export_path, d)
+            now = (
+                {f: os.stat(os.path.join(p, f)).st_mtime_ns for f in os.listdir(p)}
+                if os.path.isdir(p) else {}
+            )
+            if now != files:
+                moved.add(d)
+        moved |= {d for d in os.listdir(export_path)
+                  if d.startswith("shard=") and d not in before}
+        ever_rewritten = sum(c["shards_rewritten"] for c in applied)
+        if len(moved) > ever_rewritten:
+            raise AssertionError(
+                f"shards no batch touched moved: {sorted(moved)}, "
+                f"batches rewrote {ever_rewritten}"
+            )
+        rows = [
+            (int(k), v["n_rows"], v["checksum"])
+            for k, v in manifest["shards"].items()
+        ]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, "shard int, n_rows bigint, checksum string")

@@ -286,3 +286,57 @@ def test_merge_handles_hive_escaped_partition_values(spark, tmp_path):
     assert got[(hot, 1)] == "new-1" and got[(hot, 9)] == "new-9"
     assert got[(hot, 2)] == "old-2" and got[("2024-01-02", 3)] == "old-3"
     assert not glob.glob(str(tmp_path / "t__*"))  # no swap debris
+
+
+def test_probe_via_listing_matches_default_path(spark, tmp_path):
+    """The opt-in millions-of-partitions probe: ONE listing of the table
+    root instead of one fs.exists RPC per touched partition.  Same
+    counts, same rows, same physical copy-on-write as the default path —
+    exercised over a wide layout with updates into existing partitions,
+    inserts into brand-new ones, and noops."""
+    table = str(tmp_path / "t")
+    rows = [(d * 10 + i, f"v{d}-{i}", d) for d in range(300) for i in range(2)]
+    df = spark.createDataFrame(rows, "key long, val string, day int")
+    df.repartition(F.col("day")).write.partitionBy("day").parquet(table)
+
+    plan_rows = (
+        [(d * 10, "update", None, f"upd{d}", d) for d in range(100)]
+        + [(9000 + d, "insert", None, f"ins{d}", 300 + d) for d in range(50)]
+        + [(777777, "delete", None, None, 5)]  # absent key -> noop
+    )
+    plan = spark.createDataFrame(
+        plan_rows, "key long, action string, id string, val string, day int"
+    )
+    untouched_before = _snap(os.path.join(table, "day=299"))
+    counts = merge_into_table(
+        spark, table, plan, key_col="key", partition_col="day",
+        probe_via_listing=True,
+    )
+    assert counts == {
+        "inserted": 50,
+        "updated": 100,
+        "deleted": 0,
+        "noop_missing_key": 1,
+        "partitions_rewritten": 150,
+    }
+    got = spark.read.parquet(table)
+    assert got.count() == 600 + 50
+    sample = {r["key"]: r["val"]
+              for r in got.filter(F.col("day").isin(0, 299, 320)).collect()}
+    assert sample[0] == "upd0"
+    assert sample[2990] == "v299-0"  # untouched
+    assert sample[9020] == "ins20"   # brand-new partition, probed via listing
+    assert _snap(os.path.join(table, "day=299")) == untouched_before
+    assert not glob.glob(str(tmp_path / "t__*"))
+
+    # a merge into a table whose root does not exist yet (first batch):
+    # the listing path must not trip over the missing dir
+    fresh = str(tmp_path / "fresh")
+    c2 = merge_into_table(
+        spark, fresh,
+        spark.createDataFrame([(1, "insert", None, "x", 0)],
+                              "key long, action string, id string, val string, day int"),
+        key_col="key", partition_col="day", probe_via_listing=True,
+    )
+    assert c2["inserted"] == 1
+    assert spark.read.parquet(fresh).count() == 1

@@ -232,3 +232,50 @@ def test_vacuum_sweeps_manifest_tmp_debris(spark, tmp_path):
     report = vt.vacuum(table, retain_versions=1)
     assert report["tmp_manifests_removed"] == 1
     assert not os.path.exists(debris)
+
+
+def test_compaction_is_a_version_that_moves_no_data(spark, tmp_path):
+    """compact_versioned: fragmented partitions rewrite into bounded files
+    as a NEW version; data identical (empty CDF), prior versions intact,
+    already-compact partitions carried forward, idempotent."""
+    table = str(tmp_path / "t")
+    df = _seed(spark, table)
+    # fragment day=1 only: an 8-file merge wave over the odd keys
+    plan = df.filter(F.col("key") % 2 == 1).select(
+        "key", F.lit("update").alias("action"),
+        F.lit(None).cast("string").alias("id"),
+        F.concat(F.col("val"), F.lit("+")).alias("val"), "day",
+    )
+    vt.merge_versioned(spark, table, plan, key_col="key",
+                       partition_col="day", files_per_partition=4)
+    m1 = vt.read_manifest(table, 1)
+    day1_files = [e for e in m1["entries"] if e["partition"] == "1"]
+    assert len(day1_files) > 1  # fragmented
+    day0_entries = [e for e in m1["entries"] if e["partition"] == "0"]
+
+    rep = vt.compact_versioned(spark, table, files_per_partition=1)
+    assert rep["version"] == 2 and rep["partitions_compacted"] == 1
+    assert rep["files_before"] == len(day1_files) and rep["files_after"] == 1
+    m2 = vt.read_manifest(table, 2)
+    # the compact partition carried its entries forward verbatim
+    assert [e for e in m2["entries"] if e["partition"] == "0"] == day0_entries
+    # data identical: CDF pre->post compaction is EMPTY
+    assert vt.read_changes(spark, table, 1, 2, key_col="key").count() == 0
+    got = {r["key"]: r["val"] for r in vt.read_version(spark, table).collect()}
+    assert got == {k: (f"v{k}+" if k % 2 else f"v{k}") for k in range(8)}
+    # prior versions still whole
+    assert vt.read_version(spark, table, 0).count() == 8
+    # idempotent: nothing fragmented -> no new version
+    rep2 = vt.compact_versioned(spark, table, files_per_partition=1)
+    assert rep2 == {"version": 2, "partitions_compacted": 0,
+                    "files_before": 0, "files_after": 0}
+    # vacuum after retention: old fragments swept, latest reads whole
+    vt.vacuum(table, retain_versions=1)
+    assert {r["key"] for r in vt.read_version(spark, table).collect()} == set(range(8))
+
+
+def test_compaction_to_bounded_files_requires_key(spark, tmp_path):
+    table = str(tmp_path / "t")
+    _seed(spark, table)
+    with pytest.raises(ValueError, match="requires key_col"):
+        vt.compact_versioned(spark, table, files_per_partition=2)
