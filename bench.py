@@ -185,6 +185,7 @@ HEADLINE = [
     "ds16_incremental_reexport",
     "tx14_bm25_topk",
     "o09_versioned_compaction",
+    "dd15_lsh_pr_eval",
     # st11_stream_incremental_export is excluded with the other
     # streaming-equivalence runs below (trigger overhead, not data path).
     # lb06_dawid_skene_converged is excluded with the other iterative ops

@@ -234,6 +234,49 @@ def minhash_from_shingles(
     )
 
 
+def _lsh_candidates(
+    shingled: DataFrame, num_hashes: int, bands: int, portable: bool
+) -> DataFrame:
+    """MinHash signatures → band buckets → distinct candidate pairs
+    (id_a < id_b).  The band join runs over (id, band_id, band_hash) rows
+    only (~24 B each); shingle arrays never ride the band explode."""
+    rows = num_hashes // bands
+    if portable:
+        def band_hash(b: int) -> Column:
+            joined = F.concat_ws(
+                "|", *[F.col("sig")[b * rows + r].cast("string") for r in range(rows)]
+            )
+            return portable_hash(joined)
+    else:
+        def band_hash(b: int) -> Column:
+            return F.xxhash64(*[F.col("sig")[b * rows + r] for r in range(rows)])
+
+    banded = shingled.select(
+        "id", minhash_from_shingles(F.col("shingles"), num_hashes, portable).alias("sig")
+    ).select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        band_hash(b).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("id", "band.band_id", "band.band_hash")
+
+    return (
+        banded.select(F.col("id").alias("id_a"), "band_id", "band_hash")
+        .join(banded.select(F.col("id").alias("id_b"), "band_id", "band_hash"), on=["band_id", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -277,40 +320,7 @@ def minhash_lsh_pairs(
         from pyspark import StorageLevel
 
         shingled = shingled.persist(StorageLevel.MEMORY_AND_DISK)
-    if portable:
-        def band_hash(b: int) -> Column:
-            joined = F.concat_ws(
-                "|", *[F.col("sig")[b * rows + r].cast("string") for r in range(rows)]
-            )
-            return portable_hash(joined)
-    else:
-        def band_hash(b: int) -> Column:
-            return F.xxhash64(*[F.col("sig")[b * rows + r] for r in range(rows)])
-
-    banded = shingled.select(
-        "id", minhash_from_shingles(F.col("shingles"), num_hashes, portable).alias("sig")
-    ).select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        band_hash(b).alias("band_hash"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band"),
-    ).select("id", "band.band_id", "band.band_hash")
-
-    candidates = (
-        banded.select(F.col("id").alias("id_a"), "band_id", "band_hash")
-        .join(banded.select(F.col("id").alias("id_b"), "band_id", "band_hash"), on=["band_id", "band_hash"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    candidates = _lsh_candidates(shingled, num_hashes, bands, portable)
     out = _verify_jaccard(candidates, shingled, threshold)
     if materialize:
         pair_rows = out.collect()
@@ -319,6 +329,98 @@ def minhash_lsh_pairs(
             shingled.unpersist()
         return df.sparkSession.createDataFrame(pair_rows, schema)
     return out
+
+
+def lsh_pr_eval(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    k: int = 3,
+    threshold: float = 0.5,
+    df_cap: int = 10,
+) -> DataFrame:
+    """Precision/recall of the LSH BANDING itself — the parameter-tuning
+    harness a dedup pipeline needs before trusting (num_hashes, bands) at
+    corpus scale: how many banding candidates are real near-dups
+    (precision — wasted verify work when low), and how many real
+    near-dups the bands surface at all (recall — silently surviving
+    duplicates when low).  ann10 plays this role for ANN; this is the
+    dedup twin.
+
+    Ground truth = exact Jaccard ≥ ``threshold`` over the UNION of two
+    independent candidate generators — a df-capped shingle inverted index
+    (dd13's discipline: Σ df² volume bounded, hot shingles excluded and
+    COUNTED, never silently dropped) and the LSH candidates themselves —
+    so a true pair missed by the capped index but found by LSH still
+    lands in the truth set, and precision never reads false-low.  A
+    J ≥ 0.5 pair shares at least half its shingles, so only a pair ALL of
+    whose shared shingles are hot can be missing from truth entirely;
+    ``n_capped_shingles`` quantifies that exposure per run.
+
+    Output: ONE row (n_truth, n_cand, n_hit, n_capped_shingles,
+    precision_q, recall_q) — shares in integer micro-units via exact DIV,
+    NULL (not fake 100%) when a denominator is zero.
+
+    Scale shape: the banding side is dd03b's (ids+band-hash rows only);
+    the index side is one shingle-keyed count agg + one df-capped
+    self-join; verification joins are keyed on ids; every metric is a
+    map-side-combinable count — no driver state beyond the single output
+    row."""
+    from pyspark import StorageLevel
+
+    shingled = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(word_shingles(F.col(text_col), k)).alias("shingles"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    cand = _lsh_candidates(shingled, num_hashes, bands, portable=True)
+
+    inv = shingled.select("id", F.explode("shingles").alias("s"))
+    dfreq = inv.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    kept = dfreq.filter(F.col("c") <= df_cap).select("s")
+    n_capped = dfreq.agg(
+        F.sum((F.col("c") > df_cap).cast("long")).alias("n_capped_shingles")
+    ).select(F.coalesce(F.col("n_capped_shingles"), F.lit(0)).alias("n_capped_shingles"))
+    invk = inv.join(kept, on="s", how="left_semi")
+    pinv = (
+        invk.select(F.col("id").alias("id_a"), "s")
+        .join(invk.select(F.col("id").alias("id_b"), "s"), on="s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    allp = pinv.unionByName(cand).dropDuplicates(["id_a", "id_b"])
+    truth = _verify_jaccard(allp, shingled, threshold).select("id_a", "id_b")
+
+    nt = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    nc = cand.agg(F.count(F.lit(1)).cast("long").alias("n_cand"))
+    nh = cand.join(truth, on=["id_a", "id_b"], how="left_semi").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hit")
+    )
+    out = (
+        nt.crossJoin(nc)
+        .crossJoin(nh)
+        .crossJoin(n_capped)
+        .select(
+            "n_truth",
+            "n_cand",
+            "n_hit",
+            "n_capped_shingles",
+            F.when(
+                F.col("n_cand") > 0,
+                F.expr("CAST(n_hit * 1000000 DIV n_cand AS BIGINT)"),
+            ).alias("precision_q"),
+            F.when(
+                F.col("n_truth") > 0,
+                F.expr("CAST(n_hit * 1000000 DIV n_truth AS BIGINT)"),
+            ).alias("recall_q"),
+        )
+    )
+    rows = out.collect()
+    shingled.unpersist()
+    return df.sparkSession.createDataFrame(rows, out.schema)
 
 
 # ---------------------------------------------------------------------------

@@ -96,6 +96,7 @@ _PRIORITY: tuple[str, ...] = (
     "st11_stream_incremental_export",
     "tx14_bm25_topk",
     "o09_versioned_compaction",
+    "dd15_lsh_pr_eval",
     # (3) the 4 stalest driver records (r03)
     "j07_semi_join",
     "o02_order_limit",
@@ -159,6 +160,7 @@ _NEVER_DRIVER_VERIFIED: tuple[str, ...] = (
     "st11_stream_incremental_export",
     "tx14_bm25_topk",
     "o09_versioned_compaction",
+    "dd15_lsh_pr_eval",
 )
 
 

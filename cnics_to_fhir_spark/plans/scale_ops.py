@@ -7701,3 +7701,105 @@ def o09_versioned_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(path, ignore_errors=True)
     return spark.createDataFrame(rows, "version bigint, b int, n bigint, cents bigint")
+
+
+# ---------------------------------------------------------------------------
+# dd15 — precision/recall eval of the LSH banding (the dedup-QA harness)
+# ---------------------------------------------------------------------------
+@query(
+    "dd15_lsh_pr_eval",
+    tags="DD-minhash DD-jaccard A5 J1 F18",
+    oracle="""
+        WITH sh AS (
+            SELECT doc_id AS id,
+                   list_distinct(
+                       CASE WHEN len(string_split(text, ' ')) >= 3
+                            THEN [array_to_string(
+                                      list_slice(string_split(text, ' '), i, i + 2),
+                                      ' ')
+                                  FOR i IN range(1, len(string_split(text, ' ')) - 1)]
+                            ELSE [array_to_string(string_split(text, ' '), ' ')]
+                       END
+                   ) AS shingles
+            FROM documents
+        ),
+        hashes AS (
+            SELECT id, j,
+                   MIN(CAST(CAST(('0x' || substring(
+                       md5(CAST(j AS VARCHAR) || ':' || s), 1, 15)) AS UBIGINT)
+                       AS BIGINT)) AS m
+            FROM sh, UNNEST(shingles) AS t(s), UNNEST(range(0, 8)) AS r(j)
+            GROUP BY id, j
+        ),
+        sig AS (
+            SELECT id, list(m ORDER BY j) AS sig FROM hashes GROUP BY id
+        ),
+        banded AS (
+            SELECT id, b,
+                   CAST(CAST(('0x' || substring(
+                       md5(CAST(sig[b*2+1] AS VARCHAR) || '|'
+                           || CAST(sig[b*2+2] AS VARCHAR)), 1, 15)) AS UBIGINT)
+                       AS BIGINT) AS band_hash
+            FROM sig, UNNEST(range(0, 4)) AS rb(b)
+        ),
+        cand AS (
+            SELECT DISTINCT a.id AS id_a, b2.id AS id_b
+            FROM banded a
+            JOIN banded b2 ON a.b = b2.b AND a.band_hash = b2.band_hash
+            WHERE a.id < b2.id
+        ),
+        inv AS (SELECT id, t.s FROM sh, UNNEST(shingles) AS t(s)),
+        dfreq AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS c FROM inv GROUP BY s),
+        kept AS (SELECT s FROM dfreq WHERE c <= 10),
+        capped AS (
+            SELECT CAST(COALESCE(SUM(CASE WHEN c > 10 THEN 1 ELSE 0 END), 0)
+                        AS BIGINT) AS n_capped_shingles
+            FROM dfreq
+        ),
+        invk AS (SELECT inv.id, inv.s FROM inv JOIN kept USING (s)),
+        pinv AS (
+            SELECT DISTINCT a.id AS id_a, b.id AS id_b
+            FROM invk a JOIN invk b ON a.s = b.s AND a.id < b.id
+        ),
+        allp AS (
+            SELECT id_a, id_b FROM pinv UNION SELECT id_a, id_b FROM cand
+        ),
+        truth AS (
+            SELECT p.id_a, p.id_b
+            FROM allp p
+            JOIN sh sa ON sa.id = p.id_a
+            JOIN sh sb ON sb.id = p.id_b
+            WHERE (CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                   / len(list_distinct(list_concat(sa.shingles, sb.shingles)))) >= 0.5
+        ),
+        nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth),
+        nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cand FROM cand),
+        nh AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_hit
+            FROM cand c JOIN truth t ON c.id_a = t.id_a AND c.id_b = t.id_b
+        )
+        SELECT n_truth, n_cand, n_hit, n_capped_shingles,
+               CASE WHEN n_cand > 0
+                    THEN CAST(n_hit * 1000000 // n_cand AS BIGINT) END AS precision_q,
+               CASE WHEN n_truth > 0
+                    THEN CAST(n_hit * 1000000 // n_truth AS BIGINT) END AS recall_q
+        FROM nt, nc, nh, capped
+    """,
+)
+def dd15_lsh_pr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall of the MinHash-LSH BANDING (8 hashes × 4 bands,
+    dd03b's portable parameters) against exact-Jaccard ground truth — the
+    dedup twin of ann10's recall harness: the number a pipeline owner
+    reads before trusting an LSH parameter choice at corpus scale.
+    Ground truth = exact Jaccard ≥ 0.5 over the UNION of a df-capped
+    shingle inverted index and the LSH candidates themselves, so index
+    capping can't deflate precision; hot shingles are excluded and
+    COUNTED (n_capped_shingles), never silently dropped.  One output row,
+    shares in exact integer micro-units
+    (operators/dedup.py lsh_pr_eval)."""
+    from cnics_to_fhir_spark.operators.dedup import lsh_pr_eval
+
+    return lsh_pr_eval(
+        table(spark, sf_dir, "documents"),
+        num_hashes=8, bands=4, k=3, threshold=0.5, df_cap=10,
+    )
