@@ -36,6 +36,16 @@ Untouched shard files are byte-identical afterwards (callers can pin
 mtimes), and the manifest is patched atomically last, so an interrupted
 update is DETECTABLY inconsistent under ``verify_export``, never
 silently torn.
+
+Concurrency: updates commit through a put-if-absent GENERATION token
+(``.manifest.gen-N`` hard-linked into place, exactly
+``versioned_table``'s optimistic-concurrency commit): every updater
+reads the current generation up front, stages its rewrite without
+touching live state, then claims generation N+1 — two racers both
+claiming N+1 means the loser raises ``ConcurrentCommitError`` BEFORE any
+live shard dir moves, instead of last-write-wins silently dropping one
+update.  Tokens are tiny and persist (they are the generation ledger —
+removing one would reopen the ABA window for a stalled updater).
 """
 
 from __future__ import annotations
@@ -48,8 +58,48 @@ import uuid
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cnics_to_fhir_spark.load.versioned_table import ConcurrentCommitError
+
 MANIFEST_FILE = "_export_manifest.json"
 _CHANGES = ("insert", "update", "delete")
+
+
+def _generation(path: str) -> int:
+    """Current update generation of the export at ``path``: the highest
+    claimed generation token (0 for a fresh export).  Derived from the
+    token files rather than stored in the manifest so an incrementally
+    updated export's manifest stays byte-comparable to a from-scratch
+    export of the same corpus (the equivalence ``update_export``'s
+    contract promises)."""
+    prefix = f".{MANIFEST_FILE}.gen-"
+    gens = [0]
+    if os.path.isdir(path):
+        for f in os.listdir(path):
+            if f.startswith(prefix):
+                try:
+                    gens.append(int(f[len(prefix):]))
+                except ValueError:
+                    pass
+    return max(gens)
+
+
+def _claim_generation(path: str, gen: int) -> None:
+    """Put-if-absent claim of update generation ``gen``: hard-link a fresh
+    temp file to the token name — ``os.link`` fails with EEXIST if another
+    updater already claimed it, turning a racing update into a loud
+    ``ConcurrentCommitError`` before any live state has been touched."""
+    token = os.path.join(path, f".{MANIFEST_FILE}.gen-{gen}")
+    tmp = os.path.join(path, f".gen-claim.{uuid.uuid4().hex}.tmp")
+    open(tmp, "w").close()
+    try:
+        os.link(tmp, token)
+    except FileExistsError:
+        raise ConcurrentCommitError(
+            f"update generation {gen} of the export at {path} was claimed "
+            "by another updater; re-read the export state and retry"
+        ) from None
+    finally:
+        os.unlink(tmp)
 
 
 def _row_hash(key_col: str, content_cols: list[str]) -> Column:
@@ -149,7 +199,18 @@ def export_shards(
     tmp = os.path.join(path, f".{MANIFEST_FILE}.{uuid.uuid4().hex}.tmp")
     with open(tmp, "w") as f:
         json.dump(manifest, f, indent=2, sort_keys=True)
-    os.rename(tmp, os.path.join(path, MANIFEST_FILE))
+    # put-if-absent, not rename: two exporters racing to the same path are
+    # already loud at the errorifexists data write, but the manifest commit
+    # keeps the same discipline so the invariant holds even for an empty df
+    dest = os.path.join(path, MANIFEST_FILE)
+    try:
+        os.link(tmp, dest)
+    except FileExistsError:
+        raise ConcurrentCommitError(
+            f"manifest at {path} was committed by another exporter"
+        ) from None
+    finally:
+        os.unlink(tmp)
     return manifest
 
 
@@ -236,6 +297,48 @@ def load_shard(spark: SparkSession, path: str, shard: int) -> DataFrame:
     return df
 
 
+def stream_verified_shards(
+    spark: SparkSession,
+    path: str,
+    announcements: DataFrame,
+    checkpoint: str,
+    consume,
+):
+    """The CONSUMER half of the streaming export loop (st11 produces,
+    this loads): a training job consumes an export shard-by-shard as a
+    STREAM of shard announcements.  ``announcements`` is a streaming
+    DataFrame carrying a ``shard int`` column (e.g. a file source the
+    producer drops ready-markers into); every announced shard is
+    re-verified against the manifest AS IT IS READ (``load_shard``'s
+    count + content checksum), then handed to ``consume(shard, rows)``.
+
+    Failure semantics: a tampered/truncated shard raises inside
+    ``foreachBatch``, failing the batch it arrives in — the streaming
+    query dies loudly and the checkpoint holds the failed batch, so after
+    the artifact is repaired a RESTART from the same checkpoint resumes
+    at that batch and the remaining shards flow (exactly-once per shard
+    across incarnations; clean shards consumed before the poison batch
+    are never re-delivered).
+
+    Scale shape: the per-batch driver round-trip is the announced shard
+    ID LIST (O(shards), metadata); the rows themselves stay executor-side
+    in whatever plan ``consume`` builds.  Returns the started
+    StreamingQuery — callers drive it (processAllAvailable/stop)."""
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        shards = sorted(
+            r["shard"] for r in batch_df.select("shard").distinct().collect()
+        )
+        for s in shards:
+            consume(int(s), load_shard(spark, path, int(s)))
+
+    return (
+        announcements.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
 def update_export(
     spark: SparkSession,
     path: str,
@@ -263,8 +366,15 @@ def update_export(
     shard, and the manifest is patched LAST (tmp + rename) — an
     interrupted update leaves the manifest disagreeing with the
     rewritten shards, so ``verify_export`` fails loudly instead of a
-    consumer training on a torn artifact.  Single-writer, like the
-    export itself.
+    consumer training on a torn artifact.
+
+    Concurrency discipline: the generation token is claimed put-if-absent
+    AFTER staging but BEFORE any live shard dir moves — two racing
+    updates both stage, exactly one claims, and the loser raises
+    ``ConcurrentCommitError`` with the live artifact untouched (its
+    staging dir is cleaned up).  A crash between claim and publish leaves
+    a torn artifact ``verify_export`` rejects; the orphaned token simply
+    advances the next honest update's generation.
 
     Returns {inserted, updated, deleted, noop_missing_key,
     shards_rewritten, manifest}.
@@ -276,6 +386,9 @@ def update_export(
     shard files are never opened and stay byte-identical."""
     with open(os.path.join(path, MANIFEST_FILE)) as f:
         manifest = json.load(f)
+    # generation is read BEFORE any state — the claim below detects any
+    # update that commits between this read and our commit point
+    gen = _generation(path)
     n_shards = manifest["n_shards"]
     key_col = manifest["key_col"]
     content_cols = manifest["content_cols"]
@@ -302,6 +415,18 @@ def update_export(
     ]
     if bad:
         raise ValueError(f"update_export: unknown change labels {bad!r}")
+    # duplicate keys WITHIN the change feed: two inserts of one absent key
+    # (or two updates of one present key) would both land in ``incoming``
+    # and silently duplicate a key in a keyed artifact — and verify_export
+    # would pass, because the manifest stats are recomputed from the same
+    # duplicated rows.  Mirror of the existing-shard dup check below.
+    ch_dup = ch.groupBy(key_col).count().filter(F.col("count") > 1)
+    n_ch_dup = ch_dup.count()
+    if n_ch_dup:
+        raise ValueError(
+            f"update_export: {n_ch_dup} key(s) appear more than once in the "
+            "change feed — collapse the feed to one change per key first"
+        )
     touched = sorted(
         r["shard"] for r in ch.select("shard").distinct().collect()
     )
@@ -388,6 +513,16 @@ def update_export(
             merged, key_col, content_cols, n_shards, use_physical_shard=True
         ).collect()
     }
+
+    # COMMIT POINT for exclusivity: claim the next generation before any
+    # live shard dir moves.  A racing update that already claimed it makes
+    # us the loser — clean the staging dir and raise with the live
+    # artifact untouched.
+    try:
+        _claim_generation(path, gen + 1)
+    except ConcurrentCommitError:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
 
     trash = os.path.join(path, f".trash-{uuid.uuid4().hex}")
     os.makedirs(trash)

@@ -250,7 +250,9 @@ def merge_into_table(
         # asked for silently didn't (versioned_table measured it); salt
         # tuples colliding into one of N tasks mean fewer files, never
         # more, so the bound holds for any N.
-        n = int(merged.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        from cnics_to_fhir_spark.load.versioned_table import shuffle_partition_count
+
+        n = shuffle_partition_count(merged)
         merged = merged.repartition(
             n,
             F.col(partition_col),

@@ -148,6 +148,17 @@ def _collect_commit_files(
     return entries
 
 
+def shuffle_partition_count(df: DataFrame) -> int:
+    """``spark.sql.shuffle.partitions`` as an int, tolerating non-numeric
+    values (Databricks AQE accepts 'auto') by falling back to the plan's
+    physical partition count — the loaders are library code usable under
+    foreign sessions whose conf this module doesn't control."""
+    try:
+        return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        return max(1, df.rdd.getNumPartitions())
+
+
 def _write_commit(
     df: DataFrame,
     table: str,
@@ -167,7 +178,7 @@ def _write_commit(
         # Distinct (partition, salt) tuples may collide into one of the N
         # tasks — fewer files, never more — so the ≤files_per_partition
         # bound holds for any N.
-        n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        n = shuffle_partition_count(df)
         df = df.repartition(
             n,
             F.col(partition_col),
@@ -482,12 +493,21 @@ def compact_versioned(
     }
 
 
-def vacuum(table: str, retain_versions: int = 1) -> dict[str, int]:
+def vacuum(
+    table: str, retain_versions: int = 1, tmp_grace_s: float = 600.0
+) -> dict[str, int]:
     """Drop manifests older than the newest ``retain_versions`` and delete
     every data file no surviving manifest references (including crash
     debris that never made it into a manifest).  Returns counts.  Like
     every table format's vacuum: time travel reaches only retained
-    versions afterwards."""
+    versions afterwards.
+
+    ``tmp_grace_s``: only sweep ``.tmp`` manifest debris older than this —
+    a CONCURRENT writer's in-flight temp manifest (created between
+    json.dump and the os.link commit) must not be deleted out from under
+    it, or its commit fails with FileNotFoundError instead of the
+    intended ConcurrentCommitError.  Crash debris is by definition old;
+    an in-flight temp is milliseconds old."""
     if retain_versions < 1:
         raise ValueError("retain_versions must be >= 1")
     versions = list_versions(table)
@@ -517,9 +537,18 @@ def vacuum(table: str, retain_versions: int = 1) -> dict[str, int]:
     tmp_removed = 0
     vroot = _versions_root(table)
     if os.path.isdir(vroot):
+        import time as _time
+
+        now = _time.time()
         for f in os.listdir(vroot):
             if f.endswith(".tmp"):
-                os.remove(os.path.join(vroot, f))
+                p = os.path.join(vroot, f)
+                try:
+                    if now - os.path.getmtime(p) < tmp_grace_s:
+                        continue  # possibly a concurrent writer's in-flight temp
+                    os.remove(p)
+                except FileNotFoundError:
+                    continue  # the writer committed (and unlinked) mid-sweep
                 tmp_removed += 1
     return {
         "manifests_removed": len(drop),

@@ -64,16 +64,19 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # plus the sf1 probe), so entries outside the
 # driver's prefix are locally verified, never silently unchecked.
 _PRIORITY: tuple[str, ...] = (
-    # --- round-10 rotation: CORRECTNESS_r09 went green on its full
-    # 50-entry prefix (43 hash-green + 7 clean no_oracle), closing the
-    # driver ledger at 222/222 entries ever shipped. This prefix holds:
+    # --- round-11 rotation: CORRECTNESS_r10 went 50/50 green, giving every
+    # round-10 newcomer a driver record and closing the ledger at 228/228
+    # entries ever shipped. This prefix holds:
     #   1. the 12-entry §2-core spine (reference-parity verticals +
     #      one representative per §2 family — kept every round),
-    #   2. round-10 NEW entries (driver-verified same round they ship),
-    #   3. the 4 stalest driver records (j07/o02/p04/u01 — last driver
-    #      check r03; the freshness tail round 9's verdict flagged),
-    #   4. re-verification fillers: the full r4 block, then the oldest
-    #      r5 entries — keeps every driver record ≤ ~6 rounds old.
+    #   2. round-11 NEW entries (driver-verified same round they ship),
+    #   3. the rows-only entries (VERDICT r10 #8: a10/a11/a14/ann02/
+    #      ann11/dd03/dd04 — rotated every round so the no_oracle set
+    #      stays visibly intentional; ann02b rides along so the sign-LSH
+    #      family's oracle-backed twin keeps a fresh record too),
+    #   4. re-verification fillers: the r5 block — the stalest driver
+    #      records after the r10 prefix re-verified the r3/r4 era
+    #      (staleness computed from CORRECTNESS_r01-r10 in-tree).
     # Every entry — prefix or not — is still oracle-checked each round
     # by `python selfcheck.py` (full catalog, sf0.001 + sf0.01).
     #
@@ -90,49 +93,19 @@ _PRIORITY: tuple[str, ...] = (
     "b01_resource_assembly",
     "w01_topn_per_group",
     "st01_stream_batch_equivalence",
-    # (2) round-10 newcomers (driver-verified same round they ship)
-    "lb06_dawid_skene_converged",
-    "ds16_incremental_reexport",
-    "st11_stream_incremental_export",
-    "tx14_bm25_topk",
-    "o09_versioned_compaction",
-    "dd15_lsh_pr_eval",
-    # (3) the 4 stalest driver records (r03)
-    "j07_semi_join",
-    "o02_order_limit",
-    "p04_nullsafe_inequality",
-    "u01_union_by_name",
-    # (4) re-verification fillers: the r4 block, then the oldest r5
-    # entries (overflow past 50 is harmless — the driver truncates)
-    "a04_last_write_wins",
-    "aj01_asof_join",
-    "ann03_ivf_topk",
-    "dc02_pii_redaction",
-    "dd08_boilerplate_removal",
-    "dd09_semantic_dedup",
-    "ds07_hash_split",
-    "ds08_epoch_mixture",
-    "e2e05_corpus_curation",
-    "ev01_tumbling_window",
-    "f05_dx_category_maps",
-    "f12_unit_default_refrange",
-    "f14_string_cleanup",
-    "j03_decorrelated_page",
-    "j13_dynamic_partition_pruning",
-    "mm06_image_phash_dedup",
-    "p06_in_list_and_like",
-    "p08_guard_quirk",
-    "st02_stream_window_equivalence",
-    "tx06_repetition_signals",
-    "tx07_unigram_surprise",
-    "w02_running_spend",
-    # oldest r5 entries
-    "a03_first_row_per_group",
-    "a16_cube_subtotals",
-    "aj02_asof_nearest",
-    "ann01_cosine_topk",
-    "ann04_ivf_trained_topk",
-    "cl01_kmeans_assign",
+    # (2) round-11 newcomers (driver-verified same round they ship)
+    "st12_stream_verified_loader",
+    # (3) the rows-only rotation + the portable ANN twin
+    "a10_approx_distinct",
+    "a11_approx_percentiles",
+    "a14_hll_rollup",
+    "ann02_lsh_topk",
+    "ann11_mmr_diversified",
+    "dd03_minhash_lsh",
+    "dd04_simhash_near_dup",
+    "ann02b_lsh_topk_portable",
+    # (4) re-verification fillers: the r5 block (stalest driver records;
+    # overflow past 50 is harmless — the driver truncates)
     "dc01_decontaminate",
     "dd01_exact_dedup",
     "dd02_ngram_jaccard",
@@ -141,6 +114,34 @@ _PRIORITY: tuple[str, ...] = (
     "dd07_fuzzy_name_match",
     "dd12_duplicated_spans",
     "ds03_greedy_packing",
+    "e2e07_curation_v2",
+    "j08_broadcast_membership",
+    "q07_volume_shipping",
+    "q15_top_supplier",
+    "w04_rank_family",
+    "q02_min_cost_supplier",
+    "mm04_real_png_decode",
+    "ev02_sessionization",
+    "tx04_heavy_hitters",
+    "rj01_interval_attribution",
+    "e2e06_entity_resolution",
+    "ev06_cohort_retention",
+    "ev07_funnel",
+    "j12_bucketed_colocated_join",
+    "ds09_temperature_mixture",
+    "gr01_pagerank_2iter",
+    "gr02_pagerank_converged",
+    "ds10_quality_buckets",
+    "st04_stream_session_equivalence",
+    "st05_stream_stream_join_equivalence",
+    "st06_stream_restart_equivalence",
+    "f04_med_status",
+    # oldest r6 entries (continue the freshness tail)
+    "e2e08_curation_v3",
+    "a06_uniqueness_guard",
+    "o03_deterministic_sample",
+    "q08_market_share",
+    "q09_product_profit",
 )
 
 # Catalog entries that have never appeared in any CORRECTNESS_r0*.json
@@ -150,17 +151,12 @@ _PRIORITY: tuple[str, ...] = (
 # round-6 backlog; only the 10 round-7 additions remain, all rotated into
 # the round-8 prefix above.
 _NEVER_DRIVER_VERIFIED: tuple[str, ...] = (
-    # Recomputed after round 9 (catalog keys − union of CORRECTNESS_r01-r09
-    # keys): the r09 prefix went 50/50 clean, closing the ledger — every
-    # round-9 entry has a driver record. Only the round-10 newcomers
-    # remain, both in block (2) of the round-10 prefix above, so this
-    # tuple should be EMPTY after round 10.
-    "lb06_dawid_skene_converged",
-    "ds16_incremental_reexport",
-    "st11_stream_incremental_export",
-    "tx14_bm25_topk",
-    "o09_versioned_compaction",
-    "dd15_lsh_pr_eval",
+    # Recomputed after round 10 (catalog keys − union of CORRECTNESS_r01-r10
+    # keys): the r10 prefix went 50/50 clean — every round-10 entry has a
+    # driver record. Only the round-11 newcomers remain, all in block (2)
+    # of the round-11 prefix above, so this tuple should be EMPTY after
+    # round 11.
+    "st12_stream_verified_loader",
 )
 
 

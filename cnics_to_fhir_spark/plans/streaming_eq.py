@@ -1236,3 +1236,106 @@ def st11_stream_incremental_export(spark: SparkSession, sf_dir: str) -> DataFram
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return spark.createDataFrame(rows, "shard int, n_rows bigint, checksum string")
+
+
+# ---------------------------------------------------------------------------
+# st12 — the CONSUMER half: streaming verified shard loader
+# ---------------------------------------------------------------------------
+@query(
+    "st12_stream_verified_loader",
+    tags="2.10 STREAM S-source DS A5 F18",
+    oracle="""
+        WITH h AS (
+            SELECT CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                        AS UBIGINT) % 16 AS shard,
+                   CAST(('0x' || substring(md5(
+                            CAST(doc_id AS VARCHAR) || chr(31)
+                            || COALESCE(text, chr(0)) || chr(31)
+                            || COALESCE(source, chr(0))), 1, 15))
+                        AS UBIGINT) AS rh
+            FROM documents
+        )
+        SELECT CAST(shard AS INTEGER) AS shard,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(rh AS DECIMAL(38,0))) AS VARCHAR) AS checksum
+        FROM h GROUP BY 1
+    """,
+)
+def st12_stream_verified_loader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """st11's producer keeps the sharded export fresh; THIS is the training
+    job on the other end: shard-ready announcements arrive as a stream
+    (file source, maxFilesPerTrigger=1 → real micro-batches), and every
+    announced shard is re-verified against the manifest AS IT IS LOADED
+    (``load_shard``'s count + order-independent content checksum), so a
+    torn copy or drifted shard fails the batch it arrives in instead of
+    training on corrupt rows three days later.  The returned per-shard
+    stats are recomputed FROM THE LOADED ROWS (not echoed from the
+    manifest), so the oracle hash pins that what the consumer actually
+    read — through 4 micro-batches of 4 shards — is byte-equivalent to
+    the corpus the export was built from.  In-entry asserts: every shard
+    consumed exactly once, across >1 micro-batch, totals match the
+    manifest (load/corpus_export.py stream_verified_shards; the
+    tamper-fails-batch / repair-restart-resumes contract is pinned in
+    tests/test_corpus_export.py)."""
+    from cnics_to_fhir_spark.load.corpus_export import (
+        _shard_stats,
+        export_shards,
+        stream_verified_shards,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    tmp = tempfile.mkdtemp(prefix="st12-")
+    try:
+        export_path = os.path.join(tmp, "export")
+        announce = os.path.join(tmp, "announce")
+        chk = os.path.join(tmp, "chk")
+        os.makedirs(announce)
+        manifest = export_shards(docs, export_path, n_shards=16, key_col="doc_id")
+
+        base_t = 1_700_000_000
+        for k in range(4):  # 4 announcement files of 4 shards each
+            part = os.path.join(tmp, f"ann{k}")
+            spark.createDataFrame(
+                [(s,) for s in range(4 * k, 4 * k + 4)], "shard int"
+            ).coalesce(1).write.parquet(part)
+            f = next(p for p in os.listdir(part) if p.endswith(".parquet"))
+            dst = os.path.join(announce, f"{k:02d}.parquet")
+            os.rename(os.path.join(part, f), dst)
+            os.utime(dst, (base_t + k, base_t + k))
+
+        loaded: list[tuple[int, int, str]] = []
+
+        def consume(shard: int, rows: DataFrame) -> None:
+            # the consumer's own aggregation over the rows it was handed —
+            # evidence of what was read, not an echo of the manifest
+            r = _shard_stats(
+                rows, manifest["key_col"], manifest["content_cols"],
+                manifest["n_shards"], use_physical_shard=True,
+            ).collect()[0]
+            loaded.append((int(r["shard"]), int(r["n_rows"]), r["checksum"]))
+
+        stream = (
+            spark.readStream.schema("shard int")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(announce)
+        )
+        q = stream_verified_shards(spark, export_path, stream, chk, consume)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        shards_seen = [s for s, _, _ in loaded]
+        if sorted(shards_seen) != sorted(set(shards_seen)) or len(shards_seen) != 16:
+            raise AssertionError(f"shards not consumed exactly once: {shards_seen}")
+        if sum(n for _, n, _ in loaded) != manifest["total_rows"]:
+            raise AssertionError("consumed row total disagrees with the manifest")
+        batches = [f for f in os.listdir(os.path.join(chk, "commits"))
+                   if not f.startswith(".")]
+        if len(batches) != 4:
+            raise AssertionError(
+                f"expected 4 committed micro-batches, saw {len(batches)}"
+            )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(loaded, "shard int, n_rows bigint, checksum string")

@@ -240,3 +240,167 @@ def test_update_export_honesty_rules(spark, tmp_path):
     assert not os.path.isdir(os.path.join(path, f"shard={victim}"))
     with pytest.raises(ValueError, match="not in the manifest"):
         load_shard(spark, path, victim)
+
+
+def test_update_export_rejects_duplicate_keys_in_change_feed(spark, tmp_path):
+    """Two changes of one key in a single feed (two inserts of an absent
+    key, or two updates of a present key) would BOTH land in the merged
+    rows — a silently duplicated key in a keyed artifact that
+    verify_export can't catch, because the manifest stats are recomputed
+    from the same duplicated rows (ADVICE r10, medium)."""
+    from cnics_to_fhir_spark.load.corpus_export import update_export
+
+    path = str(tmp_path / "dup")
+    export_shards(_docs(spark, n=40), path, n_shards=4)
+    for feed in [
+        [(9001, "insert", "a", "s"), (9001, "insert", "b", "s")],
+        [(3, "update", "a", "s"), (3, "update", "b", "s")],
+        [(5, "update", "a", "s"), (5, "delete", None, None)],
+    ]:
+        with pytest.raises(ValueError, match="more than once in the change feed"):
+            update_export(spark, path, spark.createDataFrame(
+                feed, "doc_id long, change string, text string, source string"))
+    verify_export(spark, path)  # artifact untouched by the refused feeds
+
+
+def test_update_export_concurrent_updaters_one_wins_one_raises(spark, tmp_path):
+    """The put-if-absent generation commit (VERDICT r10 #3): two updates
+    that both read the same export state race to claim generation N+1 —
+    exactly one wins; the loser raises ConcurrentCommitError BEFORE any
+    live shard dir moves, and the artifact verifies throughout (the old
+    tmp+rename manifest patch made this race last-write-wins: both
+    'succeeded' and one update silently vanished)."""
+    import threading
+
+    from cnics_to_fhir_spark.load import corpus_export as ce
+    from cnics_to_fhir_spark.load.versioned_table import ConcurrentCommitError
+
+    path = str(tmp_path / "race")
+    export_shards(_docs(spark, n=100), path, n_shards=4)
+
+    # both updaters must reach the commit point before either claims —
+    # a barrier wrapped around the claim primitive makes the race window
+    # deterministic instead of scheduler-dependent
+    barrier = threading.Barrier(2, timeout=120)
+    real_claim = ce._claim_generation
+
+    def racing_claim(p, gen):
+        barrier.wait()
+        real_claim(p, gen)
+
+    results: dict[str, object] = {}
+
+    def run(tag, key, text):
+        changes = spark.createDataFrame(
+            [(key, "insert", text, "srcR")],
+            "doc_id long, change string, text string, source string",
+        )
+        try:
+            results[tag] = ce.update_export(spark, path, changes)
+        except ConcurrentCommitError as e:
+            results[tag] = e
+
+    ce._claim_generation = racing_claim
+    try:
+        t1 = threading.Thread(target=run, args=("a", 9001, "doc A"))
+        t2 = threading.Thread(target=run, args=("b", 9002, "doc B"))
+        t1.start(); t2.start()
+        t1.join(240); t2.join(240)
+    finally:
+        ce._claim_generation = real_claim
+
+    outcomes = {tag: type(v).__name__ for tag, v in results.items()}
+    assert sorted(outcomes.values()) == ["ConcurrentCommitError", "dict"], outcomes
+    winner = next(t for t, v in results.items() if isinstance(v, dict))
+    m = verify_export(spark, path)  # artifact consistent after the race
+    assert m["total_rows"] == 101  # pre-state + exactly the winner's insert
+    rows = {r["doc_id"] for r in spark.read.parquet(path).select("doc_id").collect()}
+    assert (9001 in rows) == (winner == "a")
+    assert (9002 in rows) == (winner == "b")
+    # the loser's staging dir was cleaned up; the claimed token persists
+    assert not [d for d in os.listdir(path) if d.startswith(".staging-")]
+    assert ce._generation(path) == 1
+    # a retry of the loser (re-reading current state) succeeds at gen 2
+    loser = next(t for t, v in results.items() if not isinstance(v, dict))
+    key, text = (9001, "doc A") if loser == "a" else (9002, "doc B")
+    res = ce.update_export(spark, path, spark.createDataFrame(
+        [(key, "insert", text, "srcR")],
+        "doc_id long, change string, text string, source string"))
+    assert res["inserted"] == 1 and ce._generation(path) == 2
+    assert verify_export(spark, path)["total_rows"] == 102
+
+
+def test_stream_verified_loader_tamper_fails_batch_restart_resumes(spark, tmp_path):
+    """The consumer contract (VERDICT r10 #9): a tampered shard fails the
+    MICRO-BATCH it arrives in (the stream dies loudly, nothing corrupt is
+    consumed); after the artifact is repaired, a restart from the SAME
+    checkpoint resumes at the failed batch — clean shards flow, each
+    consumed exactly once across incarnations."""
+    import shutil
+
+    from cnics_to_fhir_spark.load.corpus_export import stream_verified_shards
+
+    path = str(tmp_path / "exp")
+    export_shards(_docs(spark, n=60), path, n_shards=4)
+
+    announce = tmp_path / "announce"
+    announce.mkdir()
+    chk = str(tmp_path / "chk")
+    for k, shards in enumerate([[0], [1], [2, 3]]):
+        part = str(tmp_path / f"ann{k}")
+        spark.createDataFrame([(s,) for s in shards], "shard int") \
+            .coalesce(1).write.parquet(part)
+        f = next(p for p in os.listdir(part) if p.endswith(".parquet"))
+        dst = str(announce / f"{k:02d}.parquet")
+        os.rename(os.path.join(part, f), dst)
+        os.utime(dst, (1_700_000_000 + k, 1_700_000_000 + k))
+
+    # tamper shard 1: smuggle a foreign file in (content drift)
+    smuggled = os.path.join(path, "shard=1", "smuggled.parquet")
+    src = sorted(glob.glob(os.path.join(path, "shard=0", "*.parquet")))[0]
+    shutil.copy(src, smuggled)
+
+    consumed: list[int] = []
+
+    def consume(shard, rows):
+        consumed.append(shard)
+        rows.count()
+
+    stream = lambda: (  # noqa: E731 — two incarnations need fresh readers
+        spark.readStream.schema("shard int")
+        .option("maxFilesPerTrigger", 1).parquet(str(announce))
+    )
+    q = stream_verified_shards(spark, path, stream(), chk, consume)
+    with pytest.raises(Exception, match="failed verification"):
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    assert consumed == [0]  # batch 0 flowed; the poison batch consumed nothing
+
+    # repair, restart from the SAME checkpoint: resumes at the failed batch
+    os.remove(smuggled)
+    q2 = stream_verified_shards(spark, path, stream(), chk, consume)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert consumed == [0, 1, 2, 3]  # no re-delivery of batch 0
+
+
+def test_generation_claim_primitive(tmp_path):
+    """The commit primitive itself: double-claim of one generation is a
+    loud ConcurrentCommitError, no tmp debris, tokens form the ledger."""
+    from cnics_to_fhir_spark.load import corpus_export as ce
+    from cnics_to_fhir_spark.load.versioned_table import ConcurrentCommitError
+
+    path = str(tmp_path / "tok")
+    os.makedirs(path)
+    assert ce._generation(path) == 0
+    ce._claim_generation(path, 1)
+    assert ce._generation(path) == 1
+    with pytest.raises(ConcurrentCommitError, match="claimed by another updater"):
+        ce._claim_generation(path, 1)
+    assert not [f for f in os.listdir(path) if f.endswith(".tmp")]
+    ce._claim_generation(path, 2)
+    assert ce._generation(path) == 2

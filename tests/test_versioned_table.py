@@ -225,13 +225,50 @@ def test_insert_of_present_key_fails_loudly(spark, tmp_path):
 
 
 def test_vacuum_sweeps_manifest_tmp_debris(spark, tmp_path):
+    """Old .tmp debris is swept; FRESH .tmp files survive the grace period
+    — a concurrent writer's in-flight temp manifest (created between
+    json.dump and the os.link commit) must not be deleted out from under
+    it, or its commit dies with FileNotFoundError instead of the intended
+    ConcurrentCommitError (ADVICE r10)."""
+    import time
+
     table = str(tmp_path / "t")
     _seed(spark, table)
     debris = os.path.join(table, "_versions", ".v00000009.json.dead.tmp")
     open(debris, "w").write("{}")
+    inflight = os.path.join(table, "_versions", ".v00000010.json.live.tmp")
+    open(inflight, "w").write("{}")
+    # crash debris is old by definition; back-date it past the grace window
+    old = time.time() - 3600
+    os.utime(debris, (old, old))
     report = vt.vacuum(table, retain_versions=1)
     assert report["tmp_manifests_removed"] == 1
     assert not os.path.exists(debris)
+    assert os.path.exists(inflight)  # in-flight temp survives the sweep
+    # an aged sweep (grace disabled) takes it
+    report = vt.vacuum(table, retain_versions=1, tmp_grace_s=0.0)
+    assert report["tmp_manifests_removed"] == 1
+    assert not os.path.exists(inflight)
+
+
+def test_shuffle_partition_count_tolerates_non_numeric_conf(spark, monkeypatch):
+    """'auto' (Databricks' fork accepts it; OSS Spark rejects the set, so
+    simulate the foreign session at conf.get) must fall back to the plan's
+    partition count instead of crashing the loader with ValueError
+    (ADVICE r10)."""
+    df = spark.range(0, 100, 1, 4)
+    assert vt.shuffle_partition_count(df) == int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+    real_get = spark.conf.get
+
+    def fake_get(key, default=None):
+        if key == "spark.sql.shuffle.partitions":
+            return "auto"
+        return real_get(key, default)
+
+    monkeypatch.setattr(spark.conf, "get", fake_get)
+    assert vt.shuffle_partition_count(df) == 4
 
 
 def test_compaction_is_a_version_that_moves_no_data(spark, tmp_path):
