@@ -185,6 +185,9 @@ HEADLINE = [
     "ds16_incremental_reexport",
     "tx14_bm25_topk",
     "o09_versioned_compaction",
+    # round-11 additions (st12 is excluded with the other streaming-
+    # equivalence runs below — trigger overhead, not data path)
+    "ds17_interleave_schedule",
     # dd15_lsh_pr_eval is excluded with lb02/lb06 below (VERDICT r10 #2):
     # its exact-Jaccard ground-truth join — the expensive half of a QA
     # harness run once per LSH parameter choice, not a production data

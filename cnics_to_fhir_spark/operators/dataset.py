@@ -839,3 +839,67 @@ def incremental_split_update(
         F.lit(False).alias("conflict"),
     )
     return corpus_out.unionByName(new_out).withColumnRenamed("doc_id", id_col)
+
+
+def interleave_schedule(
+    df: DataFrame,
+    weights: DataFrame,
+    k: int,
+    source_col: str = "source",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """The first ``k`` slots of a deterministic WEIGHTED FAIR INTERLEAVE of
+    ``df``'s sources — the training ORDER a pretraining loader consumes
+    (ds08/ds09 decide HOW MUCH of each source; this decides WHEN each doc
+    arrives, so no source floods a training window).
+
+    Weighted-fair-queuing schedule: within each source, docs take a
+    deterministic shuffled order (md5 of the key — ds04's portable
+    discipline, no rand()); doc number ``r`` of a weight-``w`` source is
+    scheduled at virtual time ``r/w`` (kept exact as integer micro-units
+    ``r*1_000_000 DIV w``), so a weight-5 source lands 5 docs in every
+    virtual-time unit while a weight-1 source lands one — proportional
+    share at every prefix of the schedule, not just in expectation.
+    Global order is (position, source, key): total, so engines agree
+    bit-for-bit.
+
+    Scale shape: one window per source partition for the rank, then the
+    ``rank <= k`` filter bounds the candidate set to ``k × n_sources``
+    rows REGARDLESS of corpus size — the only global sort (and the final
+    ≤k-row slot numbering) runs on that bounded set, never the corpus.
+    ``weights`` is a tiny (source, weight) dim, broadcast.
+
+    Returns (slot, source, key, position) for slots 1..k.
+    """
+    from cnics_to_fhir_spark.operators.dedup import portable_hash
+
+    ranked = df.select(
+        F.col(source_col).alias("source"),
+        F.col(key_col).alias(key_col),
+        portable_hash(F.col(key_col).cast("string")).alias("__h"),
+    ).withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("source").orderBy("__h", key_col)
+        ),
+    ).filter(F.col("rk") <= k)
+    cand = (
+        ranked.join(F.broadcast(weights), on="source", how="inner")
+        .select(
+            "source",
+            key_col,
+            F.expr("CAST(rk * 1000000 DIV weight AS BIGINT)").alias("position"),
+        )
+    )
+    top = cand.orderBy("position", "source", key_col).limit(k)
+    # slot numbering over ≤k rows — a single-partition window bounded by
+    # construction (the candidate filter above), never corpus-sized
+    return top.select(
+        F.row_number()
+        .over(Window.orderBy("position", "source", key_col))
+        .cast("long")
+        .alias("slot"),
+        "source",
+        key_col,
+        "position",
+    )

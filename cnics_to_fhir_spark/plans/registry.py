@@ -95,6 +95,7 @@ _PRIORITY: tuple[str, ...] = (
     "st01_stream_batch_equivalence",
     # (2) round-11 newcomers (driver-verified same round they ship)
     "st12_stream_verified_loader",
+    "ds17_interleave_schedule",
     # (3) the rows-only rotation + the portable ANN twin
     "a10_approx_distinct",
     "a11_approx_percentiles",
@@ -157,6 +158,7 @@ _NEVER_DRIVER_VERIFIED: tuple[str, ...] = (
     # of the round-11 prefix above, so this tuple should be EMPTY after
     # round 11.
     "st12_stream_verified_loader",
+    "ds17_interleave_schedule",
 )
 
 

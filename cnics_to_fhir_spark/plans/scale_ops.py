@@ -7803,3 +7803,63 @@ def dd15_lsh_pr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "documents"),
         num_hashes=8, bands=4, k=3, threshold=0.5, df_cap=10,
     )
+
+
+# ---------------------------------------------------------------------------
+# ds17 — weighted fair-interleave training schedule (data ORDER, not mix)
+# ---------------------------------------------------------------------------
+@query(
+    "ds17_interleave_schedule",
+    tags="DS A3 O1 O2 J8 F18",
+    oracle="""
+        WITH w AS (
+            SELECT doc_id, source,
+                   (CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT) % 5)
+                       + 1 AS weight,
+                   CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                        AS UBIGINT) AS h
+            FROM documents
+        ),
+        r AS (
+            SELECT doc_id, source, weight,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                                      ORDER BY h, doc_id) AS rk
+            FROM w
+        ),
+        cand AS (
+            SELECT doc_id, source,
+                   CAST(rk * 1000000 // weight AS BIGINT) AS position
+            FROM r WHERE rk <= 500
+        )
+        SELECT * FROM (
+            SELECT CAST(ROW_NUMBER() OVER (ORDER BY position, source, doc_id)
+                        AS BIGINT) AS slot,
+                   source, doc_id, position
+            FROM cand
+        ) WHERE slot <= 500
+    """,
+)
+def ds17_interleave_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first 500 slots of the deterministic weighted-fair-queuing
+    training schedule over the document sources: ds08/ds09 decide how
+    much of each source to train on, THIS decides when each doc arrives —
+    doc r of a weight-w source is scheduled at virtual time r/w (exact
+    integer micro-units), so every PREFIX of the schedule carries each
+    source in proportion to its weight (no source floods a training
+    window).  Per-source order is the md5 deterministic shuffle (ds04),
+    weights derive from the source id (1..5) and ride as a broadcast dim.
+    Scale shape: per-source rank window, then rank<=k bounds the
+    candidate set to k×n_sources rows regardless of corpus size — the
+    only global sort and the slot numbering run on that bounded set
+    (operators/dataset.py interleave_schedule)."""
+    from cnics_to_fhir_spark.operators.dataset import interleave_schedule
+
+    docs = table(spark, sf_dir, "documents")
+    weights = docs.select("source").distinct().select(
+        "source",
+        (
+            F.regexp_extract(F.col("source"), r"([0-9]+)", 1).cast("long") % 5
+            + F.lit(1)
+        ).alias("weight"),
+    )
+    return interleave_schedule(docs, weights, k=500)

@@ -466,3 +466,39 @@ def test_cohort_retention_hand_computed(spark):
     }
     with pytest.raises(ValueError, match="period_days"):
         cohort_retention(df, period_days=0)
+
+
+def test_interleave_schedule_prefix_proportionality(spark):
+    """Every prefix of the weighted-fair schedule carries each source in
+    proportion to its weight: after virtual time T, a weight-w source has
+    placed exactly min(floor(T*w), n_docs) docs — WFQ's per-prefix
+    fairness, not just expected share.  Also: deterministic across
+    partitionings, slots dense 1..k."""
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(300)], "doc_id long, source string"
+    )
+    weights = spark.createDataFrame(
+        [("s0", 1), ("s1", 2), ("s2", 4)], "source string, weight long"
+    )
+    out = dataset.interleave_schedule(
+        docs, weights, k=70, source_col="source", key_col="doc_id"
+    ).collect()
+    assert [r["slot"] for r in out] == list(range(1, 71))
+    w = {"s0": 1, "s1": 2, "s2": 4}
+    # at every slot boundary, each source's count so far is what WFQ
+    # promises: floor(position * weight / 1e6), within the ±1 ambiguity of
+    # docs tied at exactly the boundary position
+    seen = {s: 0 for s in w}
+    for r in out:
+        seen[r["source"]] += 1
+        for s, n in seen.items():
+            expect = r["position"] * w[s] // 1_000_000
+            assert abs(n - expect) <= 1, (r["slot"], s, n, expect)
+    # proportionality over the whole prefix: s2 gets ~4x s0
+    assert seen["s2"] >= 3 * seen["s0"]
+    # determinism across partitionings
+    out2 = dataset.interleave_schedule(
+        docs.repartition(7), weights, k=70,
+        source_col="source", key_col="doc_id",
+    ).collect()
+    assert [tuple(r) for r in out] == [tuple(r) for r in out2]
