@@ -369,6 +369,15 @@ def wait_for_idle(threshold: float = 1.0, max_wait_s: int = 180) -> bool:
 
 
 def main() -> None:
+    global HEADLINE
+    # Debug subset (comma-separated query names): exercise the harness —
+    # sentinel windows, rerun pass, sidecar shape — in seconds instead of
+    # a full run. Committed benches never set it (the sidecar would only
+    # cover the subset).
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        keep = [n.strip() for n in only.split(",") if n.strip()]
+        HEADLINE = [n for n in HEADLINE if n in keep] or keep
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     idle = wait_for_idle()
