@@ -36,14 +36,16 @@ _RANK = {"ok": 3, "rows": 2, "fail": 1}
 # plus the scale evidence named here.
 _ORACLE_COST_EXCEPTIONS = {
     "dd15_lsh_pr_eval": (
-        "sf1 hash-green (r10: spark 76.7s, oracle 399s — the exact-Jaccard "
-        "ground-truth join is the oracle's cost); LSH data path sf10-ok "
-        "via dd03/dd03b"
+        "sf1 hash-green THIS round (selfcheck_sf1_r11_exceptions.json: "
+        "spark 68.6s, oracle 360s — the exact-Jaccard ground-truth join "
+        "is the oracle's cost, extrapolating past an hour at sf10); LSH "
+        "data path sf10-ok via dd03/dd03b"
     ),
     "gr02_pagerank_converged": (
-        "per-iteration data path identical to gr01 (sf10 ok in this "
-        "ledger); the recursive-CTE convergence replay is hour-scale in "
-        "DuckDB at sf10"
+        "sf1 hash-green THIS round (selfcheck_sf1_r11_exceptions.json: "
+        "spark 179s, oracle 362s; a 55-min sf10 attempt timed out inside "
+        "the recursive-CTE convergence replay); per-iteration data path "
+        "identical to gr01, sf10-ok in this ledger"
     ),
 }
 
