@@ -44,8 +44,22 @@ reads the current generation up front, stages its rewrite without
 touching live state, then claims generation N+1 — two racers both
 claiming N+1 means the loser raises ``ConcurrentCommitError`` BEFORE any
 live shard dir moves, instead of last-write-wins silently dropping one
-update.  Tokens are tiny and persist (they are the generation ledger —
-removing one would reopen the ABA window for a stalled updater).
+update.  Tokens are tiny; a claim of any generation at or below the
+current maximum is refused OUTRIGHT (token file present or not), so the
+ledger below the max is redundant history and ``vacuum_generations``
+may compact it without reopening the ABA window for a stalled updater.
+
+Streaming consumption (``stream_verified_shards``) is
+batch-transactional: EVERY announced shard of a micro-batch is verified
+against the manifest (chunked pruned scans + one keyed aggregation per
+chunk, never a per-shard driver-serialized job loop) BEFORE any shard is
+handed to ``consume`` — a tampered shard fails the batch with ZERO
+side effects, so the checkpoint replay after repair re-delivers nothing:
+exactly-once per shard across incarnations for verification failures.
+If ``consume`` ITSELF raises mid-batch, shards already consumed in that
+batch are re-delivered when the batch replays (standard foreachBatch
+at-least-once within a failed batch); consumers needing stronger
+semantics dedup on the ``epoch_id`` passed to a 3-argument ``consume``.
 """
 
 from __future__ import annotations
@@ -87,7 +101,24 @@ def _claim_generation(path: str, gen: int) -> None:
     """Put-if-absent claim of update generation ``gen``: hard-link a fresh
     temp file to the token name — ``os.link`` fails with EEXIST if another
     updater already claimed it, turning a racing update into a loud
-    ``ConcurrentCommitError`` before any live state has been touched."""
+    ``ConcurrentCommitError`` before any live state has been touched.
+
+    A claim at or below the CURRENT maximum generation is refused up
+    front, token file present or not — this is what makes
+    ``vacuum_generations`` safe: a stalled updater that read generation N
+    long ago still loses to the current max even after the gen-(N+1)
+    token it would have collided with was compacted away.  (The check
+    then the link is not atomic, but every interleaving stays loud: a
+    racer advancing the max between our check and our link either owns
+    our exact target — EEXIST — or a LOWER one, which cannot happen,
+    because the racer passed the same check against a max ≥ ours.)"""
+    current = _generation(path)
+    if gen <= current:
+        raise ConcurrentCommitError(
+            f"update generation {gen} of the export at {path} was claimed "
+            f"by another updater (current generation is {current}); "
+            "re-read the export state and retry"
+        )
     token = os.path.join(path, f".{MANIFEST_FILE}.gen-{gen}")
     tmp = os.path.join(path, f".gen-claim.{uuid.uuid4().hex}.tmp")
     open(tmp, "w").close()
@@ -100,6 +131,43 @@ def _claim_generation(path: str, gen: int) -> None:
         ) from None
     finally:
         os.unlink(tmp)
+
+
+def vacuum_generations(path: str, grace_s: float = 600.0) -> dict[str, int]:
+    """Compact the generation-token ledger: delete every token strictly
+    below the current maximum that is older than ``grace_s`` seconds —
+    the ``versioned_table.vacuum`` grace discipline, so a token linked
+    milliseconds ago by a committing updater is never swept mid-commit.
+    The max token always survives: it IS the current generation, and
+    ``_claim_generation``'s at-or-below-max refusal keeps the ABA guard
+    intact for every compacted generation (a stalled updater claiming
+    into the vacuumed range is refused by the check, not by EEXIST).
+    Returns {"tokens_removed": n, "generation": current_max}."""
+    prefix = f".{MANIFEST_FILE}.gen-"
+    current = _generation(path)
+    removed = 0
+    import time as _time
+
+    now = _time.time()
+    if os.path.isdir(path):
+        for f in os.listdir(path):
+            if not f.startswith(prefix):
+                continue
+            try:
+                g = int(f[len(prefix):])
+            except ValueError:
+                continue
+            if g >= current:
+                continue
+            p = os.path.join(path, f)
+            try:
+                if now - os.path.getmtime(p) < grace_s:
+                    continue  # possibly an updater committing right now
+                os.remove(p)
+            except FileNotFoundError:
+                continue  # another vacuum swept it mid-listing
+            removed += 1
+    return {"tokens_removed": removed, "generation": current}
 
 
 def _row_hash(key_col: str, content_cols: list[str]) -> Column:
@@ -246,6 +314,84 @@ def verify_export(spark: SparkSession, path: str) -> dict:
     return manifest
 
 
+def verify_shards(
+    spark: SparkSession,
+    path: str,
+    shards: list[int],
+    manifest: dict | None = None,
+    max_shards_per_scan: int = 64,
+) -> dict[int, dict]:
+    """Verify a LIST of shards against the manifest in
+    ``ceil(n / max_shards_per_scan)`` pruned multi-shard scans with ONE
+    shard-keyed aggregation each — the batch path ``stream_verified_shards``
+    uses, so verifying a 10⁴-shard announcement costs ~10⁴/64 Spark jobs,
+    not 10⁴ driver-serialized ones.  Raises ``ValueError`` on ANY unknown
+    shard id, missing/empty shard directory, or count/checksum drift —
+    naming EVERY offending shard, not just the first.  Returns
+    ``{shard: {n_rows, checksum}}`` recomputed FROM THE FILES READ (not
+    echoed from the manifest).
+
+    ``max_shards_per_scan`` bounds the size of each verification job (and
+    its collected stats) regardless of how many shards were announced at
+    once; it does NOT split the failure domain — the caller sees one
+    all-or-nothing verdict for the whole list."""
+    if manifest is None:
+        with open(os.path.join(path, MANIFEST_FILE)) as f:
+            manifest = json.load(f)
+    if max_shards_per_scan < 1:
+        raise ValueError("max_shards_per_scan must be >= 1")
+    ids = sorted({int(s) for s in shards})
+    unknown = [s for s in ids if str(s) not in manifest["shards"]]
+    if unknown:
+        raise ValueError(
+            f"shards {unknown} are not in the manifest at {path} "
+            f"(known: {sorted(int(k) for k in manifest['shards'])})"
+        )
+    missing = [
+        s
+        for s in ids
+        if not os.path.isdir(os.path.join(path, f"shard={s}"))
+        or not any(
+            not f.startswith((".", "_"))
+            for f in os.listdir(os.path.join(path, f"shard={s}"))
+        )
+    ]
+    if missing:
+        # manifest entries whose files are gone are a truncated artifact —
+        # the same failure class as a short shard, reported the same way
+        raise ValueError(
+            f"shards {missing} at {path} failed verification: shard "
+            "directory missing or empty"
+        )
+    got: dict[int, dict] = {}
+    for i in range(0, len(ids), max_shards_per_scan):
+        chunk = ids[i : i + max_shards_per_scan]
+        df = spark.read.option("basePath", path).parquet(
+            *[os.path.join(path, f"shard={s}") for s in chunk]
+        )
+        got.update(
+            {
+                int(r["shard"]): {"n_rows": r["n_rows"], "checksum": r["checksum"]}
+                for r in _shard_stats(
+                    df,
+                    manifest["key_col"],
+                    manifest["content_cols"],
+                    manifest["n_shards"],
+                    use_physical_shard=True,
+                ).collect()
+            }
+        )
+    want = {s: manifest["shards"][str(s)] for s in ids}
+    if got != want:
+        wrong = sorted(s for s in ids if got.get(s) != want[s])
+        raise ValueError(
+            f"shards {wrong} at {path} failed verification: expected "
+            f"{ {s: want[s] for s in wrong} }, read "
+            f"{ {s: got.get(s) for s in wrong} }"
+        )
+    return got
+
+
 def load_shard(spark: SparkSession, path: str, shard: int) -> DataFrame:
     """Read ONE shard of an export, verifying its row count and checksum
     against the manifest before returning — the CONSUMER half of the
@@ -303,34 +449,70 @@ def stream_verified_shards(
     announcements: DataFrame,
     checkpoint: str,
     consume,
+    max_shards_per_scan: int = 64,
 ):
     """The CONSUMER half of the streaming export loop (st11 produces,
     this loads): a training job consumes an export shard-by-shard as a
     STREAM of shard announcements.  ``announcements`` is a streaming
     DataFrame carrying a ``shard int`` column (e.g. a file source the
-    producer drops ready-markers into); every announced shard is
-    re-verified against the manifest AS IT IS READ (``load_shard``'s
-    count + content checksum), then handed to ``consume(shard, rows)``.
+    producer drops ready-markers into); EVERY announced shard of a
+    micro-batch is verified against the manifest FIRST (``verify_shards``:
+    count + order-independent content checksum, recomputed from the files
+    in chunked pruned scans of ≤ ``max_shards_per_scan`` shards each),
+    and only after the WHOLE batch verifies is each shard handed to
+    ``consume(shard, rows)`` as a pruned single-shard scan.  A
+    3-parameter ``consume(shard, rows, epoch_id)`` also receives the
+    micro-batch epoch id for consumer-side dedup.
 
-    Failure semantics: a tampered/truncated shard raises inside
-    ``foreachBatch``, failing the batch it arrives in — the streaming
-    query dies loudly and the checkpoint holds the failed batch, so after
-    the artifact is repaired a RESTART from the same checkpoint resumes
-    at that batch and the remaining shards flow (exactly-once per shard
-    across incarnations; clean shards consumed before the poison batch
-    are never re-delivered).
+    Failure semantics: a tampered/truncated/unknown shard raises inside
+    ``foreachBatch`` BEFORE any shard of that batch reaches ``consume``
+    — zero side effects from the poison batch — and the streaming query
+    dies loudly with the checkpoint holding the failed batch.  After the
+    artifact is repaired, a RESTART from the same checkpoint resumes at
+    that batch and the remaining shards flow: exactly-once per shard
+    across incarnations for every verification failure, with clean shards
+    of earlier batches never re-delivered.  The one caveat is a failure
+    in ``consume`` ITSELF mid-batch: shards consumed earlier in that
+    batch are re-delivered when the batch replays (foreachBatch's
+    standard at-least-once within a failed batch) — consumers needing
+    exactly-once under their OWN failures dedup on (epoch_id, shard).
 
     Scale shape: the per-batch driver round-trip is the announced shard
-    ID LIST (O(shards), metadata); the rows themselves stay executor-side
-    in whatever plan ``consume`` builds.  Returns the started
-    StreamingQuery — callers drive it (processAllAvailable/stop)."""
+    ID LIST (O(shards), metadata); verification is
+    ``ceil(shards / max_shards_per_scan)`` jobs of one pruned scan + one
+    shard-keyed aggregation each, never a per-shard serial job loop; the
+    rows themselves stay executor-side in whatever plan ``consume``
+    builds.  Returns the started StreamingQuery — callers drive it
+    (processAllAvailable/stop)."""
+    import inspect
+
+    try:
+        pass_epoch = len(inspect.signature(consume).parameters) >= 3
+    except (TypeError, ValueError):
+        pass_epoch = False
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         shards = sorted(
-            r["shard"] for r in batch_df.select("shard").distinct().collect()
+            int(r["shard"])
+            for r in batch_df.select("shard").distinct().collect()
         )
+        if not shards:
+            return
+        # the manifest is re-read per batch: a producer's update_export
+        # between batches legitimately moves the generation forward
+        with open(os.path.join(path, MANIFEST_FILE)) as f:
+            manifest = json.load(f)
+        # phase 1 — verify EVERYTHING before consuming ANYTHING
+        verify_shards(spark, path, shards, manifest, max_shards_per_scan)
+        # phase 2 — hand over pruned single-shard scans of the verified files
         for s in shards:
-            consume(int(s), load_shard(spark, path, int(s)))
+            rows = spark.read.option("basePath", path).parquet(
+                os.path.join(path, f"shard={s}")
+            )
+            if pass_epoch:
+                consume(s, rows, int(epoch_id))
+            else:
+                consume(s, rows)
 
     return (
         announcements.writeStream.foreachBatch(sink)
@@ -384,11 +566,14 @@ def update_export(
     keyed classify join + one anti-join + one shard-keyed write over
     those rows, one keyed aggregation for the patched stats.  Untouched
     shard files are never opened and stay byte-identical."""
+    # generation is read BEFORE any other state (manifest included) — the
+    # claim below then covers every state read: a competing update that
+    # fully commits after this line but before our commit point advanced
+    # the generation, so our gen+1 claim loses loudly instead of
+    # committing an artifact staged against a stale manifest snapshot
+    gen = _generation(path)
     with open(os.path.join(path, MANIFEST_FILE)) as f:
         manifest = json.load(f)
-    # generation is read BEFORE any state — the claim below detects any
-    # update that commits between this read and our commit point
-    gen = _generation(path)
     n_shards = manifest["n_shards"]
     key_col = manifest["key_col"]
     content_cols = manifest["content_cols"]

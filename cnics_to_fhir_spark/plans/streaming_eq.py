@@ -1265,17 +1265,22 @@ def st12_stream_verified_loader(spark: SparkSession, sf_dir: str) -> DataFrame:
     """st11's producer keeps the sharded export fresh; THIS is the training
     job on the other end: shard-ready announcements arrive as a stream
     (file source, maxFilesPerTrigger=1 → real micro-batches), and every
-    announced shard is re-verified against the manifest AS IT IS LOADED
-    (``load_shard``'s count + order-independent content checksum), so a
-    torn copy or drifted shard fails the batch it arrives in instead of
-    training on corrupt rows three days later.  The returned per-shard
-    stats are recomputed FROM THE LOADED ROWS (not echoed from the
-    manifest), so the oracle hash pins that what the consumer actually
-    read — through 4 micro-batches of 4 shards — is byte-equivalent to
-    the corpus the export was built from.  In-entry asserts: every shard
-    consumed exactly once, across >1 micro-batch, totals match the
-    manifest (load/corpus_export.py stream_verified_shards; the
-    tamper-fails-batch / repair-restart-resumes contract is pinned in
+    announced shard of a micro-batch is verified against the manifest
+    BEFORE any shard of that batch is consumed (``verify_shards``: count
+    + order-independent content checksum, recomputed from the files in
+    chunked pruned scans), so a torn copy or drifted shard fails its
+    batch with ZERO side effects instead of training on corrupt rows
+    three days later — exactly-once per shard across incarnations for
+    verification failures (a failure in the consumer's OWN code mid-batch
+    replays that batch at-least-once; epoch_id is passed for dedup).  The
+    returned per-shard stats are recomputed FROM THE LOADED ROWS (not
+    echoed from the manifest), so the oracle hash pins that what the
+    consumer actually read — through 4 micro-batches of 4 shards — is
+    byte-equivalent to the corpus the export was built from.  In-entry
+    asserts: every shard consumed exactly once, across >1 micro-batch,
+    totals match the manifest (load/corpus_export.py
+    stream_verified_shards; the tamper-fails-batch-before-any-consume /
+    repair-restart-resumes contract is pinned in
     tests/test_corpus_export.py)."""
     from cnics_to_fhir_spark.load.corpus_export import (
         _shard_stats,

@@ -388,6 +388,182 @@ def test_stream_verified_loader_tamper_fails_batch_restart_resumes(spark, tmp_pa
     assert consumed == [0, 1, 2, 3]  # no re-delivery of batch 0
 
 
+def test_stream_verified_loader_multishard_poison_batch_zero_side_effects(
+    spark, tmp_path
+):
+    """VERDICT r11 #1: a batch announcing TWO shards where the SECOND is
+    tampered must fail BEFORE the clean first shard reaches consume —
+    zero side effects from the poison batch — so the restart after repair
+    delivers the clean shard exactly once across incarnations (the old
+    per-shard serial loop consumed shard 1, failed on shard 2, then
+    re-delivered shard 1 on replay)."""
+    import shutil
+
+    from cnics_to_fhir_spark.load.corpus_export import stream_verified_shards
+
+    path = str(tmp_path / "exp")
+    export_shards(_docs(spark, n=60), path, n_shards=4)
+
+    announce = tmp_path / "announce"
+    announce.mkdir()
+    chk = str(tmp_path / "chk")
+    for k, shards in enumerate([[0], [1, 2], [3]]):
+        part = str(tmp_path / f"ann{k}")
+        spark.createDataFrame([(s,) for s in shards], "shard int") \
+            .coalesce(1).write.parquet(part)
+        f = next(p for p in os.listdir(part) if p.endswith(".parquet"))
+        dst = str(announce / f"{k:02d}.parquet")
+        os.rename(os.path.join(part, f), dst)
+        os.utime(dst, (1_700_000_000 + k, 1_700_000_000 + k))
+
+    # tamper shard 2 — the SECOND shard of the sorted batch [1, 2]
+    smuggled = os.path.join(path, "shard=2", "smuggled.parquet")
+    src = sorted(glob.glob(os.path.join(path, "shard=0", "*.parquet")))[0]
+    shutil.copy(src, smuggled)
+
+    consumed: list[int] = []
+
+    def consume(shard, rows):
+        consumed.append(shard)
+        rows.count()
+
+    stream = lambda: (  # noqa: E731 — two incarnations need fresh readers
+        spark.readStream.schema("shard int")
+        .option("maxFilesPerTrigger", 1).parquet(str(announce))
+    )
+    q = stream_verified_shards(spark, path, stream(), chk, consume)
+    with pytest.raises(Exception, match="failed verification"):
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    # the clean shard 1 of the poison batch was NOT consumed: the whole
+    # batch verified (and failed) before any consume side effect
+    assert consumed == [0]
+
+    os.remove(smuggled)
+    q2 = stream_verified_shards(spark, path, stream(), chk, consume)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    # shard 1 delivered exactly once across the failure + restart
+    assert consumed == [0, 1, 2, 3]
+
+
+def test_stream_verified_loader_chunked_scans_and_epoch_id(spark, tmp_path):
+    """One announcement file naming MANY shards (a producer that bulk
+    announces) still verifies as bounded chunked scans
+    (max_shards_per_scan) with the all-before-any-consume guarantee, and
+    a 3-parameter consume receives the micro-batch epoch id."""
+    import shutil
+
+    from cnics_to_fhir_spark.load.corpus_export import stream_verified_shards
+
+    path = str(tmp_path / "exp")
+    export_shards(_docs(spark, n=200), path, n_shards=8)
+
+    announce = tmp_path / "announce"
+    announce.mkdir()
+    chk = str(tmp_path / "chk")
+    part = str(tmp_path / "ann0")
+    spark.createDataFrame([(s,) for s in range(8)], "shard int") \
+        .coalesce(1).write.parquet(part)
+    f = next(p for p in os.listdir(part) if p.endswith(".parquet"))
+    os.rename(os.path.join(part, f), str(announce / "00.parquet"))
+
+    # poison a shard that lands in the LAST verification chunk (shard 7
+    # with chunks of 3: [0,1,2] [3,4,5] [6,7]) — nothing may be consumed
+    smuggled = os.path.join(path, "shard=7", "smuggled.parquet")
+    src = sorted(glob.glob(os.path.join(path, "shard=0", "*.parquet")))[0]
+    shutil.copy(src, smuggled)
+
+    consumed: list[tuple[int, int]] = []
+
+    def consume(shard, rows, epoch_id):
+        consumed.append((shard, epoch_id))
+        rows.count()
+
+    stream = lambda: (  # noqa: E731
+        spark.readStream.schema("shard int").parquet(str(announce))
+    )
+    q = stream_verified_shards(
+        spark, path, stream(), chk, consume, max_shards_per_scan=3
+    )
+    with pytest.raises(Exception, match="failed verification"):
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    assert consumed == []  # earlier chunks verified clean, still no consume
+
+    os.remove(smuggled)
+    q2 = stream_verified_shards(
+        spark, path, stream(), chk, consume, max_shards_per_scan=3
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert [s for s, _ in consumed] == list(range(8))
+    assert len({e for _, e in consumed}) == 1  # one epoch id for the batch
+
+
+def test_verify_shards_names_every_offender(spark, tmp_path):
+    """The batch verifier reports ALL bad shards of a list, not just the
+    first — unknown ids, missing dirs, and drifted content each as their
+    own failure class."""
+    import shutil
+
+    from cnics_to_fhir_spark.load.corpus_export import verify_shards
+
+    path = str(tmp_path / "exp")
+    m = export_shards(_docs(spark, n=60), path, n_shards=4)
+
+    got = verify_shards(spark, path, [0, 1, 2, 3], max_shards_per_scan=2)
+    assert {str(k): v for k, v in got.items()} == m["shards"]
+
+    with pytest.raises(ValueError, match=r"shards \[7, 9\] are not in the manifest"):
+        verify_shards(spark, path, [0, 9, 7])
+
+    shutil.rmtree(os.path.join(path, "shard=1"))
+    src = sorted(glob.glob(os.path.join(path, "shard=0", "*.parquet")))[0]
+    shutil.copy(src, os.path.join(path, "shard=3", "smuggled.parquet"))
+    with pytest.raises(ValueError, match=r"shards \[1\] at .* directory missing"):
+        verify_shards(spark, path, [0, 1, 3])
+    with pytest.raises(ValueError, match=r"shards \[3\] at .* failed verification"):
+        verify_shards(spark, path, [0, 2, 3])
+
+
+def test_generation_vacuum_keeps_aba_guard(tmp_path):
+    """VERDICT r11 #5: compacting all-but-the-max generation token must
+    not reopen the ABA window — a stalled updater holding gen N still
+    loses to the current max (refused by the at-or-below-max check, not
+    by token EEXIST), and fresh tokens survive the grace period."""
+    from cnics_to_fhir_spark.load import corpus_export as ce
+    from cnics_to_fhir_spark.load.versioned_table import ConcurrentCommitError
+
+    path = str(tmp_path / "tok")
+    os.makedirs(path)
+    for g in range(1, 6):
+        ce._claim_generation(path, g)
+    assert ce._generation(path) == 5
+
+    # fresh tokens are inside the grace period: nothing is swept
+    assert ce.vacuum_generations(path)["tokens_removed"] == 0
+
+    res = ce.vacuum_generations(path, grace_s=0.0)
+    assert res == {"tokens_removed": 4, "generation": 5}
+    assert ce._generation(path) == 5  # the max token IS the ledger head
+
+    # the stalled updater that read gen 2 long ago claims 3 — the token
+    # it would have collided with is gone, but the claim still loses
+    with pytest.raises(ConcurrentCommitError, match="current generation is 5"):
+        ce._claim_generation(path, 3)
+    ce._claim_generation(path, 6)  # the honest next update proceeds
+    assert ce._generation(path) == 6
+
+
 def test_generation_claim_primitive(tmp_path):
     """The commit primitive itself: double-claim of one generation is a
     loud ConcurrentCommitError, no tmp debris, tokens form the ledger."""
