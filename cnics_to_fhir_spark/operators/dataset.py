@@ -869,6 +869,15 @@ def interleave_schedule(
     ≤k-row slot numbering) runs on that bounded set, never the corpus.
     ``weights`` is a tiny (source, weight) dim, broadcast.
 
+    Every source present in ``df`` must carry a weight ≥ 1 in
+    ``weights``: a missing source would silently vanish from the
+    schedule (join drop), and a weight of 0 yields NULL positions
+    (integer DIV by zero) that would sort FIRST under nulls-first and
+    flood the schedule head — both are raised loudly instead, checked on
+    the BOUNDED candidate set (the corpus is scanned once, frozen via
+    ``localCheckpoint`` at ≤ k × n_sources rows, and the validation
+    action reads the frozen set — no second corpus scan).
+
     Returns (slot, source, key, position) for slots 1..k.
     """
     from cnics_to_fhir_spark.operators.dedup import portable_hash
@@ -883,13 +892,25 @@ def interleave_schedule(
             Window.partitionBy("source").orderBy("__h", key_col)
         ),
     ).filter(F.col("rk") <= k)
-    cand = (
-        ranked.join(F.broadcast(weights), on="source", how="inner")
-        .select(
-            "source",
-            key_col,
-            F.expr("CAST(rk * 1000000 DIV weight AS BIGINT)").alias("position"),
+    # left join so an unweighted source SURFACES (null weight) instead of
+    # silently dropping; checkpoint the ≤ k×n_sources candidate set so the
+    # validation action and the final sort share one corpus scan
+    cand0 = ranked.join(F.broadcast(weights), on="source", how="left") \
+        .localCheckpoint(eager=True)
+    bad = (
+        cand0.filter(F.col("weight").isNull() | (F.col("weight") < 1))
+        .select("source", "weight").distinct().limit(20).collect()
+    )
+    if bad:
+        raise ValueError(
+            "interleave_schedule: every source in df needs a weights row "
+            "with weight >= 1 (missing row => None); offending sources: "
+            f"{sorted((r['source'], r['weight']) for r in bad)}"
         )
+    cand = cand0.select(
+        "source",
+        key_col,
+        F.expr("CAST(rk * 1000000 DIV weight AS BIGINT)").alias("position"),
     )
     top = cand.orderBy("position", "source", key_col).limit(k)
     # slot numbering over ≤k rows — a single-partition window bounded by

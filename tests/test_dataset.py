@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from cnics_to_fhir_spark.operators import dataset
@@ -502,3 +503,32 @@ def test_interleave_schedule_prefix_proportionality(spark):
         source_col="source", key_col="doc_id",
     ).collect()
     assert [tuple(r) for r in out] == [tuple(r) for r in out2]
+
+
+def test_interleave_schedule_rejects_missing_and_nonpositive_weights(spark):
+    """ADVICE r11: a source missing from the weights dim must not be
+    silently dropped by the join, and weight 0 must not flood the
+    schedule head with NULL positions (integer DIV by zero sorts
+    nulls-first) — both raise, naming the offending sources."""
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(60)], "doc_id long, source string"
+    )
+    # s2 has no weights row
+    w_missing = spark.createDataFrame(
+        [("s0", 1), ("s1", 2)], "source string, weight long"
+    )
+    with pytest.raises(ValueError, match=r"weight >= 1.*'s2'"):
+        dataset.interleave_schedule(docs, w_missing, k=10)
+    # s1 has weight 0
+    w_zero = spark.createDataFrame(
+        [("s0", 1), ("s1", 0), ("s2", 4)], "source string, weight long"
+    )
+    with pytest.raises(ValueError, match=r"\('s1', 0\)"):
+        dataset.interleave_schedule(docs, w_zero, k=10)
+    # a weight-carrying superset dim is fine: extra sources don't matter
+    w_extra = spark.createDataFrame(
+        [("s0", 1), ("s1", 2), ("s2", 4), ("s9", 7)],
+        "source string, weight long",
+    )
+    out = dataset.interleave_schedule(docs, w_extra, k=10).collect()
+    assert [r["slot"] for r in out] == list(range(1, 11))

@@ -9,12 +9,16 @@ its status (`ok` / `rows` / `fail` / `missing`), timing, and which source
 sidecar the record came from — so scale verification is a single JSON the
 judge can diff against ``catalog()``, not prose.
 
-Merge rule when an entry appears in several sidecars: prefer `ok` over
-`rows` over `fail` (a later re-run that fixed an oracle supersedes the
-old failure — gr01's round-7 fail was fixed and re-verified in
-selfcheck_sf10_gr01.json), and among equal statuses prefer the
-lexicographically later file (later rounds sort after the r7-era names
-by construction: the r11+ sweeps embed the round in the filename).
+Merge rule when an entry appears in several sidecars: RECENCY FIRST —
+the record from the most recently committed sidecar wins (git commit
+time; an uncommitted sidecar counts as newest via its mtime), so a
+fresh sf10 FAILURE is never silently masked by a stale `ok` from an
+earlier round.  Among sidecars of the same commit (one round's
+segments), prefer `ok` over `rows` over `fail` — a same-round re-run
+that fixed an oracle supersedes the failure it fixed (gr01's round-7
+fail + fix landed in one commit) — then the lexicographically later
+file.  Whenever recency DOWNGRADES an entry below some older record's
+status, the downgrade is printed loudly.
 
 Usage: python tools/consolidate_sf10.py [repo_dir]
 """
@@ -24,6 +28,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import subprocess
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -58,8 +63,19 @@ def main() -> int:
 
     names = list(catalog())
     merged: dict[str, dict] = {}
+    best_rank_seen: dict[str, int] = {}
     sources = sorted(glob.glob(os.path.join(repo, "selfcheck_sf10_*.json")))
     sources = [s for s in sources if not s.endswith("consolidated.json")]
+
+    def commit_ts(path: str) -> float:
+        out = subprocess.run(
+            ["git", "-C", repo, "log", "-1", "--format=%ct", "--", path],
+            capture_output=True, text=True,
+        ).stdout.strip()
+        # an uncommitted (this-round) sidecar is newer than every commit
+        return float(out) if out else os.path.getmtime(path)
+
+    ts = {path: commit_ts(path) for path in sources}
     for path in sources:
         with open(path) as f:
             doc = json.load(f)
@@ -68,12 +84,29 @@ def main() -> int:
             name = e["name"]
             cand = {**e, "source": src}
             prev = merged.get(name)
+            cr = _RANK.get(cand["status"], 0)
+            best_rank_seen[name] = max(best_rank_seen.get(name, 0), cr)
             if prev is None:
                 merged[name] = cand
                 continue
-            pr, cr = _RANK.get(prev["status"], 0), _RANK.get(cand["status"], 0)
-            if cr > pr or (cr == pr and src >= prev["source"]):
+            # recency first (git commit time), then status rank, then name:
+            # a fresh failure beats a stale ok; a same-commit fix beats the
+            # failure it fixed
+            pk = (ts[os.path.join(repo, prev["source"])],
+                  _RANK.get(prev["status"], 0), prev["source"])
+            ck = (ts[path], cr, src)
+            if ck >= pk:
                 merged[name] = cand
+    downgraded = sorted(
+        n for n, e in merged.items()
+        if _RANK.get(e["status"], 0) < best_rank_seen.get(n, 0)
+    )
+    for n in downgraded:
+        print(
+            f"DOWNGRADED by recency: {n} = {merged[n]['status']} "
+            f"(from {merged[n]['source']}; an older sidecar had a "
+            "better status)"
+        )
 
     entries = []
     missing = []
