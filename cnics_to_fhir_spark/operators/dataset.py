@@ -924,3 +924,109 @@ def interleave_schedule(
         key_col,
         "position",
     )
+
+
+def interleave_schedule_full(
+    df: DataFrame,
+    weights: DataFrame,
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    npartitions: int | None = None,
+) -> DataFrame:
+    """The TOTAL weighted-fair training order of the corpus — every doc
+    slotted, not just the first ``k`` (``interleave_schedule`` is the
+    prefix/audit variant; a production loader consumes THIS).  Same WFQ
+    position arithmetic: doc ``r`` of a weight-``w`` source lands at
+    virtual time ``r*1_000_000 DIV w``; global order (position, source,
+    key) is total, so engines agree bit-for-bit, and every PREFIX of the
+    schedule carries each source in proportion to its weight.
+
+    Scale shape — NO unpartitioned window over corpus rows, NO hot-source
+    single task (the two seams the rank<=k bound hid in the prefix
+    variant):
+
+    - the per-source rank is ``global_rank``'s two-pass trick generalized
+      to grouped ranks: ``repartitionByRange(source, h, key)`` gives
+      non-overlapping sorted ranges, per-(partition, source) counts
+      round-trip the driver ONCE (O(npartitions + n_sources) rows — each
+      partition holds few distinct sources because ranges sort by source
+      first) to become per-source prefix offsets, and a per-partition
+      window plus the offset is the exact per-source rank.  A source
+      spanning many ranges is ranked by many parallel tasks.
+    - slot numbering is ``global_rank`` itself over (position, source,
+      key): range-partitioned sort + bounded driver offsets, never
+      ``row_number() OVER (ORDER BY ...)``'s serial global window.
+
+    ``weights`` must cover every source in ``df`` with weight ≥ 1 —
+    validated driver-side from the per-source counts the rank pass
+    already collected (zero extra jobs), same contract as
+    ``interleave_schedule``.
+
+    Returns (slot, source, key, position) over ALL rows of ``df``.
+    """
+    from cnics_to_fhir_spark.operators.dedup import portable_hash
+
+    spark = df.sparkSession
+    n = npartitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    base = df.select(
+        F.col(source_col).alias("source"),
+        F.col(key_col).alias(key_col),
+        portable_hash(F.col(key_col).cast("string")).alias("__h"),
+    )
+    r = (
+        base.repartitionByRange(n, F.col("source"), F.col("__h"), F.col(key_col))
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = (
+        r.groupBy("__pid", "source").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    )
+    wrows = weights.select("source", "weight").collect()  # tiny dim by contract
+    wmap = {row["source"]: row["weight"] for row in wrows}
+    present = sorted({row["source"] for row in counts})
+    bad = [
+        (s, wmap.get(s))
+        for s in present
+        if wmap.get(s) is None or wmap[s] < 1
+    ]
+    if bad:
+        raise ValueError(
+            "interleave_schedule_full: every source in df needs a weights "
+            "row with weight >= 1 (missing row => None); offending "
+            f"sources: {bad}"
+        )
+    if not counts:
+        return base.limit(0).select(
+            F.lit(0).cast("long").alias("slot"),
+            "source",
+            key_col,
+            F.lit(0).cast("long").alias("position"),
+        )
+    # per-source prefix offsets: docs of this source in LOWER ranges
+    acc: dict[str, int] = {}
+    offsets: dict[tuple[int, str], int] = {}
+    for row in sorted(counts, key=lambda x: (x["source"], x["__pid"])):
+        offsets[(row["__pid"], row["source"])] = acc.get(row["source"], 0)
+        acc[row["source"]] = acc.get(row["source"], 0) + row["cnt"]
+    okey = F.concat_ws("\x1f", F.col("__pid").cast("string"), F.col("source"))
+    off_expr = F.create_map(
+        *[
+            x
+            for (pid, src) in sorted(offsets)
+            for x in (F.lit(f"{pid}\x1f{src}"), F.lit(offsets[(pid, src)]))
+        ]
+    )
+    w = Window.partitionBy("__pid", "source").orderBy("__h", key_col)
+    ranked = r.withColumn(
+        "rk", F.row_number().over(w).cast("long") + off_expr[okey].cast("long")
+    )
+    # coverage was validated above, so the inner broadcast join drops nothing
+    cand = ranked.join(F.broadcast(weights), on="source", how="inner").select(
+        "source",
+        key_col,
+        F.expr("CAST(rk * 1000000 DIV weight AS BIGINT)").alias("position"),
+    )
+    sched, _total = global_rank(cand, ["position", "source", key_col], n)
+    return sched.select(
+        F.col("__rank").alias("slot"), "source", key_col, "position"
+    )

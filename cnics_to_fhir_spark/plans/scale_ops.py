@@ -7863,3 +7863,61 @@ def ds17_interleave_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("weight"),
     )
     return interleave_schedule(docs, weights, k=500)
+
+
+# ---------------------------------------------------------------------------
+# ds18 — the FULL weighted-fair training order (every doc slotted)
+# ---------------------------------------------------------------------------
+@query(
+    "ds18_interleave_full_order",
+    tags="DS A3 O1 W J8 F18",
+    oracle="""
+        WITH w AS (
+            SELECT doc_id, source,
+                   (CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT) % 5)
+                       + 1 AS weight,
+                   CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                        AS UBIGINT) AS h
+            FROM documents
+        ),
+        r AS (
+            SELECT doc_id, source, weight,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                                      ORDER BY h, doc_id) AS rk
+            FROM w
+        )
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY position, source, doc_id)
+                    AS BIGINT) AS slot,
+               source, doc_id, position
+        FROM (
+            SELECT doc_id, source,
+                   CAST(rk * 1000000 // weight AS BIGINT) AS position
+            FROM r
+        )
+    """,
+)
+def ds18_interleave_full_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ds17 audits the schedule HEAD; this is what the production loader
+    consumes — the TOTAL weighted-fair training order, every document
+    slotted (VERDICT r11 #3).  Same exact-integer WFQ position (doc r of
+    a weight-w source at virtual time r·10⁶ DIV w, weights 1..5 derived
+    from the source id as in ds17), so ds17 is bit-for-bit the first 500
+    slots of this order.  Scale shape: NO unpartitioned window over
+    corpus rows and no hot-source single task — the per-source rank is
+    the two-pass range-partitioned grouped rank (per-(partition, source)
+    counts round-trip the driver once as prefix offsets, so a source
+    spanning many ranges is ranked by many parallel tasks), and the slot
+    numbering is ds10/dc05's global_rank (range-repartitioned sort +
+    bounded driver offsets) over (position, source, key)
+    (operators/dataset.py interleave_schedule_full)."""
+    from cnics_to_fhir_spark.operators.dataset import interleave_schedule_full
+
+    docs = table(spark, sf_dir, "documents")
+    weights = docs.select("source").distinct().select(
+        "source",
+        (
+            F.regexp_extract(F.col("source"), r"([0-9]+)", 1).cast("long") % 5
+            + F.lit(1)
+        ).alias("weight"),
+    )
+    return interleave_schedule_full(docs, weights)
