@@ -507,6 +507,10 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
+    loads: dict[str, float] = {}  # 1-min loadavg at each query's start:
+    # ~free, and makes per-query drift attributable post-hoc (VERDICT r11
+    # #2: a burst contained INSIDE a window whose bounding probes read
+    # clean passes the sentinel — the stamp pins which queries it hit)
     windows: list[dict] = []  # per-window sentinel stamps for the sidecar
     window_names: list[list[str]] = []
     for i, name in enumerate(HEADLINE):
@@ -517,6 +521,7 @@ def main() -> None:
             if windows[-1]["inflation"] > PROBE_INFLATION:
                 print(f"# SENTINEL: window at q{i} inflated {windows[-1]['inflation']}x", flush=True)
         e = entries[name]
+        loads[name] = round(os.getloadavg()[0], 2)
         timings[name], all_runs[name], n = time_query(e)
         window_names[-1].append(name)
         print(f"# {name}: {timings[name]}s ({n} rows)", flush=True)
@@ -546,6 +551,7 @@ def main() -> None:
         clean_at_start = inflation(p) <= PROBE_INFLATION
         for name in names:
             first = timings[name]
+            rerun_load = round(os.getloadavg()[0], 2)
             rerun, raw, _ = time_query(entries[name])
             p = window_probe(spark)
             clean = clean_at_start and inflation(p) <= PROBE_INFLATION
@@ -553,6 +559,7 @@ def main() -> None:
             if clean:
                 timings[name] = rerun
                 all_runs[name] = all_runs[name] + raw
+                loads[name] = rerun_load
             print(f"# {name}: rerun {rerun}s (first {first}s, clean={clean})", flush=True)
 
     # Regression diff vs the prior committed detail (same SF only): flag
@@ -597,6 +604,7 @@ def main() -> None:
         "prior_host_same": same_host if prior else None,
         "queries": timings,
         "runs": all_runs,
+        "load_1m_at_query": loads,
         "regressions_vs_prior": regressions,
         "sentinel_windows": windows,
         "sentinel_reruns": reruns,
