@@ -340,6 +340,7 @@ def lsh_pr_eval(
     k: int = 3,
     threshold: float = 0.5,
     df_cap: int = 10,
+    sample_mod: int | None = None,
 ) -> DataFrame:
     """Precision/recall of the LSH BANDING itself — the parameter-tuning
     harness a dedup pipeline needs before trusting (num_hashes, bands) at
@@ -348,6 +349,15 @@ def lsh_pr_eval(
     near-dups the bands surface at all (recall — silently surviving
     duplicates when low).  ann10 plays this role for ANN; this is the
     dedup twin.
+
+    ``sample_mod``: evaluate on the deterministic seeded sample of docs
+    with ``portable_hash(id) % sample_mod == 0`` instead of the full
+    corpus — the P/R statistic is an ESTIMATE of the banding's quality
+    and doesn't need every pair; a 1/m doc sample cuts the exact-Jaccard
+    ground-truth join (the quadratic term, and the reason a full-corpus
+    eval is unaffordable at scale) by ~m², while staying engine-portable
+    and replayable (the same md5 predicate selects the same docs in any
+    engine).  ``None`` = full corpus.
 
     Ground truth = exact Jaccard ≥ ``threshold`` over the UNION of two
     independent candidate generators — a df-capped shingle inverted index
@@ -370,6 +380,12 @@ def lsh_pr_eval(
     row."""
     from pyspark import StorageLevel
 
+    if sample_mod is not None:
+        if sample_mod < 1:
+            raise ValueError("sample_mod must be >= 1")
+        df = df.filter(
+            portable_hash(F.col(id_col).cast("string")) % sample_mod == 0
+        )
     shingled = df.select(
         F.col(id_col).alias("id"),
         F.array_distinct(word_shingles(F.col(text_col), k)).alias("shingles"),

@@ -3031,6 +3031,8 @@ def gr01_pagerank_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         raw AS MATERIALIZED (
             SELECT DISTINCT o.o_custkey AS ck, l.l_suppkey AS sk
             FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            WHERE CAST(('0x' || substring(md5(CAST(o.o_custkey AS VARCHAR)),
+                        1, 15)) AS UBIGINT) % 8 = 0
         ),
         edges AS MATERIALIZED (
             SELECT node_pair.src, node_pair.dst FROM (
@@ -3082,10 +3084,22 @@ def gr02_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the same final iteration and identical ranks (dd06's fixpoint
     shape, applied to value propagation instead of label propagation).
     Per-iteration cost is one keyed shuffle + an O(nodes) delta join +
-    a 1-row driver round-trip (operators/graph.py)."""
+    a 1-row driver round-trip (operators/graph.py).
+
+    The graph is the deterministic md5 customer sample
+    ``portable_hash(o_custkey) % 8 == 0`` with ALL of those customers'
+    supplier edges (VERDICT r11 #4): convergence semantics — the
+    until-fixpoint loop, the integer trajectory, the iteration count in
+    the hash — are untouched, but the oracle's recursive-CTE replay cost
+    (per-iteration edge join × ~50 iterations, the reason the full-graph
+    oracle was hour-scale at sf10) drops ~8×, making the convergence
+    oracle replayable at every SF in the ledger.  gr01 keeps the
+    full-graph data path (its fixed-2-iteration oracle is cheap)."""
     from cnics_to_fhir_spark.operators.graph import pagerank_int_converged
+    from cnics_to_fhir_spark.operators.dedup import portable_hash
 
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    o = o.filter(portable_hash(F.col("o_custkey").cast("string")) % 8 == 0)
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     raw = (
         o.join(li, o["o_orderkey"] == li["l_orderkey"])
@@ -7722,6 +7736,8 @@ def o09_versioned_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
                        END
                    ) AS shingles
             FROM documents
+            WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                       AS UBIGINT) % 4 = 0
         ),
         hashes AS (
             SELECT id, j,
@@ -7794,14 +7810,19 @@ def dd15_lsh_pr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     Ground truth = exact Jaccard ≥ 0.5 over the UNION of a df-capped
     shingle inverted index and the LSH candidates themselves, so index
     capping can't deflate precision; hot shingles are excluded and
-    COUNTED (n_capped_shingles), never silently dropped.  One output row,
-    shares in exact integer micro-units
-    (operators/dedup.py lsh_pr_eval)."""
+    COUNTED (n_capped_shingles), never silently dropped.  Evaluated on
+    the deterministic md5 sample ``portable_hash(doc_id) % 4 == 0``
+    (VERDICT r11 #4): the P/R statistic is an estimate and doesn't need
+    every pair — the 1/4 doc sample cuts the quadratic ground-truth
+    join ~16×, which is what makes the exact-Jaccard oracle replayable
+    at sf10 instead of hour-scale.  One output row, shares in exact
+    integer micro-units (operators/dedup.py lsh_pr_eval)."""
     from cnics_to_fhir_spark.operators.dedup import lsh_pr_eval
 
     return lsh_pr_eval(
         table(spark, sf_dir, "documents"),
         num_hashes=8, bands=4, k=3, threshold=0.5, df_cap=10,
+        sample_mod=4,
     )
 
 
