@@ -64,19 +64,23 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # plus the sf1 probe), so entries outside the
 # driver's prefix are locally verified, never silently unchecked.
 _PRIORITY: tuple[str, ...] = (
-    # --- round-11 rotation: CORRECTNESS_r10 went 50/50 green, giving every
-    # round-10 newcomer a driver record and closing the ledger at 228/228
-    # entries ever shipped. This prefix holds:
+    # --- round-12 rotation (VERDICT r11 #6): CORRECTNESS_r11 went 43+7
+    # green, ledger at 230/230 entries ever driver-verified. This prefix
+    # holds:
     #   1. the 12-entry §2-core spine (reference-parity verticals +
     #      one representative per §2 family — kept every round),
-    #   2. round-11 NEW entries (driver-verified same round they ship),
-    #   3. the rows-only entries (VERDICT r10 #8: a10/a11/a14/ann02/
-    #      ann11/dd03/dd04 — rotated every round so the no_oracle set
-    #      stays visibly intentional; ann02b rides along so the sign-LSH
-    #      family's oracle-backed twin keeps a fresh record too),
-    #   4. re-verification fillers: the r5 block — the stalest driver
-    #      records after the r10 prefix re-verified the r3/r4 era
-    #      (staleness computed from CORRECTNESS_r01-r10 in-tree).
+    #   2. the round-12 NEW entry (ds18) plus the four entries whose
+    #      CODE or DEFINITION changed this round and therefore need a
+    #      fresh driver record (dd15 sampled eval set, gr02 sampled
+    #      graph, st12 batch-transactional consume, ds17 weight
+    #      validation),
+    #   3. re-verification fillers by staleness (latest driver record,
+    #      computed from CORRECTNESS_r01-r11 in-tree): the two r5
+    #      holdovers (truncated out of the r11 prefix), then the FULL
+    #      r6 block alphabetically — overflow past 50 is harmless (the
+    #      driver truncates; what's cut stays listed so the next
+    #      rotation starts from it). The rows-only 7 were rotated in
+    #      r11 and come back around r13-r14.
     # Every entry — prefix or not — is still oracle-checked each round
     # by `python selfcheck.py` (full catalog, sf0.001 + sf0.01).
     #
@@ -93,56 +97,53 @@ _PRIORITY: tuple[str, ...] = (
     "b01_resource_assembly",
     "w01_topn_per_group",
     "st01_stream_batch_equivalence",
-    # (2) round-11 newcomers (driver-verified same round they ship)
+    # (2) round-12 newcomer + this round's changed entries
+    "ds18_interleave_full_order",
+    "dd15_lsh_pr_eval",
+    "gr02_pagerank_converged",
     "st12_stream_verified_loader",
     "ds17_interleave_schedule",
-    # (3) the rows-only rotation + the portable ANN twin
-    "a10_approx_distinct",
-    "a11_approx_percentiles",
-    "a14_hll_rollup",
-    "ann02_lsh_topk",
-    "ann11_mmr_diversified",
-    "dd03_minhash_lsh",
-    "dd04_simhash_near_dup",
-    "ann02b_lsh_topk_portable",
-    # (4) re-verification fillers: the r5 block (stalest driver records;
-    # overflow past 50 is harmless — the driver truncates)
-    "dc01_decontaminate",
-    "dd01_exact_dedup",
-    "dd02_ngram_jaccard",
-    "dd03b_minhash_lsh_portable",
-    "dd05_embedding_neardup",
-    "dd07_fuzzy_name_match",
-    "dd12_duplicated_spans",
-    "ds03_greedy_packing",
-    "e2e07_curation_v2",
-    "j08_broadcast_membership",
-    "q07_volume_shipping",
-    "q15_top_supplier",
-    "w04_rank_family",
-    "q02_min_cost_supplier",
-    "mm04_real_png_decode",
-    "ev02_sessionization",
-    "tx04_heavy_hitters",
-    "rj01_interval_attribution",
-    "e2e06_entity_resolution",
-    "ev06_cohort_retention",
-    "ev07_funnel",
-    "j12_bucketed_colocated_join",
-    "ds09_temperature_mixture",
-    "gr01_pagerank_2iter",
-    "gr02_pagerank_converged",
-    "ds10_quality_buckets",
-    "st04_stream_session_equivalence",
-    "st05_stream_stream_join_equivalence",
-    "st06_stream_restart_equivalence",
+    # (3) staleness tail: the r5 holdovers, then the r6 block
     "f04_med_status",
-    # oldest r6 entries (continue the freshness tail)
-    "e2e08_curation_v3",
+    "st06_stream_restart_equivalence",
     "a06_uniqueness_guard",
+    "a07_rollup_counts",
+    "a07_rollup_subtotals",
+    "a08_percentiles",
+    "a08_salted_agg",
+    "a09_percentiles",
+    "a15_string_agg",
+    "a17_histogram",
+    "a18_stat_aggregates",
+    "a19_grouping_sets",
+    "ann07_pq_adc_topk",
+    "dd13_containment_pairs",
+    "dq01_drift_psi",
+    "ds11_length_buckets",
+    "e2e08_curation_v3",
+    "ev09_zscore_anomaly_days",
+    "f23_higher_order_funcs",
+    "f24_props_json_extract",
+    "gr03_triangle_count",
+    "j14_aqe_skew_split",
     "o03_deterministic_sample",
+    "p09_pivot_priority",
+    "p10_not_in_null_semantics",
     "q08_market_share",
     "q09_product_profit",
+    "q11_important_stock",
+    "q12_late_shipments",
+    "q13_customer_distribution",
+    "q16_supplier_count",
+    "q20_part_promotion",
+    "rj02_interval_overlap_join",
+    "st07_stream_incremental_dedup_state",
+    "tx09_nb_langid",
+    "tx10_bpe_encode",
+    "u02_except_intersect",
+    "w03_time_range_window",
+    "w05_share_of_total",
+    "w06_exact_percentiles",
 )
 
 # Catalog entries that have never appeared in any CORRECTNESS_r0*.json
@@ -152,13 +153,11 @@ _PRIORITY: tuple[str, ...] = (
 # round-6 backlog; only the 10 round-7 additions remain, all rotated into
 # the round-8 prefix above.
 _NEVER_DRIVER_VERIFIED: tuple[str, ...] = (
-    # Recomputed after round 10 (catalog keys − union of CORRECTNESS_r01-r10
-    # keys): the r10 prefix went 50/50 clean — every round-10 entry has a
-    # driver record. Only the round-11 newcomers remain, all in block (2)
-    # of the round-11 prefix above, so this tuple should be EMPTY after
-    # round 11.
-    "st12_stream_verified_loader",
-    "ds17_interleave_schedule",
+    # Recomputed after round 11 (catalog keys − union of CORRECTNESS_r01-r11
+    # keys): the r11 prefix went 43+7 clean — st12 and ds17 got their
+    # records. Only the round-12 newcomer remains, in block (2) of the
+    # round-12 prefix above, so this tuple should be EMPTY after round 12.
+    "ds18_interleave_full_order",
 )
 
 
