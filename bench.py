@@ -188,6 +188,8 @@ HEADLINE = [
     # round-11 additions (st12 is excluded with the other streaming-
     # equivalence runs below — trigger overhead, not data path)
     "ds17_interleave_schedule",
+    # round-12 additions
+    "ds18_interleave_full_order",
     # dd15_lsh_pr_eval is excluded with lb02/lb06 below (VERDICT r10 #2):
     # its exact-Jaccard ground-truth join — the expensive half of a QA
     # harness run once per LSH parameter choice, not a production data

@@ -3113,10 +3113,12 @@ def gr02_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_suppkey") * 2 + 1).alias("src"), (F.col("o_custkey") * 2).alias("dst")
     )
     # max_iters is a runaway guard, not a semantic bound: hub (supplier)
-    # nodes carry ~150x the initial mass (customer/supplier degree ratio),
-    # so the absolute 1e-3 tolerance takes ~59 iterations to damp at both
-    # sf0.01 and sf1 — 100 keeps headroom over the measured points while
-    # still failing fast on a genuine non-convergence bug.
+    # nodes carry a large multiple of the initial mass (customer/supplier
+    # degree ratio), so the absolute 1e-3 tolerance takes ~42 iterations
+    # to damp on the mod-8 customer sample (the ratio is ~8x smaller than
+    # the full graph's, which took ~59) — 100 keeps headroom over the
+    # measured points while still failing fast on a genuine
+    # non-convergence bug.
     return pagerank_int_converged(fwd.unionAll(bwd), tol_q=1_000, max_iters=100)
 
 
