@@ -109,12 +109,22 @@ def ngram_jaccard_pairs(
 
 def _verify_jaccard(pairs: DataFrame, shingled: DataFrame, threshold: float) -> DataFrame:
     """Attach shingles to candidate (id_a, id_b) pairs and keep exact-Jaccard
-    survivors. ``shingled`` = (id, shingles)."""
+    survivors. ``shingled`` = (id, shingles).
+
+    The shingle side is O(corpus) with fat array payloads and must NEVER
+    be the broadcast build side: Catalyst's size estimate of a persisted
+    relation undercounts the in-memory UnsafeRow blow-up of array<string>
+    columns, so at scale the auto-broadcast pick deserializes a
+    multi-GB LongToUnsafeRowMap per executor and OOMs (observed: dd15 at
+    sf10, 125k sampled docs — java heap OOM inside HashedRelation read).
+    ``shuffle_hash`` pins a shuffled hash join: keyed exchange on the id,
+    no replicated corpus copy, the 100-TB-honest shape regardless of what
+    the stats claim."""
     a = shingled.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
     b = shingled.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
     return (
-        pairs.join(a, on="id_a")
-        .join(b, on="id_b")
+        pairs.join(a.hint("shuffle_hash"), on="id_a")
+        .join(b.hint("shuffle_hash"), on="id_b")
         .select(
             "id_a",
             "id_b",
@@ -399,10 +409,14 @@ def lsh_pr_eval(
     n_capped = dfreq.agg(
         F.sum((F.col("c") > df_cap).cast("long")).alias("n_capped_shingles")
     ).select(F.coalesce(F.col("n_capped_shingles"), F.lit(0)).alias("n_capped_shingles"))
-    invk = inv.join(kept, on="s", how="left_semi")
+    # every join below has an O(corpus)-scaled side (shingle vocabulary,
+    # inverted index, verified pair set) — shuffle_hash pins keyed
+    # exchanges so none of them can become a replicated broadcast build
+    # at scale (see _verify_jaccard's note; same honesty rule)
+    invk = inv.join(kept.hint("shuffle_hash"), on="s", how="left_semi")
     pinv = (
         invk.select(F.col("id").alias("id_a"), "s")
-        .join(invk.select(F.col("id").alias("id_b"), "s"), on="s")
+        .join(invk.select(F.col("id").alias("id_b"), "s").hint("shuffle_hash"), on="s")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
@@ -412,7 +426,7 @@ def lsh_pr_eval(
 
     nt = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
     nc = cand.agg(F.count(F.lit(1)).cast("long").alias("n_cand"))
-    nh = cand.join(truth, on=["id_a", "id_b"], how="left_semi").agg(
+    nh = cand.join(truth.hint("shuffle_hash"), on=["id_a", "id_b"], how="left_semi").agg(
         F.count(F.lit(1)).cast("long").alias("n_hit")
     )
     out = (
