@@ -36,23 +36,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 _RANK = {"ok": 3, "rows": 2, "fail": 1}
 
 # Entries whose sf10 ORACLE (not the engine) is hour-scale — the DuckDB
-# replay cost is a harness bound, documented instead of burned: each has
-# lower-SF oracle verification every round (selfcheck sf0.001 + sf0.01)
-# plus the scale evidence named here.
-_ORACLE_COST_EXCEPTIONS = {
-    "dd15_lsh_pr_eval": (
-        "sf1 hash-green THIS round (selfcheck_sf1_r11_exceptions.json: "
-        "spark 68.6s, oracle 360s — the exact-Jaccard ground-truth join "
-        "is the oracle's cost, extrapolating past an hour at sf10); LSH "
-        "data path sf10-ok via dd03/dd03b"
-    ),
-    "gr02_pagerank_converged": (
-        "sf1 hash-green THIS round (selfcheck_sf1_r11_exceptions.json: "
-        "spark 179s, oracle 362s; a 55-min sf10 attempt timed out inside "
-        "the recursive-CTE convergence replay); per-iteration data path "
-        "identical to gr01, sf10-ok in this ledger"
-    ),
-}
+# replay cost is a harness bound, documented instead of burned.  EMPTY
+# since round 12: dd15 (md5-sampled eval set, VERDICT r11 #4) and gr02
+# (md5-sampled customer graph) now carry real sf10 oracle records in
+# selfcheck_sf10_r12*.json, so a future sf10 miss for them is a loud
+# `missing`, never silently excused.
+_ORACLE_COST_EXCEPTIONS: dict[str, str] = {}
 
 
 def main() -> int:
