@@ -3,10 +3,11 @@ refinement algorithm class, expressed the idiomatic Spark way: the corpus
 never leaves the cluster; only the k×dim centroid matrix round-trips the
 driver between iterations (exactly MLlib's structure).
 
-Per iteration: broadcast the tiny centroid table, assign each vector to its
-nearest centroid (argmin over a broadcast nested-loop join + one window),
-recompute centroids as per-dimension means (posexplode → groupBy(cid, dim)
-— a shuffle of |corpus|×dim scalar rows, the only shuffle per iteration).
+Per iteration: inline the tiny centroid matrix as literal expressions,
+assign each vector to its nearest centroid (argmin as a pure projection —
+no join, no window, no shuffle; see ``nearest_centroid``), recompute
+centroids as per-dimension means (posexplode → groupBy(cid, dim) — a
+shuffle of |corpus|×dim scalar rows, the only shuffle per iteration).
 
 Determinism across engines (for the DuckDB oracle, which unrolls the same
 fixed iteration count in SQL): centroids round to 6 dp after init and every
@@ -22,25 +23,50 @@ import math
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from cnics_to_fhir_spark.functions.numeric import stable_round
 from cnics_to_fhir_spark.operators.similarity import dot
 
 
-def _sq_dist(v, c):
-    return dot(v, v) - 2 * dot(v, c) + dot(c, c)
+def nearest_centroid(v, centroid_rows: list[tuple[int, list[float]]]):
+    """(cid, dist) of the nearest centroid as a pure projection expression.
+
+    The centroid matrix is driver-resident by construction (it round-trips
+    the driver every Lloyd iteration), so the argmin needs no join and no
+    window: each centroid's squared distance is inlined as a literal-array
+    expression and the min is taken over an array<struct<dist,cid>> —
+    struct comparison orders by dist then cid, exactly the
+    ``row_number() OVER (ORDER BY dist, cid)`` tie-break the crossJoin
+    formulation used.  Numerics are identical: ``dot(v,v) - 2*dot(v,lit(c))
+    + lit(<c,c>)`` evaluates the same left-to-right double chain as
+    ``_sq_dist`` over a centroid column (the ⟨c,c⟩ term is folded on the
+    driver with the same sequential double adds Spark's ``aggregate``
+    performs).  This removes one Exchange (hash by vec_id for the window)
+    plus a crossJoin per assignment pass — at 100 TB the assignment is a
+    narrow map over the corpus instead of a corpus shuffle."""
+    structs = []
+    for cid, cv in centroid_rows:
+        cv_lit = F.array(*[F.lit(float(x)) for x in cv])
+        cc = 0.0
+        for x in cv:
+            cc += float(x) * float(x)
+        d = dot(v, v) - 2 * dot(v, cv_lit) + F.lit(cc)
+        structs.append(F.struct(d.alias("dist"), F.lit(int(cid)).alias("cid")))
+    best = F.array_min(F.array(*structs))
+    return best["cid"], best["dist"]
 
 
-def _assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
-    """Nearest centroid per vector: broadcast the k-row centroid table."""
-    w = Window.partitionBy("vec_id").orderBy("dist", "cid")
-    return (
-        vectors.crossJoin(F.broadcast(centroids))
-        .withColumn("dist", _sq_dist(F.col("v"), F.col("cv")))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "v", "cid", "dist")
+def _assign(vectors: DataFrame, centroid_rows: list[tuple[int, list[float]]]) -> DataFrame:
+    """Nearest centroid per vector as a shuffle-free projection."""
+    if not centroid_rows:
+        # empty centroid set (empty input): preserve the old crossJoin
+        # semantics — an empty result with the assignment schema
+        return vectors.select(
+            "vec_id", "v", F.lit(0).alias("cid"), F.lit(0.0).alias("dist")
+        ).limit(0)
+    cid, dist = nearest_centroid(F.col("v"), centroid_rows)
+    return vectors.select(
+        "vec_id", "v", cid.alias("cid"), dist.alias("dist")
     )
 
 
@@ -85,14 +111,11 @@ def kmeans_train(
         for cid, r in enumerate(init)
     ]
 
-    def centroid_df(rows):
-        return spark.createDataFrame(rows, "cid int, cv array<double>")
-
     if iters < 1:
         raise ValueError("kmeans_train needs iters >= 1")
     for step in range(iters):
         used_rows = centroid_rows
-        assigned = _assign(vectors, centroid_df(centroid_rows))
+        assigned = _assign(vectors, centroid_rows)
         if step + 1 == iters:
             break  # the final recompute would never be consumed
         means = (

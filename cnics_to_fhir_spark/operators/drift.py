@@ -41,15 +41,16 @@ def psi_drift(
     baseline (min = max) put everything in bin 0."""
     g, v = F.col(group_col), F.col(value_col)
     base = df.filter(F.col(baseline_col))
-    # stats and the binned counts are O(groups) / O(groups×bins) rows but
-    # sit under several lineage consumers each — pinning them caps the
-    # corpus at TWO scans (one min/max pass, one binning pass) instead of
-    # re-deriving the whole chain per consumer (10 scans unpinned).
-    stats = (
-        base.groupBy(group_col)
-        .agg(F.min(v).alias("mn"), F.max(v).alias("mx"))
-        .localCheckpoint(eager=True)
-    )
+    # O(groups) rows, single consumer (the broadcast bin join below) — the
+    # min/max pass is one corpus scan, the binning pass the second, and
+    # everything after the (grp, b) count agg is array arithmetic INSIDE
+    # the group row: the former spine crossJoin + two left joins + totals
+    # join (5 sort-merge joins over checkpointed O(groups×bins) frames)
+    # collapse into per-group array expressions (guide §2.4 — remove
+    # shuffles outright).  Values are identical: the same integer counts
+    # feed the same float ops in the same order; only the carrier of the
+    # per-bin rows changed (array slots instead of joined rows).
+    stats = base.groupBy(group_col).agg(F.min(v).alias("mn"), F.max(v).alias("mx"))
     width = (F.col("mx") - F.col("mn")) / F.lit(n_bins)
     bin_expr = F.when(F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
         F.greatest(
@@ -57,41 +58,62 @@ def psi_drift(
             F.least(F.lit(n_bins - 1), F.floor((v - F.col("mn")) / width).cast("int")),
         )
     )
-    binned = (
+    percell = (
         df.join(F.broadcast(stats), group_col)
         .select(g.alias("grp"), F.col(baseline_col).alias("is_base"), bin_expr.alias("b"))
-        .groupBy("grp", "b", "is_base")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=True)
-    )
-    spine = (
-        stats.select(F.col(group_col).alias("grp"))
-        .crossJoin(F.broadcast(df.sparkSession.range(n_bins).select(F.col("id").cast("int").alias("b"))))
-    )
-    cells = (
-        spine.join(binned.filter("is_base").select("grp", "b", F.col("c").alias("c1")), ["grp", "b"], "left")
-        .join(binned.filter(~F.col("is_base")).select("grp", "b", F.col("c").alias("c2")), ["grp", "b"], "left")
-        .select(
-            "grp",
-            "b",
-            (F.coalesce(F.col("c1"), F.lit(0)) + 1).alias("p1"),  # add-one smoothing
-            (F.coalesce(F.col("c2"), F.lit(0)) + 1).alias("p2"),
-        )
-    )
-    tot = cells.groupBy("grp").agg(F.sum("p1").alias("n1"), F.sum("p2").alias("n2"))
-    term = (
-        (F.col("p1") / F.col("n1") - F.col("p2") / F.col("n2"))
-        * (F.log(F.col("p1") * F.col("n2")) - F.log(F.col("p2") * F.col("n1")))
-    )
-    return (
-        cells.join(tot, "grp")
-        .select("grp", "n1", "n2", F.floor(term * 1e6).cast("long").alias("tq"))
-        .groupBy(F.col("grp").alias(group_col))
+        .groupBy("grp", "b")
         .agg(
-            (F.first("n1") - F.lit(n_bins)).alias("n_base"),
-            (F.first("n2") - F.lit(n_bins)).alias("n_new"),
-            F.sum("tq").alias("psi_q"),
+            # explicit NOT (not .otherwise) so a NULL baseline flag counts
+            # on NEITHER side — the former per-side filters dropped nulls
+            F.sum(F.when(F.col("is_base"), 1).otherwise(0)).alias("c1"),
+            F.sum(F.when(~F.col("is_base"), 1).otherwise(0)).alias("c2"),
         )
+    )
+    grouped = percell.groupBy("grp").agg(
+        F.collect_list(F.struct("b", "c1", "c2")).alias("cells")
+    )
+    bins = F.sequence(F.lit(0), F.lit(n_bins - 1))
+
+    def smoothed(field):
+        # count of bin i on one side, add-one smoothed (missing bin -> 1),
+        # as a long — exactly the former spine left-join + coalesce(c,0)+1
+        return lambda i: (
+            F.coalesce(
+                F.try_element_at(
+                    F.filter(F.col("cells"), lambda x: x["b"] == i), F.lit(1)
+                )[field],
+                F.lit(0).cast("long"),
+            )
+            + 1
+        )
+
+    withp = grouped.select(
+        "grp",
+        F.transform(bins, smoothed("c1")).alias("p1s"),
+        F.transform(bins, smoothed("c2")).alias("p2s"),
+    ).select(
+        "grp",
+        "p1s",
+        "p2s",
+        F.aggregate(F.col("p1s"), F.lit(0).cast("long"), lambda a, x: a + x).alias("n1"),
+        F.aggregate(F.col("p2s"), F.lit(0).cast("long"), lambda a, x: a + x).alias("n2"),
+    )
+
+    def tq(p1, p2):
+        term = (p1 / F.col("n1") - p2 / F.col("n2")) * (
+            F.log(p1 * F.col("n2")) - F.log(p2 * F.col("n1"))
+        )
+        return F.floor(term * 1e6).cast("long")
+
+    return withp.select(
+        F.col("grp").alias(group_col),
+        (F.col("n1") - F.lit(n_bins)).alias("n_base"),
+        (F.col("n2") - F.lit(n_bins)).alias("n_new"),
+        F.aggregate(
+            F.zip_with(F.col("p1s"), F.col("p2s"), tq),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).alias("psi_q"),
     )
 
 

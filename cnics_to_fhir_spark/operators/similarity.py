@@ -519,23 +519,26 @@ def pq_adc_topk(
     broadcast LUT.  At 100 TB the scored join shrinks from |corpus| to
     |cell| candidates per query while corpus state stays n_sub ints +
     one cell id per vector."""
-    from cnics_to_fhir_spark.operators.clustering import kmeans_train
+    from cnics_to_fhir_spark.operators.clustering import kmeans_train, nearest_centroid
     from cnics_to_fhir_spark.functions.numeric import stable_round
 
     if dim % n_sub:
         raise ValueError("dim must divide evenly into n_sub subspaces")
     width = dim // n_sub
     v = F.col(vec_col).cast("array<double>")
-    codes = None
+    trained: list[list[tuple[int, list[float]]]] = []
     luts = []
     for i in range(n_sub):
         start = i * width + 1  # F.slice is 1-based
         sub = emb.select(F.col(id_col), F.slice(v, start, width).alias("sv"))
-        assigned, cents = kmeans_train(
+        # training still round-trips the driver per Lloyd iteration; only
+        # the trained centroid matrix is kept — the per-subspace assignment
+        # frame is re-derived below as ONE projection over the corpus
+        # instead of n_sub assignment frames joined back on vec_id
+        _assigned, cents = kmeans_train(
             spark, sub, vec_col="sv", id_col=id_col, k=k_codes, iters=2
         )
-        ci = assigned.select("vec_id", F.col("cluster").alias(f"c{i}"))
-        codes = ci if codes is None else codes.join(ci, "vec_id")
+        trained.append(cents)
         cent_df = spark.createDataFrame(cents, "cid int, cv array<double>")
         qi = queries.select(
             F.col(id_col).alias("query_id"), F.slice(v, start, width).alias("qv")
@@ -549,6 +552,19 @@ def pq_adc_topk(
                  + dot(F.col("cv"), F.col("cv"))).alias(f"p{i}"),
             )
         )
+    # encode: every subspace code in one pass over the corpus — a narrow
+    # projection (nearest_centroid inlines the trained codebooks as literal
+    # expressions), replacing the former n_sub-way self-join on vec_id
+    # (guide §2.4: remove shuffles outright).  Code values are identical:
+    # nearest_centroid IS the final-assignment argmin of kmeans_train.
+    codes = emb.select(
+        F.col(id_col).alias("vec_id"),
+        *[
+            nearest_centroid(F.slice(v, i * width + 1, width), trained[i])[0]
+            .alias(f"c{i}")
+            for i in range(n_sub)
+        ],
+    )
     if cell_col is not None:
         corpus_cells = emb.select(
             F.col(id_col).alias("vec_id"), F.col(cell_col).alias("__cell")
