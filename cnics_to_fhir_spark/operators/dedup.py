@@ -868,13 +868,19 @@ def containment_pairs(
         F.col(id_col).alias("id"),
         F.array_distinct(word_shingles(F.col(text_col), k)).alias("s"),
     )
-    inv = sh.select("id", F.explode("s").alias("g"))
-    rare = (
-        inv.groupBy("g")
-        .agg(F.count(F.lit(1)).alias("df_"))
-        .filter((F.col("df_") >= 2) & (F.col("df_") <= max_df))
-        .select("g")
+    # explode_outer, not explode: plain explode lets Catalyst infer
+    # `isnotnull(s) AND size(s) > 0` and push the full shingle expression
+    # below the min-parallelism exchange, where it evaluates (twice) inside
+    # the scan stage — 1 task for a single-file input, serializing the
+    # heaviest projection in the query.  `s` is never null/empty here
+    # (>= k words guarantees >= 1 shingle), so the outer variant plus an
+    # explicit null guard is row-identical while the shingle projection
+    # stays on the repartitioned side of the exchange.
+    inv = sh.select("id", F.explode_outer("s").alias("g")).filter(
+        F.col("g").isNotNull()
     )
+    dfreq = inv.groupBy("g").agg(F.count(F.lit(1)).alias("df_"))
+    rare = dfreq.filter((F.col("df_") >= 2) & (F.col("df_") <= max_df)).select("g")
     idx = inv.join(rare, "g", "left_semi")
     cand = (
         idx.select(F.col("id").alias("id_a"), "g")
@@ -896,14 +902,14 @@ def containment_pairs(
         .filter(F.greatest(F.col("c_a_in_b"), F.col("c_b_in_a")) >= threshold)
     )
     if with_cap_count:
-        capped = (
-            inv.groupBy("g")
-            .agg(F.count(F.lit(1)).alias("df_"))
-            .agg(
-                F.sum(F.when(F.col("df_") > max_df, 1).otherwise(0))
-                .cast("long")
-                .alias("n_capped_shingles")
-            )
+        # derived from the SAME dfreq lineage as `rare` (identical partial
+        # aggregation + exchange), so runtime exchange reuse serves both
+        # consumers from one shuffle instead of two independent
+        # shingle-scan + agg pipelines
+        capped = dfreq.agg(
+            F.sum(F.when(F.col("df_") > max_df, 1).otherwise(0))
+            .cast("long")
+            .alias("n_capped_shingles")
         )
         out = out.crossJoin(F.broadcast(capped))
     return out

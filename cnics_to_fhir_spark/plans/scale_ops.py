@@ -2703,7 +2703,18 @@ def j13_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame
             F.col("l_shipdate"),
             F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"),
         )
-        (li.write.partitionBy("ship_month").mode("overwrite").saveAsTable(f"{db}.li_p"))
+        # repartition BY THE PARTITION COLUMN before the partitioned write:
+        # the raw scan has as many tasks as input splits (3 at sf0.1), so
+        # the write was 3 near-serial tasks each emitting a file into all
+        # ~83 month dirs.  Keyed repartition spreads the write across the
+        # cluster AND gives one file per partition dir instead of
+        # tasks x partitions small files (guide §6 output sizing).
+        (
+            li.repartition(F.col("ship_month"))
+            .write.partitionBy("ship_month")
+            .mode("overwrite")
+            .saveAsTable(f"{db}.li_p")
+        )
         fact = spark.table(f"{db}.li_p")
         dim = (
             table(spark, sf_dir, "orders")
