@@ -51,10 +51,16 @@ def decontaminate(
     ``n_hits`` = number of DISTINCT corpus-side grams found anywhere in
     the benchmark; join ``drop_contaminated`` on it or threshold for a
     softer policy."""
+    from cnics_to_fhir_spark.functions.partitioning import ensure_min_parallelism
+
     bench = _distinct_grams(benchmark, text_col, id_col, k).select(
         F.col("id").alias("bench_id"), "gram"
     )
-    corp = _distinct_grams(corpus, text_col, id_col, k)
+    # The gram shingling is thousands of expression evaluations per row; a
+    # single-row-group corpus file would run it on one core (dc01 profiled
+    # 1.6 s in a 1-task stage at sf0.1). The guard no-ops once the scan's
+    # split count reaches defaultParallelism.
+    corp = _distinct_grams(ensure_min_parallelism(corpus, id_col), text_col, id_col, k)
     return (
         corp.join(F.broadcast(bench), on="gram")
         .filter(F.col("id") != F.col("bench_id"))

@@ -671,10 +671,14 @@ def e2e07_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark import StorageLevel
     from pyspark.sql.window import Window
 
+    from cnics_to_fhir_spark.functions.partitioning import ensure_min_parallelism
     from cnics_to_fhir_spark.operators import curation, textanalysis
     from cnics_to_fhir_spark.operators.dataset import hash_split
 
-    docs = table(spark, sf_dir, "documents")
+    # Fan the corpus out BEFORE the redaction+cache: a single-row-group
+    # documents file otherwise fills the cache through one task (profiled
+    # 2.15 s serial at sf0.1) and leaves every cached branch 1-partition.
+    docs = ensure_min_parallelism(table(spark, sf_dir, "documents"), "doc_id")
     clean = (
         curation.pii_redact(docs)
         .select("doc_id", F.col("redacted").alias("text"))

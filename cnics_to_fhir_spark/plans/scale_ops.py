@@ -2949,6 +2949,13 @@ def _phash_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=["doc_id", "phash"])
 
     d = table(spark, sf_dir, "documents").select("doc_id")
+    # The codec loop is ~0.4 ms/doc of pure Python; a single-row-group
+    # documents file would hand the whole corpus to ONE task (mm07
+    # profiled 1.85 s in a 1-task mapInPandas stage at sf0.1). Only
+    # 8-byte ids are shuffled; no-op once the scan splits ≥ cores.
+    from cnics_to_fhir_spark.functions.partitioning import ensure_min_parallelism
+
+    d = ensure_min_parallelism(d, "doc_id")
     return d.mapInPandas(gen_phash, schema="doc_id long, phash long")
 
 
