@@ -119,17 +119,63 @@ def _verify_jaccard(pairs: DataFrame, shingled: DataFrame, threshold: float) -> 
     sf10, 125k sampled docs — java heap OOM inside HashedRelation read).
     ``shuffle_hash`` pins a shuffled hash join: keyed exchange on the id,
     no replicated corpus copy, the 100-TB-honest shape regardless of what
-    the stats claim."""
-    a = shingled.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
-    b = shingled.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    the stats claim.
+
+    Per-pair cost is the dominant CPU of every caller, so two exact
+    rewrites keep the arithmetic identical while skipping work:
+
+    - ``|union| = n_a + n_b - |inter|`` (shingle arrays are distinct by
+      construction), with the per-DOC sizes projected once on the shingled
+      side — drops the per-PAIR ``array_union`` set build, the larger of
+      the two set operations.  The division operands are the same integers
+      as before, so the double quotient is bit-identical.
+    - a size-ratio prefilter ahead of the intersect: ``jaccard <=
+      min(n_a,n_b)/max(n_a,n_b)``, so a pair with ``min < (threshold -
+      1e-6) * max`` can never survive even after ``stable_round``'s
+      <= 5e-7 perturbation (1e-6 slack > 5e-7, strict superset kept) —
+      candidates from coarse blocking die on two ints instead of a set
+      build over hundreds of strings."""
+    sized = shingled.select(
+        "id", "shingles", F.size("shingles").alias("__n")
+    )
+    a = sized.select(
+        F.col("id").alias("id_a"),
+        F.col("shingles").alias("sh_a"),
+        F.col("__n").alias("__n_a"),
+    )
+    b = sized.select(
+        F.col("id").alias("id_b"),
+        F.col("shingles").alias("sh_b"),
+        F.col("__n").alias("__n_b"),
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.col("__n_a") + F.col("__n_b") - inter
+    # The emptiness guard tests n_a + n_b > 0, which over non-negative
+    # distinct-array sizes is EXACTLY union > 0 (union <= n_a + n_b and
+    # union >= max(n_a, n_b)), same lazy branch semantics — but costs two
+    # int reads instead of an array_intersect: the threshold filter
+    # collapses into the join condition, where a guard mentioning the
+    # intersect would evaluate it a third time per candidate pair (Spark
+    # cannot subexpression-eliminate across lazy CASE branches).  The CASE
+    # itself is ALSO load-bearing: an unconditional quotient is
+    # null-intolerant, and InferFiltersFromConstraints then derives
+    # isnotnull(size(array_distinct(word_shingles(..)))) and pushes the
+    # whole shingle expression into the SCAN filter — per-doc shingling
+    # evaluated twice, below the min-parallelism exchange, on the serial
+    # scan side (the dd13 pathology; measured 2.8x slower on dd02).
+    jac = F.when(
+        (F.col("__n_a") + F.col("__n_b")) > 0,
+        inter.cast("double") / union.cast("double"),
+    ).otherwise(F.lit(0.0))
+    ratio_ok = (
+        F.least("__n_a", "__n_b").cast("double")
+        >= F.lit(threshold - 1e-6) * F.greatest("__n_a", "__n_b").cast("double")
+    )
     return (
         pairs.join(a.hint("shuffle_hash"), on="id_a")
         .join(b.hint("shuffle_hash"), on="id_b")
-        .select(
-            "id_a",
-            "id_b",
-            stable_round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard_sim"),
-        )
+        .filter(ratio_ok)
+        .select("id_a", "id_b", stable_round(jac, 6).alias("jaccard_sim"))
         .filter(F.col("jaccard_sim") >= threshold)
     )
 
