@@ -277,11 +277,15 @@ def merge_versioned(
     get fresh files in this commit's directory, untouched partitions
     carry their manifest entries forward verbatim, prior versions stay
     readable.  Returns table_merge's honest counts plus ``version``."""
-    bad = [
-        r["action"]
-        for r in plan.select("action").distinct().collect()
-        if r["action"] not in _KNOWN
-    ]
+    # ONE driver round-trip covers both validations: distinct (action,
+    # partition) pairs are bounded by |actions| x |touched partitions| —
+    # the two separate distinct().collect() jobs this replaces each cost a
+    # full plan-scan + exchange + driver wait (guide §5: the driver gap
+    # between many small jobs IS the latency of fixture-building entries).
+    ap = plan.select(
+        "action", F.col(partition_col).alias("p")
+    ).distinct().collect()
+    bad = sorted({r["action"] for r in ap if r["action"] not in _KNOWN})
     if bad:
         raise ValueError(f"merge_versioned: unknown action labels {bad!r}")
     parent = current_version(table)
@@ -293,10 +297,7 @@ def merge_versioned(
             f"partition_col mismatch: table uses {man['partition_col']!r}"
         )
 
-    parts = [
-        r["p"]
-        for r in plan.select(F.col(partition_col).alias("p")).distinct().collect()
-    ]
+    parts = sorted({r["p"] for r in ap}, key=lambda p: (p is None, str(p)))
     if any(p == "" for p in parts):
         raise ValueError(
             "merge_versioned: empty-string partition values collapse into "
@@ -345,6 +346,20 @@ def merge_versioned(
         .distinct()
         .withColumn("__present", F.lit(True))
     )
+    # The (action, present) tally rides the checkpoint materialization as
+    # an Observation instead of a separate groupBy job — same integer
+    # counts, one driver round-trip fewer per merge (guide §5).
+    from pyspark.sql import Observation
+
+    def _tcount(action: str, present: bool):
+        cond = (F.col("action") == action) & (
+            F.col("__present") if present else ~F.col("__present")
+        )
+        return F.count(F.when(cond, F.lit(1))).alias(
+            f"{action}_{'t' if present else 'f'}"
+        )
+
+    obs = Observation()
     flagged = (
         plan.join(
             present,
@@ -356,13 +371,17 @@ def merge_versioned(
         )
         .drop("__pp", "__pk")
         .withColumn("__present", F.coalesce(F.col("__present"), F.lit(False)))
+        .observe(
+            obs,
+            *[_tcount(a, p) for a in sorted(_KNOWN) for p in (True, False)],
+        )
         .localCheckpoint()
     )
+    got = obs.get  # blocks on the checkpoint job above
     tally = {
-        (r["action"], r["__present"]): r["n"]
-        for r in flagged.groupBy("action", "__present")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
+        (a, p): got[f"{a}_{'t' if p else 'f'}"]
+        for a in sorted(_KNOWN)
+        for p in (True, False)
     }
     # INSERT of an already-present key would silently duplicate the key in
     # the new version (survivors only anti-join UPDATE/DELETE keys) — fail

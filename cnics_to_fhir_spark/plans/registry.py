@@ -52,6 +52,21 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_table(spark, sf_dir, name)
 
 
+def detach_result(df: DataFrame) -> DataFrame:
+    """Pin a fixture-backed result so its scratch files can be deleted:
+    eager localCheckpoint materializes the computed partitions into
+    executor storage and truncates the lineage, after which the caller's
+    ``finally: rmtree(scratch)`` is safe.
+
+    This replaces the old ``rows = df.collect();
+    spark.createDataFrame(rows, schema)`` detach, which serialized every
+    row through the driver, re-verified each field in Python
+    (types.verify_struct was ~0.3 s for a 16k-row result), and rebuilt a
+    LogicalRDD — one distributed job instead, no driver round-trip of the
+    payload (guide §5: the driver should do almost no data work)."""
+    return df.localCheckpoint(eager=True)
+
+
 # Curated catalog order. The driver verifies a bounded prefix of the catalog
 # (50 entries in rounds 1-2), so the §2-core operators and flagship
 # extensions come first; rows-only entries (no DuckDB oracle — xxhash64/

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from cnics_to_fhir_spark.operators import dedup, events_windows, similarity, textanalysis
-from cnics_to_fhir_spark.plans.registry import query, table
+from cnics_to_fhir_spark.plans.registry import detach_result, query, table
 
 _DEC_RE = r"(-?(0|[1-9][0-9]*)(\.[0-9]+)?([eE][+-]?[0-9]+)?)"
 
@@ -2563,10 +2563,10 @@ def j12_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             for side in ("l_orderkey", "o_orderkey"):
                 if f"Exchange hashpartitioning({side}" in plan:
                     raise AssertionError(f"bucketed join shuffled on {side}")
-            rows = joined.collect()
+            out = detach_result(joined)
     finally:
         spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
-    return spark.createDataFrame(rows, "status string, n bigint, revenue double")
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -2743,10 +2743,10 @@ def j13_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame
         plan = joined._jdf.queryExecution().executedPlan().toString()
         if "dynamicpruning" not in plan.lower():
             raise AssertionError("fact scan carries no dynamic partition pruning filter")
-        rows = joined.collect()
+        out = detach_result(joined)
     finally:
         spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
-    return spark.createDataFrame(rows, "ship_month string, n bigint, revenue double")
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -3849,11 +3849,15 @@ def j14_aqe_skew_split(spark: SparkSession, sf_dir: str) -> DataFrame:
                 stable_round(F.sum("l_quantity"), 2).alias("total_qty"),
             )
         )
-        rows = joined.collect()
+        # detach_result executes joined's own query execution (the eager
+        # localCheckpoint materializes queryExecution.toRdd), so the
+        # adaptive plan inspected below is the executed, final one —
+        # exactly as with the collect it replaces.
+        out = detach_result(joined)
         plan = joined._jdf.queryExecution().executedPlan().toString()
         if "skew=true" not in plan:
             raise AssertionError("adaptive plan did not split the skewed join partition")
-    return spark.createDataFrame(rows, "grp bigint, n bigint, total_qty double")
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -5372,12 +5376,10 @@ def o06_stats_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.lit(100.0)
             ).alias("revenue"),
         )
-        rows = agg.collect()
+        out = detach_result(agg)
     finally:
         shutil.rmtree(path, ignore_errors=True)
-    return spark.createDataFrame(
-        rows, "order_month string, n_orders bigint, revenue double"
-    )
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -5472,12 +5474,10 @@ def u03_schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.lit(100.0)
             ).alias("revenue"),
         )
-        rows = agg.collect()
+        out = detach_result(agg)
     finally:
         shutil.rmtree(path, ignore_errors=True)
-    return spark.createDataFrame(
-        rows, "priority string, n_orders bigint, revenue double"
-    )
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -5584,10 +5584,10 @@ def j15_merge_table_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         )
-        rows = agg.collect()
+        out = detach_result(agg)
     finally:
         shutil.rmtree(path, ignore_errors=True)
-    return spark.createDataFrame(rows, "y int, n bigint, cents bigint")
+    return out
 
 
 # ===========================================================================
@@ -5748,12 +5748,10 @@ def o06b_manifest_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.lit(100.0)
             ).alias("revenue"),
         )
-        rows = agg.collect()
+        out = detach_result(agg)
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
-        rows, "o_orderpriority string, n_orders bigint, revenue double"
-    )
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -6369,17 +6367,17 @@ def u04_rename_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.lit(100.0)
             ).alias("revenue"),
         )
-        rows = agg.collect()
+        out = detach_result(agg)
         # the rename boundary must be invisible: no NULL priority may exist
-        if any(r["priority"] is None for r in rows):
+        # (probed on the checkpointed result — reads pinned blocks, not
+        # the already-deleted fixture)
+        if out.filter(F.col("priority").isNull()).limit(1).count():
             raise AssertionError(
                 "rename shadowing: generation-1 values fell out of the logical column"
             )
     finally:
         shutil.rmtree(path, ignore_errors=True)
-    return spark.createDataFrame(
-        rows, "priority string, n_orders bigint, revenue double"
-    )
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -6984,10 +6982,10 @@ def o07_time_travel_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
             out = agg if out is None else out.unionByName(agg)
-        rows = out.collect()
+        out = detach_result(out)
     finally:
         shutil.rmtree(path, ignore_errors=True)
-    return spark.createDataFrame(rows, "version bigint, b int, n bigint, cents bigint")
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -7075,14 +7073,10 @@ def o08_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
                 cents("val_post").alias("cents_post"),
             )
             out = c if out is None else out.unionByName(c)
-        rows = out.collect()
+        out = detach_result(out)
     finally:
         shutil.rmtree(path, ignore_errors=True)
-    return spark.createDataFrame(
-        rows,
-        "span string, key long, b int, change string,"
-        " cents_pre bigint, cents_post bigint",
-    )
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -7731,10 +7725,10 @@ def o09_versioned_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
             out = agg if out is None else out.unionByName(agg)
-        rows = out.collect()
+        out = detach_result(out)
     finally:
         shutil.rmtree(path, ignore_errors=True)
-    return spark.createDataFrame(rows, "version bigint, b int, n bigint, cents bigint")
+    return out
 
 
 # ---------------------------------------------------------------------------
