@@ -245,17 +245,34 @@ def export_shards(
     from cnics_to_fhir_spark.operators.dedup import portable_hash
 
     shard = (portable_hash(F.col(key_col).cast("string")) % n_shards).cast("int")
-    (
-        df.withColumn("shard", shard)
-        .repartition(F.col("shard"))
-        .write.mode("errorifexists")
-        .partitionBy("shard")
-        .parquet(path)
-    )
-    stats = {
-        r["shard"]: {"n_rows": r["n_rows"], "checksum": r["checksum"]}
-        for r in _shard_stats(df, key_col, content_cols, n_shards).collect()
-    }
+
+    # The write and the manifest aggregation both read the frozen
+    # checkpoint and are independent — submit them from two driver
+    # threads so the light stats job back-fills executors the write's
+    # task tail leaves idle (guide §2.6).  The manifest deliberately
+    # stays INPUT-side (not a read-back of the written files) so a
+    # row-dropping writer bug still fails verify_export.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _write():
+        (
+            df.withColumn("shard", shard)
+            .repartition(F.col("shard"))
+            .write.mode("errorifexists")
+            .partitionBy("shard")
+            .parquet(path)
+        )
+
+    def _stats():
+        return {
+            r["shard"]: {"n_rows": r["n_rows"], "checksum": r["checksum"]}
+            for r in _shard_stats(df, key_col, content_cols, n_shards).collect()
+        }
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        f_write, f_stats = ex.submit(_write), ex.submit(_stats)
+        f_write.result()
+        stats = f_stats.result()
     manifest = {
         "version": 1,
         "n_shards": n_shards,
@@ -593,11 +610,13 @@ def update_export(
             shard.alias("shard"), key_col, change_col, *content_cols
         ).localCheckpoint(eager=True)
     )
-    bad = [
-        r["c"]
-        for r in ch.select(F.col(change_col).alias("c")).distinct().collect()
-        if r["c"] not in _CHANGES
-    ]
+    # ONE driver round-trip covers label validation AND the touched-shard
+    # list (distinct (change, shard) pairs — bounded by |labels| x
+    # |touched shards|); was two full ch-scan jobs (guide §5).
+    cs = ch.select(
+        F.col(change_col).alias("c"), "shard"
+    ).distinct().collect()
+    bad = sorted({r["c"] for r in cs if r["c"] not in _CHANGES})
     if bad:
         raise ValueError(f"update_export: unknown change labels {bad!r}")
     # duplicate keys WITHIN the change feed: two inserts of one absent key
@@ -612,9 +631,7 @@ def update_export(
             f"update_export: {n_ch_dup} key(s) appear more than once in the "
             "change feed — collapse the feed to one change per key first"
         )
-    touched = sorted(
-        r["shard"] for r in ch.select("shard").distinct().collect()
-    )
+    touched = sorted({r["shard"] for r in cs})
     if not touched:
         return {
             "inserted": 0, "updated": 0, "deleted": 0,
@@ -645,17 +662,35 @@ def update_export(
     present = existing.select(
         F.col(key_col).alias("__pk"), F.lit(True).alias("__present")
     )
+    # The (change, present) tally rides the checkpoint materialization as
+    # an Observation — same integer counts, one driver round-trip fewer
+    # (guide §5).
+    from pyspark.sql import Observation
+
+    def _tcount(label: str, pres: bool):
+        cond = (F.col(change_col) == label) & (
+            F.col("__present") if pres else ~F.col("__present")
+        )
+        return F.count(F.when(cond, F.lit(1))).alias(
+            f"{label}_{'t' if pres else 'f'}"
+        )
+
+    obs = Observation()
     flagged = (
         ch.join(present, on=F.col(key_col).eqNullSafe(F.col("__pk")), how="left")
         .drop("__pk")
         .withColumn("__present", F.coalesce(F.col("__present"), F.lit(False)))
+        .observe(
+            obs,
+            *[_tcount(c, p) for c in sorted(_CHANGES) for p in (True, False)],
+        )
         .localCheckpoint(eager=True)
     )
+    got = obs.get  # blocks on the checkpoint job above
     tally = {
-        (r[change_col], r["__present"]): r["n"]
-        for r in flagged.groupBy(change_col, "__present")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
+        (c, p): got[f"{c}_{'t' if p else 'f'}"]
+        for c in sorted(_CHANGES)
+        for p in (True, False)
     }
     if tally.get(("insert", True), 0):
         raise ValueError(
@@ -685,19 +720,34 @@ def update_export(
     # both passes see identical data and the upstream runs once
     merged = survivors.unionByName(incoming).localCheckpoint(eager=True)
 
+    # Staging write and patched-stats aggregation both read the frozen
+    # checkpoint and are independent — overlap them on two driver threads
+    # (guide §2.6), same as export_shards; the stats stay merged-side so
+    # a row-dropping writer bug still fails verify_export.
     staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
-    (
-        merged.repartition(F.col("shard"))
-        .write.mode("errorifexists")
-        .partitionBy("shard")
-        .parquet(staging)
-    )
-    new_stats = {
-        r["shard"]: {"n_rows": r["n_rows"], "checksum": r["checksum"]}
-        for r in _shard_stats(
-            merged, key_col, content_cols, n_shards, use_physical_shard=True
-        ).collect()
-    }
+
+    def _write_staging():
+        (
+            merged.repartition(F.col("shard"))
+            .write.mode("errorifexists")
+            .partitionBy("shard")
+            .parquet(staging)
+        )
+
+    def _patched_stats():
+        return {
+            r["shard"]: {"n_rows": r["n_rows"], "checksum": r["checksum"]}
+            for r in _shard_stats(
+                merged, key_col, content_cols, n_shards, use_physical_shard=True
+            ).collect()
+        }
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        f_write, f_stats = ex.submit(_write_staging), ex.submit(_patched_stats)
+        f_write.result()
+        new_stats = f_stats.result()
 
     # COMMIT POINT for exclusivity: claim the next generation before any
     # live shard dir moves.  A racing update that already claimed it makes

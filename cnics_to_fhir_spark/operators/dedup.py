@@ -737,21 +737,30 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
             .groupBy("src")
             .agg(F.min("dst_label").alias("nbr_label"))
         )
+        # the changed-row count rides the checkpoint materialization as an
+        # Observation over (old, new) pairs already present in the
+        # projection — the old probe was a separate labels⋈new_labels job
+        # per iteration (guide §5)
+        from pyspark.sql import Observation
+
+        obs = Observation()
         new_labels = (
             labels.join(nbr, labels["id"] == nbr["src"], "left")
             .select(
                 labels["id"],
+                F.col("label").alias("__old"),
                 F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias("label"),
             )
+            .observe(
+                obs,
+                F.count(
+                    F.when(F.col("__old") != F.col("label"), F.lit(1))
+                ).alias("chg"),
+            )
+            .select("id", "label")
             .localCheckpoint(eager=True)
         )
-        changed = (
-            labels.select("id", F.col("label").alias("old"))
-            .join(new_labels, "id")
-            .filter(F.col("old") != F.col("label"))
-            .limit(1)
-            .count()
-        )
+        changed = obs.get["chg"]
         labels = new_labels
         if changed == 0:
             return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_rep"))

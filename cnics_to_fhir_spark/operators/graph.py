@@ -156,23 +156,36 @@ def connected_components_star(pairs: DataFrame, max_rounds: int = 25) -> DataFra
     Per round: large-star hangs every node's LARGER neighbors onto its
     neighborhood minimum; small-star then hangs the smaller-or-equal side.
     The edge set monotonically contracts toward depth-1 stars rooted at
-    component minima; the fixpoint test (edge set unchanged) costs one
-    count + an exceptAll probe on materialized (localCheckpoint'd) edges.
-    The fixpoint is path-independent — same components whatever the round
-    interleaving — so a recursive-CTE reachability oracle (dd06's) checks
-    it independently of the algorithm."""
-    edges = _canon(
-        pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
-    ).localCheckpoint(eager=True)
-    # node universe from the RAW pairs, not the canonical edges: a
-    # degenerate self-pair (x, x) contributes no edge but its id must
-    # still get a row (cluster_rep = itself), matching duplicate_clusters
-    all_nodes = (
-        pairs.select(F.col("id_a").alias("doc_id"))
-        .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
+    component minima; the fixpoint test (edge set unchanged) is an
+    Observation-carried row count on each round's checkpoint (two equal-
+    count consecutive rounds trigger the one exceptAll probe that
+    confirms set equality — unequal counts prove change with zero extra
+    jobs).  The fixpoint is path-independent — same components whatever
+    the round interleaving — so a recursive-CTE reachability oracle
+    (dd06's) checks it independently of the algorithm."""
+    from pyspark.sql import Observation
+
+    # ONE materialization of the caller's (possibly expensive) pair DAG:
+    # the canonicalized projection KEEPS degenerate self-pairs (x, x) so
+    # the node universe can be derived lazily from this same checkpoint —
+    # the old separate all_nodes checkpoint re-executed the pair DAG a
+    # second time and serialized a second blocking job for a frame that
+    # is consumed exactly once, at the final join.
+    canon = (
+        pairs.select(
+            F.least("id_a", "id_b").alias("a"),
+            F.greatest("id_a", "id_b").alias("b"),
+        )
         .distinct()
         .localCheckpoint(eager=True)
     )
+    edges = canon.filter(F.col("a") != F.col("b"))
+    all_nodes = (
+        canon.select(F.col("a").alias("doc_id"))
+        .unionByName(canon.select(F.col("b").alias("doc_id")))
+        .distinct()
+    )
+    n_edges = edges.count()
     for _ in range(max_rounds):
         # large-star: emit (v, m(u)) for every neighbor v > u
         s = _sym(edges)
@@ -185,17 +198,23 @@ def connected_components_star(pairs: DataFrame, max_rounds: int = 25) -> DataFra
         # small-star: emit (v, m(u)) for v <= u, plus (u, m(u))
         s2 = _sym(ls)
         m2 = _nbr_min(s2)
-        ss = _canon(
-            s2.join(m2, "u")
-            .filter(F.col("v") < F.col("u"))
-            .select(F.col("v").alias("a"), F.col("m").alias("b"))
-            .unionByName(m2.select(F.col("u").alias("a"), F.col("m").alias("b")))
-        ).localCheckpoint(eager=True)
+        obs = Observation()
+        ss = (
+            _canon(
+                s2.join(m2, "u")
+                .filter(F.col("v") < F.col("u"))
+                .select(F.col("v").alias("a"), F.col("m").alias("b"))
+                .unionByName(m2.select(F.col("u").alias("a"), F.col("m").alias("b")))
+            )
+            .observe(obs, F.count(F.lit(1)).alias("n"))
+            .localCheckpoint(eager=True)
+        )
+        n_ss = obs.get["n"]  # rode the checkpoint job — no extra action
         unchanged = (
-            ss.count() == edges.count()
+            n_ss == n_edges
             and ss.exceptAll(edges).limit(1).count() == 0
         )
-        edges = ss
+        edges, n_edges = ss, n_ss
         if unchanged:
             rep = edges.select(F.col("b").alias("doc_id"), F.col("a").alias("cluster_rep"))
             return all_nodes.join(rep, "doc_id", "left").select(
