@@ -25,11 +25,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cnics_to_fhir_spark.functions.numeric import stable_round
-from cnics_to_fhir_spark.operators.similarity import dot
+from cnics_to_fhir_spark.operators.similarity import dot_sql, sql_double
 
 
-def nearest_centroid(v, centroid_rows: list[tuple[int, list[float]]]):
-    """(cid, dist) of the nearest centroid as a pure projection expression.
+def nearest_centroid(v_sql: str, centroid_rows: list[tuple[int, list[float]]]):
+    """(cid, dist) of the nearest centroid as a pure projection expression;
+    ``v_sql`` is the vector as a SQL expression string.
 
     The centroid matrix is driver-resident by construction (it round-trips
     the driver every Lloyd iteration), so the argmin needs no join and no
@@ -43,16 +44,27 @@ def nearest_centroid(v, centroid_rows: list[tuple[int, list[float]]]):
     driver with the same sequential double adds Spark's ``aggregate``
     performs).  This removes one Exchange (hash by vec_id for the window)
     plus a crossJoin per assignment pass — at 100 TB the assignment is a
-    narrow map over the corpus instead of a corpus shuffle."""
+    narrow map over the corpus instead of a corpus shuffle.
+
+    Built as ONE SQL string handed to a single ``F.expr`` parse: the
+    Column-by-Column construction was ~2.4 s of py4j round-trips per
+    entry (one RPC per lit/struct/higher-order call, k×dim literals per
+    assignment — ann09 spent more driver wall building expressions than
+    executing jobs; guide §5).  The parsed tree is the same expression —
+    double literals use repr() (shortest round-trip form) with the ``D``
+    suffix, so every literal is the identical IEEE-754 double."""
     structs = []
     for cid, cv in centroid_rows:
-        cv_lit = F.array(*[F.lit(float(x)) for x in cv])
+        arr = "array(" + ", ".join(sql_double(x) for x in cv) + ")"
         cc = 0.0
         for x in cv:
             cc += float(x) * float(x)
-        d = dot(v, v) - 2 * dot(v, cv_lit) + F.lit(cc)
-        structs.append(F.struct(d.alias("dist"), F.lit(int(cid)).alias("cid")))
-    best = F.array_min(F.array(*structs))
+        d = (
+            f"(({dot_sql(v_sql, v_sql)}) - (2 * ({dot_sql(v_sql, arr)}))"
+            f" + {sql_double(cc)})"
+        )
+        structs.append(f"named_struct('dist', {d}, 'cid', {int(cid)})")
+    best = F.expr(f"array_min(array({', '.join(structs)}))")
     return best["cid"], best["dist"]
 
 
@@ -64,7 +76,7 @@ def _assign(vectors: DataFrame, centroid_rows: list[tuple[int, list[float]]]) ->
         return vectors.select(
             "vec_id", "v", F.lit(0).alias("cid"), F.lit(0.0).alias("dist")
         ).limit(0)
-    cid, dist = nearest_centroid(F.col("v"), centroid_rows)
+    cid, dist = nearest_centroid("v", centroid_rows)
     return vectors.select(
         "vec_id", "v", cid.alias("cid"), dist.alias("dist")
     )

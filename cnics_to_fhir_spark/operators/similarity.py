@@ -31,6 +31,25 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
+def sql_double(x: float) -> str:
+    """A Python float as a SQL double literal: repr() is the shortest
+    string that round-trips to the same IEEE-754 double, and the ``D``
+    suffix keeps Spark from parsing it as DECIMAL."""
+    return repr(float(x)) + "D"
+
+
+def dot_sql(a: str, b: str) -> str:
+    """``dot`` as a SQL string over expression strings — parses to the
+    identical expression tree (same casts, same 0.0 double seed, same
+    left-to-right fold), but costs ONE py4j parse instead of a dozen
+    Column RPCs per call site; loops that inline centroid matrices build
+    thousands of such subtrees (guide §5)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * "
+        f"CAST(y AS DOUBLE)), 0.0D, (acc, v) -> acc + v)"
+    )
+
+
 def norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
 
@@ -547,9 +566,10 @@ def pq_adc_topk(
             qi.crossJoin(F.broadcast(cent_df)).select(
                 "query_id",
                 F.col("cid").alias(f"c{i}"),
-                (dot(F.col("qv"), F.col("qv"))
-                 - 2 * dot(F.col("qv"), F.col("cv"))
-                 + dot(F.col("cv"), F.col("cv"))).alias(f"p{i}"),
+                F.expr(
+                    f"(({dot_sql('qv', 'qv')}) - (2 * ({dot_sql('qv', 'cv')})))"
+                    f" + ({dot_sql('cv', 'cv')})"
+                ).alias(f"p{i}"),
             )
         )
     # encode: every subspace code in one pass over the corpus — a narrow
@@ -560,8 +580,10 @@ def pq_adc_topk(
     codes = emb.select(
         F.col(id_col).alias("vec_id"),
         *[
-            nearest_centroid(F.slice(v, i * width + 1, width), trained[i])[0]
-            .alias(f"c{i}")
+            nearest_centroid(
+                f"slice(CAST(`{vec_col}` AS ARRAY<DOUBLE>), {i * width + 1}, {width})",
+                trained[i],
+            )[0].alias(f"c{i}")
             for i in range(n_sub)
         ],
     )
