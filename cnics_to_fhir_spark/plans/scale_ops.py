@@ -2538,10 +2538,22 @@ def j12_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
         li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
-        (o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-          .mode("overwrite").saveAsTable(f"{db}.orders_b"))
-        (li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-          .mode("overwrite").saveAsTable(f"{db}.lineitem_b"))
+        # the two bucketed CTAS writes are independent tables — overlap
+        # them on two driver threads so the smaller write back-fills the
+        # bigger one's task tail (guide §2.6)
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _write_orders():
+            (o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+              .mode("overwrite").saveAsTable(f"{db}.orders_b"))
+
+        def _write_lineitem():
+            (li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+              .mode("overwrite").saveAsTable(f"{db}.lineitem_b"))
+
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            fo, fl = ex.submit(_write_orders), ex.submit(_write_lineitem)
+            fo.result(), fl.result()
         ob, lb = spark.table(f"{db}.orders_b"), spark.table(f"{db}.lineitem_b")
         with session_conf(spark, {"spark.sql.autoBroadcastJoinThreshold": "-1"}):
             joined = (
@@ -5446,20 +5458,31 @@ def u03_schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(tempfile.gettempdir(), scratch_name(spark, "u03_files"))
     try:
         orders = table(spark, sf_dir, "orders")
-        (
-            orders.filter(F.col("o_orderkey") % 2 == 0)
-            .select("o_orderkey", "o_totalprice")
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(os.path.join(path, "gen=1"))
-        )
-        (
-            orders.filter(F.col("o_orderkey") % 2 == 1)
-            .select("o_orderkey", "o_totalprice", "o_orderpriority")
-            .coalesce(1)
-            .write.mode("append")
-            .parquet(os.path.join(path, "gen=2"))
-        )
+        # independent generation writes — overlap on two driver threads
+        # (guide §2.6; each is a 1-task coalesced write by design)
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _gen1():
+            (
+                orders.filter(F.col("o_orderkey") % 2 == 0)
+                .select("o_orderkey", "o_totalprice")
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(os.path.join(path, "gen=1"))
+            )
+
+        def _gen2():
+            (
+                orders.filter(F.col("o_orderkey") % 2 == 1)
+                .select("o_orderkey", "o_totalprice", "o_orderpriority")
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(os.path.join(path, "gen=2"))
+            )
+
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            f1, f2 = ex.submit(_gen1), ex.submit(_gen2)
+            f1.result(), f2.result()
         merged = spark.read.option("mergeSchema", "true").parquet(
             os.path.join(path, "gen=1"), os.path.join(path, "gen=2")
         )
@@ -6336,24 +6359,35 @@ def u04_rename_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(tempfile.gettempdir(), scratch_name(spark, "u04_files"))
     try:
         orders = table(spark, sf_dir, "orders")
-        (
-            orders.filter(F.col("o_orderkey") % 2 == 0)
-            .select(
-                "o_orderkey",
-                "o_totalprice",
-                F.col("o_orderpriority").alias("priority_code"),
+        # independent generation writes — overlap on two driver threads
+        # (guide §2.6)
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _gen1():
+            (
+                orders.filter(F.col("o_orderkey") % 2 == 0)
+                .select(
+                    "o_orderkey",
+                    "o_totalprice",
+                    F.col("o_orderpriority").alias("priority_code"),
+                )
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(os.path.join(path, "gen=1"))
             )
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(os.path.join(path, "gen=1"))
-        )
-        (
-            orders.filter(F.col("o_orderkey") % 2 == 1)
-            .select("o_orderkey", "o_totalprice", "o_orderpriority")
-            .coalesce(1)
-            .write.mode("append")
-            .parquet(os.path.join(path, "gen=2"))
-        )
+
+        def _gen2():
+            (
+                orders.filter(F.col("o_orderkey") % 2 == 1)
+                .select("o_orderkey", "o_totalprice", "o_orderpriority")
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(os.path.join(path, "gen=2"))
+            )
+
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            f1, f2 = ex.submit(_gen1), ex.submit(_gen2)
+            f1.result(), f2.result()
         write_name_mapping(path, {"gen=1": {"priority_code": "o_orderpriority"}})
         merged = read_with_name_mapping(spark, path)
         if [f for f in merged.columns if f == "priority_code"]:
@@ -6425,20 +6459,31 @@ def u05_partition_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders = table(spark, sf_dir, "orders").select(
             "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
         )
-        (
-            orders.filter(F.col("o_orderkey") % 2 == 0)
-            .repartition(F.col("o_orderstatus"))
-            .write.mode("overwrite")
-            .partitionBy("o_orderstatus")
-            .parquet(os.path.join(path, "gen=1"))
-        )
-        (
-            orders.filter(F.col("o_orderkey") % 2 == 1)
-            .repartition(F.col("o_orderstatus"), F.col("o_orderpriority"))
-            .write.mode("overwrite")
-            .partitionBy("o_orderstatus", "o_orderpriority")
-            .parquet(os.path.join(path, "gen=2"))
-        )
+        # the two generation writes are independent — overlap them on two
+        # driver threads (guide §2.6)
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _gen1():
+            (
+                orders.filter(F.col("o_orderkey") % 2 == 0)
+                .repartition(F.col("o_orderstatus"))
+                .write.mode("overwrite")
+                .partitionBy("o_orderstatus")
+                .parquet(os.path.join(path, "gen=1"))
+            )
+
+        def _gen2():
+            (
+                orders.filter(F.col("o_orderkey") % 2 == 1)
+                .repartition(F.col("o_orderstatus"), F.col("o_orderpriority"))
+                .write.mode("overwrite")
+                .partitionBy("o_orderstatus", "o_orderpriority")
+                .parquet(os.path.join(path, "gen=2"))
+            )
+
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            f1, f2 = ex.submit(_gen1), ex.submit(_gen2)
+            f1.result(), f2.result()
         write_partition_specs(
             path,
             {
@@ -7119,19 +7164,30 @@ def u06_type_widening_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders = table(spark, sf_dir, "orders").select(
             "o_orderkey", "o_custkey", "o_orderpriority"
         )
-        (
-            orders.filter(F.col("o_orderkey") % 2 == 0)
-            .withColumn("o_custkey", F.col("o_custkey").cast("int"))
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(os.path.join(path, "gen=1"))
-        )
-        (
-            orders.filter(F.col("o_orderkey") % 2 == 1)
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(os.path.join(path, "gen=2"))
-        )
+        # independent generation writes — overlap on two driver threads
+        # (guide §2.6)
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _gen1():
+            (
+                orders.filter(F.col("o_orderkey") % 2 == 0)
+                .withColumn("o_custkey", F.col("o_custkey").cast("int"))
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(os.path.join(path, "gen=1"))
+            )
+
+        def _gen2():
+            (
+                orders.filter(F.col("o_orderkey") % 2 == 1)
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(os.path.join(path, "gen=2"))
+            )
+
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            f1, f2 = ex.submit(_gen1), ex.submit(_gen2)
+            f1.result(), f2.result()
         write_type_widening(path, {"gen=1": {"o_custkey": "bigint"}})
         merged = read_with_type_widening(spark, path)
         if dict(merged.dtypes)["o_custkey"] != "bigint":
