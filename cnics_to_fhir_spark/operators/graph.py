@@ -47,7 +47,18 @@ def pagerank_int(edges: DataFrame, iters: int = 2) -> DataFrame:
     return ranks
 
 
-def _pagerank_step(edges: DataFrame, nodes: DataFrame, deg: DataFrame, ranks: DataFrame) -> DataFrame:
+def _pagerank_step(
+    edges: DataFrame,
+    nodes: DataFrame,
+    deg: DataFrame,
+    ranks: DataFrame,
+    carry_old: bool = False,
+) -> DataFrame:
+    """One synchronous step.  ``carry_old=True`` additionally projects the
+    pre-step rank as ``__old`` (joining ``ranks`` instead of ``nodes`` —
+    the same node universe: every step emits a row per node), so a
+    convergence loop can compute the ∞-norm delta as an Observation on
+    the step's own checkpoint instead of a separate join job."""
     contrib = (
         edges.join(ranks, edges["src"] == ranks["node"])
         .join(deg, on="src")
@@ -58,10 +69,14 @@ def _pagerank_step(edges: DataFrame, nodes: DataFrame, deg: DataFrame, ranks: Da
         .groupBy("node")
         .agg(F.sum("c").alias("s"))
     )
-    return nodes.join(contrib, on="node", how="left").select(
-        "node",
+    base = ranks if carry_old else nodes
+    cols = [
+        F.col("node"),
         (F.lit(BASE_Q) + F.expr("85 * coalesce(s, 0) div 100")).cast("long").alias("rank_q"),
-    )
+    ]
+    if carry_old:
+        cols.append(F.col("rank_q").alias("__old"))
+    return base.join(contrib, on="node", how="left").select(*cols)
 
 
 def pagerank_int_converged(
@@ -97,14 +112,24 @@ def pagerank_int_converged(
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint(eager=True)
     ranks = nodes.select("node", F.lit(SCALE).cast("long").alias("rank_q"))
+    from pyspark.sql import Observation
+
     for i in range(max_iters):
-        new = _pagerank_step(edges, nodes, deg, ranks).localCheckpoint(eager=True)
-        delta = (
-            new.alias("n")
-            .join(ranks.alias("o"), on="node")
-            .agg(F.max(F.abs(F.col("n.rank_q") - F.col("o.rank_q"))).alias("d"))
-            .first()["d"]
+        # the ∞-norm delta rides the step checkpoint as an Observation
+        # over the step's own (new, __old) pair — the separate
+        # new⋈ranks delta job per iteration is gone (guide §5; same
+        # values: the carried __old IS the joined old rank per node)
+        obs = Observation()
+        new = (
+            _pagerank_step(edges, nodes, deg, ranks, carry_old=True)
+            .observe(
+                obs,
+                F.max(F.abs(F.col("rank_q") - F.col("__old"))).alias("d"),
+            )
+            .select("node", "rank_q")
+            .localCheckpoint(eager=True)
         )
+        delta = obs.get["d"]
         if delta is None or delta <= tol_q:
             # delta is None ⇔ the node set is empty (max over zero rows):
             # an empty graph is trivially converged — return the (empty)
