@@ -269,8 +269,15 @@ def export_shards(
             for r in _shard_stats(df, key_col, content_cols, n_shards).collect()
         }
 
+    # inheritable_thread_target: pool worker threads under pinned-thread
+    # mode do not inherit the submitting thread's JVM-local properties
+    # (job group / description / scheduler pool), so the overlapped jobs
+    # would escape job-group cancellation and UI attribution (ADVICE r12)
+    from pyspark import inheritable_thread_target
+
     with ThreadPoolExecutor(max_workers=2) as ex:
-        f_write, f_stats = ex.submit(_write), ex.submit(_stats)
+        f_write = ex.submit(inheritable_thread_target(_write))
+        f_stats = ex.submit(inheritable_thread_target(_stats))
         f_write.result()
         stats = f_stats.result()
     manifest = {
@@ -619,20 +626,10 @@ def update_export(
     bad = sorted({r["c"] for r in cs if r["c"] not in _CHANGES})
     if bad:
         raise ValueError(f"update_export: unknown change labels {bad!r}")
-    # duplicate keys WITHIN the change feed: two inserts of one absent key
-    # (or two updates of one present key) would both land in ``incoming``
-    # and silently duplicate a key in a keyed artifact — and verify_export
-    # would pass, because the manifest stats are recomputed from the same
-    # duplicated rows.  Mirror of the existing-shard dup check below.
-    ch_dup = ch.groupBy(key_col).count().filter(F.col("count") > 1)
-    n_ch_dup = ch_dup.count()
-    if n_ch_dup:
-        raise ValueError(
-            f"update_export: {n_ch_dup} key(s) appear more than once in the "
-            "change feed — collapse the feed to one change per key first"
-        )
     touched = sorted({r["shard"] for r in cs})
     if not touched:
+        # an empty feed cannot carry duplicate keys — the pre-flight dup
+        # check below is vacuous, so the early return stays ahead of it
         return {
             "inserted": 0, "updated": 0, "deleted": 0,
             "noop_missing_key": 0, "shards_rewritten": 0,
@@ -649,14 +646,42 @@ def update_export(
         existing = existing.select("shard", key_col, *content_cols)
     else:
         existing = ch.select("shard", key_col, *content_cols).limit(0)
-    # the uniqueness precondition the shard-scoped anti-join relies on —
-    # one agg over the touched rows only
-    dup = existing.groupBy(key_col).count().filter(F.col("count") > 1)
-    ndup = dup.count()
-    if ndup:
+    # BOTH duplicate-key preconditions in ONE pre-flight aggregation job
+    # (guide §5; was two standalone count jobs).  Feed side: two inserts of
+    # one absent key (or two updates of one present key) would both land in
+    # ``incoming`` and silently duplicate a key in a keyed artifact — and
+    # verify_export would pass, because the manifest stats are recomputed
+    # from the same duplicated rows.  Shard side: the uniqueness
+    # precondition the shard-scoped anti-join relies on (touched rows
+    # only).  Both are checked before ANY side effect, so folding them into
+    # one job preserves fail-before-write ordering; the feed error keeps
+    # precedence when both fire (the old check order).
+    dups = {
+        r["side"]: r["n"]
+        for r in (
+            ch.select(F.col(key_col).alias("__k"), F.lit("feed").alias("side"))
+            .unionByName(
+                existing.select(
+                    F.col(key_col).alias("__k"), F.lit("shard").alias("side")
+                )
+            )
+            .groupBy("side", "__k")
+            .count()
+            .filter(F.col("count") > 1)
+            .groupBy("side")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+    }
+    if dups.get("feed"):
         raise ValueError(
-            f"update_export: {ndup} duplicate key(s) in touched shards — "
-            "incremental update requires unique keys"
+            f"update_export: {dups['feed']} key(s) appear more than once in "
+            "the change feed — collapse the feed to one change per key first"
+        )
+    if dups.get("shard"):
+        raise ValueError(
+            f"update_export: {dups['shard']} duplicate key(s) in touched "
+            "shards — incremental update requires unique keys"
         )
 
     present = existing.select(
@@ -744,8 +769,11 @@ def update_export(
 
     from concurrent.futures import ThreadPoolExecutor
 
+    from pyspark import inheritable_thread_target  # see export_shards note
+
     with ThreadPoolExecutor(max_workers=2) as ex:
-        f_write, f_stats = ex.submit(_write_staging), ex.submit(_patched_stats)
+        f_write = ex.submit(inheritable_thread_target(_write_staging))
+        f_stats = ex.submit(inheritable_thread_target(_patched_stats))
         f_write.result()
         new_stats = f_stats.result()
 

@@ -77,6 +77,14 @@ def _sql_long(w: int) -> str:
     return f"{w}L" if w != -(1 << 63) else f"CAST({w} AS BIGINT)"
 
 
+# Above this word count the rendered SQL text (~20 B/word) approaches the
+# multi-MB range where ANTLR parse time/memory cliffs outweigh the py4j
+# round-trips the single-parse path saves; fall back to F.lit's one-RPC-
+# per-word construction, which never touches the SQL parser.  16k words
+# = a 1 MiB filter; the default filter is 1k words.
+BLOOM_SQL_LITERAL_MAX_WORDS = 1 << 14
+
+
 def bloom_probe(key: Column, bitmap: list[int], m_bits: int, k: int = 3) -> Column:
     """True iff every one of the key's k bits is set — i.e. the key MIGHT be
     in the build set (no false negatives). The bitmap rides along as a
@@ -85,10 +93,15 @@ def bloom_probe(key: Column, bitmap: list[int], m_bits: int, k: int = 3) -> Colu
     The array is rendered as ONE SQL string for a single F.expr parse:
     ``F.lit(bitmap)`` issued one py4j round-trip per word (1,024 RPCs =
     ~1.3 s of driver wall per probe at the default 64 Kib filter;
-    guide §5)."""
-    words = F.expr(
-        "array(" + ", ".join(_sql_long(int(w)) for w in bitmap) + ")"
-    )
+    guide §5).  Above ``BLOOM_SQL_LITERAL_MAX_WORDS`` the SQL text itself
+    becomes the hazard (multi-MB parse), so large filters take the
+    F.lit path — same literal array either way."""
+    if len(bitmap) > BLOOM_SQL_LITERAL_MAX_WORDS:
+        words = F.lit([int(w) for w in bitmap])
+    else:
+        words = F.expr(
+            "array(" + ", ".join(_sql_long(int(w)) for w in bitmap) + ")"
+        )
     cond = F.lit(True)
     for pos in _positions(key, m_bits, k):
         word = F.element_at(words, (pos / WORD_BITS).cast("int") + 1)

@@ -701,8 +701,11 @@ def incremental_split_update(
             k=k, block_words=block_words, threshold=threshold,
         ).localCheckpoint(eager=True)
 
+    from pyspark import inheritable_thread_target  # pinned-thread props
+
     with ThreadPoolExecutor(max_workers=2) as ex:
-        f_existing, f_inc = ex.submit(_phase1), ex.submit(_ingest_pairs)
+        f_existing = ex.submit(inheritable_thread_target(_phase1))
+        f_inc = ex.submit(inheritable_thread_target(_ingest_pairs))
         existing, inc = f_existing.result(), f_inc.result()
 
     batch_ids = batch.select(F.col(id_col).alias("__bid")).distinct()

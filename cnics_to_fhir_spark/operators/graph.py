@@ -196,12 +196,17 @@ def connected_components_star(pairs: DataFrame, max_rounds: int = 25) -> DataFra
     # the old separate all_nodes checkpoint re-executed the pair DAG a
     # second time and serialized a second blocking job for a frame that
     # is consumed exactly once, at the final join.
+    obs0 = Observation()
     canon = (
         pairs.select(
             F.least("id_a", "id_b").alias("a"),
             F.greatest("id_a", "id_b").alias("b"),
         )
         .distinct()
+        # the initial proper-edge count rides the same materialization —
+        # the separate edges.count() job per CC invocation is gone
+        # (guide §5; sum is None over an empty/self-only pair set)
+        .observe(obs0, F.sum((F.col("a") != F.col("b")).cast("long")).alias("n"))
         .localCheckpoint(eager=True)
     )
     edges = canon.filter(F.col("a") != F.col("b"))
@@ -210,7 +215,7 @@ def connected_components_star(pairs: DataFrame, max_rounds: int = 25) -> DataFra
         .unionByName(canon.select(F.col("b").alias("doc_id")))
         .distinct()
     )
-    n_edges = edges.count()
+    n_edges = obs0.get["n"] or 0
     for _ in range(max_rounds):
         # large-star: emit (v, m(u)) for every neighbor v > u
         s = _sym(edges)

@@ -34,8 +34,20 @@ def dot(a: Column, b: Column) -> Column:
 def sql_double(x: float) -> str:
     """A Python float as a SQL double literal: repr() is the shortest
     string that round-trips to the same IEEE-754 double, and the ``D``
-    suffix keeps Spark from parsing it as DECIMAL."""
-    return repr(float(x)) + "D"
+    suffix keeps Spark from parsing it as DECIMAL.
+
+    Non-finite values need the CAST spelling — ``repr()`` yields
+    ``nan``/``inf``, which the SQL parser rejects ('nanD' is not a
+    literal), where the old ``F.lit`` path silently propagated the
+    double (e.g. a NaN embedding flowing through k-means means)."""
+    v = float(x)
+    if v != v:
+        return "CAST('NaN' AS DOUBLE)"
+    if v == float("inf"):
+        return "CAST('Infinity' AS DOUBLE)"
+    if v == float("-inf"):
+        return "CAST('-Infinity' AS DOUBLE)"
+    return repr(v) + "D"
 
 
 def dot_sql(a: str, b: str) -> str:
@@ -545,9 +557,8 @@ def pq_adc_topk(
         raise ValueError("dim must divide evenly into n_sub subspaces")
     width = dim // n_sub
     v = F.col(vec_col).cast("array<double>")
-    trained: list[list[tuple[int, list[float]]]] = []
-    luts = []
-    for i in range(n_sub):
+
+    def _train_sub(i: int):
         start = i * width + 1  # F.slice is 1-based
         sub = emb.select(F.col(id_col), F.slice(v, start, width).alias("sv"))
         # training still round-trips the driver per Lloyd iteration; only
@@ -557,21 +568,34 @@ def pq_adc_topk(
         _assigned, cents = kmeans_train(
             spark, sub, vec_col="sv", id_col=id_col, k=k_codes, iters=2
         )
-        trained.append(cents)
         cent_df = spark.createDataFrame(cents, "cid int, cv array<double>")
         qi = queries.select(
             F.col(id_col).alias("query_id"), F.slice(v, start, width).alias("qv")
         )
-        luts.append(
-            qi.crossJoin(F.broadcast(cent_df)).select(
-                "query_id",
-                F.col("cid").alias(f"c{i}"),
-                F.expr(
-                    f"(({dot_sql('qv', 'qv')}) - (2 * ({dot_sql('qv', 'cv')})))"
-                    f" + ({dot_sql('cv', 'cv')})"
-                ).alias(f"p{i}"),
-            )
+        lut = qi.crossJoin(F.broadcast(cent_df)).select(
+            "query_id",
+            F.col("cid").alias(f"c{i}"),
+            F.expr(
+                f"(({dot_sql('qv', 'qv')}) - (2 * ({dot_sql('qv', 'cv')})))"
+                f" + ({dot_sql('cv', 'cv')})"
+            ).alias(f"p{i}"),
         )
+        return cents, lut
+
+    # The n_sub trainings are data-independent Lloyd loops, each a serial
+    # chain of driver round-trips (init collect + means collect per
+    # iteration) over small jobs — overlap them on driver threads so one
+    # subspace's collect latency back-fills another's task tail
+    # (guide §2.6).  Results are indexed by subspace, so the trained list
+    # and LUT columns are identical to the serial construction.
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    with ThreadPoolExecutor(max_workers=min(4, n_sub)) as ex:
+        results = list(ex.map(inheritable_thread_target(_train_sub), range(n_sub)))
+    trained: list[list[tuple[int, list[float]]]] = [r[0] for r in results]
+    luts = [r[1] for r in results]
     # encode: every subspace code in one pass over the corpus — a narrow
     # projection (nearest_centroid inlines the trained codebooks as literal
     # expressions), replacing the former n_sub-way self-join on vec_id

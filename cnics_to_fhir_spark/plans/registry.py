@@ -58,6 +58,12 @@ def detach_result(df: DataFrame) -> DataFrame:
     executor storage and truncates the lineage, after which the caller's
     ``finally: rmtree(scratch)`` is safe.
 
+    Local-mode assumption (ADVICE r12): localCheckpoint pins blocks in
+    EXECUTOR storage with truncated lineage — on a real cluster a lost
+    executor makes the result unrecoverable once the scratch files are
+    deleted.  Fine for this local[N] harness; a cluster deployment should
+    use reliable ``checkpoint()`` (or collect) here instead.
+
     This replaces the old ``rows = df.collect();
     spark.createDataFrame(rows, schema)`` detach, which serialized every
     row through the driver, re-verified each field in Python

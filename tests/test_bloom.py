@@ -46,3 +46,39 @@ def test_bloom_semi_join_dedups_build_side(spark):
     dim = spark.createDataFrame([(1,), (1,), (3,)], "dk long")
     out = bloom_semi_join(fact, dim, "fk", "dk")
     assert sorted(r["fk"] for r in out.collect()) == [1, 3]
+
+
+def test_bloom_probe_lit_fallback_matches_sql_literal(spark, monkeypatch):
+    """Above BLOOM_SQL_LITERAL_MAX_WORDS the F.lit bitmap path must probe
+    identically to the single-parse SQL literal path (ADVICE r12: huge
+    m_bits would build multi-MB SQL text)."""
+    from cnics_to_fhir_spark.operators import bloom
+
+    keys = spark.range(0, 200).select(F.col("id").alias("k"))
+    bitmap = build_bloom(keys, "k", m_bits=1 << 12, k=3)
+    probe = spark.range(0, 4000).select(F.col("id").alias("k"))
+    via_sql = sorted(
+        r["k"] for r in probe.filter(bloom_probe(F.col("k"), bitmap, 1 << 12, k=3)).collect()
+    )
+    monkeypatch.setattr(bloom, "BLOOM_SQL_LITERAL_MAX_WORDS", 0)
+    via_lit = sorted(
+        r["k"] for r in probe.filter(bloom_probe(F.col("k"), bitmap, 1 << 12, k=3)).collect()
+    )
+    assert via_sql == via_lit
+
+
+def test_sql_double_non_finite_literals_parse(spark):
+    """sql_double must render NaN/±Inf as parseable SQL (ADVICE r12:
+    repr() yields 'nanD', which the parser rejects)."""
+    from pyspark.sql import functions as F2
+
+    from cnics_to_fhir_spark.operators.similarity import sql_double
+
+    row = spark.range(1).select(
+        F2.expr(sql_double(float("nan"))).alias("n"),
+        F2.expr(sql_double(float("inf"))).alias("p"),
+        F2.expr(sql_double(float("-inf"))).alias("m"),
+        F2.expr(sql_double(1.5)).alias("f"),
+    ).collect()[0]
+    assert row["n"] != row["n"] and row["p"] == float("inf")
+    assert row["m"] == float("-inf") and row["f"] == 1.5

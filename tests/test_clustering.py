@@ -36,3 +36,22 @@ def test_kmeans_deterministic(spark):
     a = {r["vec_id"]: r["cluster"] for r in kmeans_assign(spark, emb, k=4, iters=2).collect()}
     b = {r["vec_id"]: r["cluster"] for r in kmeans_assign(spark, emb, k=4, iters=2).collect()}
     assert a == b
+
+
+def test_assign_broadcast_fallback_matches_inline(spark, monkeypatch):
+    """Above ASSIGN_INLINE_MAX_LITERALS the broadcast-join argmin must be
+    value-identical to the inlined projection (same distances, same
+    (dist, cid) tie-break) — the plan-size guard of VERDICT r12 #3."""
+    from cnics_to_fhir_spark.operators import clustering
+
+    emb = read_table(spark, SF, "embeddings")
+    inline = {
+        (r["vec_id"]): (r["cluster"], r["dist"])
+        for r in kmeans_assign(spark, emb, k=4, iters=2).collect()
+    }
+    monkeypatch.setattr(clustering, "ASSIGN_INLINE_MAX_LITERALS", 0)
+    fallback = {
+        (r["vec_id"]): (r["cluster"], r["dist"])
+        for r in kmeans_assign(spark, emb, k=4, iters=2).collect()
+    }
+    assert inline == fallback

@@ -580,3 +580,43 @@ def test_generation_claim_primitive(tmp_path):
     assert not [f for f in os.listdir(path) if f.endswith(".tmp")]
     ce._claim_generation(path, 2)
     assert ce._generation(path) == 2
+
+
+def test_update_export_precondition_order_and_shard_dup_guard(spark, tmp_path):
+    """The two duplicate-key preconditions now run as ONE pre-flight job
+    (VERDICT r12 next-round #3); semantics must be unchanged: both are
+    checked before any side effect, the FEED error keeps precedence when
+    both would fire, and a duplicate-keyed touched shard still fails a
+    clean feed loudly."""
+    import shutil
+
+    from cnics_to_fhir_spark.load.corpus_export import update_export
+
+    path = str(tmp_path / "order")
+    export_shards(_docs(spark, n=40), path, n_shards=4)
+    # duplicate EVERY key in one shard by cloning its data file
+    victim = sorted(glob.glob(os.path.join(path, "shard=2", "*.parquet")))[0]
+    shutil.copy(victim, victim.replace(".parquet", "-clone.parquet"))
+    dup_key = spark.read.parquet(os.path.join(path, "shard=2")).select(
+        "doc_id"
+    ).first()["doc_id"]
+
+    # feed that BOTH duplicates a key and touches the corrupted shard:
+    # the feed error must win (old check order preserved)
+    feed = spark.createDataFrame(
+        [(dup_key, "update", "a", "s"), (dup_key, "update", "b", "s")],
+        "doc_id long, change string, text string, source string",
+    )
+    with pytest.raises(ValueError, match="more than once in the change feed"):
+        update_export(spark, path, feed)
+
+    # clean feed touching the corrupted shard: the shard-side guard fires
+    clean = spark.createDataFrame(
+        [(dup_key, "update", "a", "s")],
+        "doc_id long, change string, text string, source string",
+    )
+    with pytest.raises(ValueError, match="duplicate key"):
+        update_export(spark, path, clean)
+    # no side effects from either refused feed: no staging/trash leftovers
+    assert not glob.glob(os.path.join(path, ".staging-*"))
+    assert not glob.glob(os.path.join(path, ".trash-*"))

@@ -635,3 +635,33 @@ def test_mmr_rejects_bad_lambda(spark):
     df = spark.createDataFrame([(0, [1.0])], "vec_id long, embedding array<double>")
     with pytest.raises(ValueError):
         similarity.mmr_rerank(df, df, lam=1.5)
+
+
+def test_ngram_jaccard_scan_filters_stay_cheap(spark):
+    """Regression guard for the r12 InferFiltersFromConstraints pathology
+    (ADVICE r12): a null-intolerant jaccard expression lets Catalyst derive
+    isnotnull(<whole shingle tree>) and push the per-doc shingle transform
+    into the parquet SCAN filter, where it evaluates twice below the
+    min-parallelism exchange.  The scan's data filters must never mention
+    the shingle expression; a Spark upgrade that re-derives it should fail
+    here, not in a bench regression."""
+    from cnics_to_fhir_spark.sources.tables import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text", "source"
+    )
+    pairs = dedup.ngram_jaccard_pairs(docs, k=3, block_words=4, threshold=0.5)
+    plan = pairs._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    # pull each "Scan parquet" node's detail block and check its filters
+    blocks = plan.split("\n\n")
+    scan_blocks = [b for b in blocks if b.lstrip().startswith("(") and "Scan parquet" in b.splitlines()[0]]
+    assert scan_blocks, "plan format changed: no Scan parquet node details found"
+    for b in scan_blocks:
+        for line in b.splitlines():
+            ls = line.strip()
+            if ls.startswith(("DataFilters:", "PushedFilters:")):
+                assert "array_join" not in ls and "transform(" not in ls, (
+                    "shingle expression pushed into a scan filter:\n" + b
+                )
